@@ -1,0 +1,119 @@
+"""Controlled-Hamiltonian container: H(t) = H0 + sum_k u_k(t) H_k.
+
+The reference passes Hamiltonians as QuTiP-style nested lists
+``[H0, [H_1, u_1], [H_2, u_2], ...]`` (`/root/reference/sim_plain.py:272-274`)
+or copies them into C++ globals (`/root/reference/diffqc.cc:43-73`). Here the
+system is an immutable pytree holding the drift ``H0`` and the stacked
+control operators ``Hs [n_controls, d, d]``, plus statically-known spectral
+norms used to pick expm orders without data-dependent control flow.
+
+Optional *structure* metadata (diagonal / single-qubit terms) unlocks the
+product-formula backend that scales past dense-matrix sizes
+(:mod:`diffquantum_tpu.dynamics.product`).
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def spectral_norm_bound(m: np.ndarray) -> float:
+    """Tight-ish spectral norm: exact (eigvalsh) for Hermitian inputs,
+    Frobenius upper bound otherwise. Runs once at construction (numpy)."""
+    m = np.asarray(m)
+    if m.size == 0:
+        return 0.0
+    if np.allclose(m, m.conj().T, atol=1e-10):
+        return float(np.max(np.abs(np.linalg.eigvalsh(m)))) if m.shape[0] else 0.0
+    return float(np.linalg.norm(m))
+
+
+@dataclasses.dataclass(frozen=True)
+class TermStructure:
+    """Structure tag for one control term, enabling matrix-free application.
+
+    kind:
+      - 'diag': term is diagonal; ``diag`` holds the length-d real diagonal.
+      - '1q'  : single-qubit operator; ``qubit`` is the site (0 = MSB in the
+                kron ordering), ``local`` the 2x2 matrix.
+      - 'dense': no structure (fallback to dense matvec).
+    """
+
+    kind: str
+    qubit: int = -1
+    local: Optional[np.ndarray] = None
+    diag: Optional[np.ndarray] = None
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass(frozen=True)
+class ControlledHamiltonian:
+    """H(t) = H0 + sum_k u_k(t) H_k with static norm metadata."""
+
+    H0: jnp.ndarray          # [d, d] complex
+    Hs: jnp.ndarray          # [n_controls, d, d] complex
+    h0_norm: float           # static ||H0||_2 bound
+    hs_norms: tuple[float, ...]  # static per-control ||H_k||_2 bounds
+    structure: Optional[tuple[TermStructure, ...]] = None
+    h0_structure: Optional[TermStructure] = None
+    n_qubits: int = -1
+
+    # -- pytree plumbing (arrays are leaves; norms/structure are static) ----
+    def tree_flatten(self):
+        return (self.H0, self.Hs), (self.h0_norm, self.hs_norms,
+                                    self.structure, self.h0_structure,
+                                    self.n_qubits)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        H0, Hs = children
+        h0_norm, hs_norms, structure, h0_structure, n_qubits = aux
+        return cls(H0=H0, Hs=Hs, h0_norm=h0_norm, hs_norms=hs_norms,
+                   structure=structure, h0_structure=h0_structure,
+                   n_qubits=n_qubits)
+
+    # ------------------------------------------------------------------
+    @classmethod
+    def create(cls, H0, Hs: Sequence, dtype=jnp.complex64,
+               structure: Optional[Sequence[TermStructure]] = None,
+               h0_structure: Optional[TermStructure] = None) -> "ControlledHamiltonian":
+        H0_np = np.asarray(H0)
+        Hs_np = np.stack([np.asarray(h) for h in Hs]) if len(Hs) else \
+            np.zeros((0,) + H0_np.shape, dtype=np.complex128)
+        d = H0_np.shape[0]
+        n_qubits = int(round(np.log2(d))) if d & (d - 1) == 0 else -1
+        return cls(
+            H0=jnp.asarray(H0_np, dtype=dtype),
+            Hs=jnp.asarray(Hs_np, dtype=dtype),
+            h0_norm=spectral_norm_bound(H0_np),
+            hs_norms=tuple(spectral_norm_bound(h) for h in Hs_np),
+            structure=tuple(structure) if structure is not None else None,
+            h0_structure=h0_structure,
+            n_qubits=n_qubits,
+        )
+
+    @property
+    def dim(self) -> int:
+        return self.H0.shape[-1]
+
+    @property
+    def n_controls(self) -> int:
+        return self.Hs.shape[0]
+
+    def norm_bound(self, u_max: Sequence[float]) -> float:
+        """Static bound on ||H(t)|| given per-control amplitude bounds
+        (typically the envelope's omegas)."""
+        return self.h0_norm + float(
+            sum(abs(u) * n for u, n in zip(u_max, self.hs_norms)))
+
+    def at(self, u_t: jnp.ndarray) -> jnp.ndarray:
+        """Dense H(t) for one amplitude vector u_t [n_controls]."""
+        if self.n_controls == 0:
+            return self.H0
+        return self.H0 + jnp.tensordot(
+            u_t.astype(self.Hs.real.dtype).astype(self.Hs.dtype),
+            self.Hs, axes=1)

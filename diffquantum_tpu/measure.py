@@ -1,0 +1,147 @@
+"""Quantum measurement: exact expectations, shot-sampled Pauli estimation,
+and hardware-noise injection.
+
+Rebuilds the reference's measurement layer:
+
+- exact expectation ``<psi|M|psi>`` — `M.matrix_element(final, final)`
+  (`/root/reference/sim_plain.py:281,205,215`);
+- ``stochastic_measure`` — finite-shot Pauli-term estimation by Born sampling
+  of each term's eigenbasis (`/root/reference/sim_plain.py:101-117`,
+  ``per_Pauli=100`` shots per term hardcoded there; a parameter here);
+- Gaussian measurement noise with scale ``|value|/5``
+  (`/root/reference/sim_plain.py:207-208,217-218,283-284`).
+
+TPU-shaped: sampling uses ``jax.random.categorical`` over log-Born
+probabilities with a one-hot bincount (no host RNG / np.random.choice), fully
+jit/vmap-compatible so noisy-measurement training loops stay on device.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+NOISE_REL_SCALE = 0.2  # reference: np.random.normal(scale=|v|/5)
+
+
+def exact_expectation(m: jnp.ndarray, psi: jnp.ndarray) -> jnp.ndarray:
+    """Real part of <psi|M|psi> (psi may carry leading batch dims)."""
+    mp = psi @ m.T  # (M psi) for row-stacked states
+    return jnp.sum(jnp.conjugate(psi) * mp, axis=-1).real
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass(frozen=True)
+class PauliTermSet:
+    """Measurement operator decomposed into weighted Hermitian terms with
+    precomputed eigensystems — the reference's ``self.Pauli_M`` table
+    (`demo_maxcut.py:47-65`, entries ``[matrix, weight, (evals, estates)]``).
+
+    evals:   [n_terms, d]      (real eigenvalues per term)
+    estates: [n_terms, d, d]   (eigenvectors as columns per term)
+    weights: [n_terms]
+    """
+
+    weights: jnp.ndarray
+    evals: jnp.ndarray
+    estates: jnp.ndarray
+
+    def tree_flatten(self):
+        return (self.weights, self.evals, self.estates), None
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children)
+
+    @classmethod
+    def create(cls, terms: Sequence[tuple[np.ndarray, float]],
+               dtype=jnp.complex64) -> "PauliTermSet":
+        """From (matrix, weight) pairs; eigendecomposition done once in
+        numpy at setup (matches `demo_maxcut.py:64-65`)."""
+        ws, evs, ests = [], [], []
+        for m, w in terms:
+            ev, es = np.linalg.eigh(np.asarray(m))
+            ws.append(float(w))
+            evs.append(ev)
+            ests.append(es)
+        rdtype = jnp.float64 if dtype == jnp.complex128 else jnp.float32
+        return cls(weights=jnp.asarray(ws, dtype=rdtype),
+                   evals=jnp.asarray(np.stack(evs), dtype=rdtype),
+                   estates=jnp.asarray(np.stack(ests), dtype=dtype))
+
+    @property
+    def n_terms(self) -> int:
+        return self.weights.shape[0]
+
+
+def stochastic_measure(terms: PauliTermSet, psi: jnp.ndarray, key: jax.Array,
+                       per_pauli: int = 100) -> jnp.ndarray:
+    """Finite-shot estimate of sum_i w_i <psi|P_i|psi>.
+
+    For each term: Born distribution p_j = |<e_j|psi>|^2 over its
+    eigenstates, ``per_pauli`` categorical draws, estimate
+    ``w * sum_j eval_j freq_j / shots`` (`sim_plain.py:101-117`).
+    """
+    # amplitudes of psi in each term's eigenbasis: [n_terms, d]
+    amps = jnp.einsum("d,tde->te", jnp.conjugate(psi), terms.estates)
+    probs = jnp.abs(amps) ** 2
+    logp = jnp.log(jnp.maximum(probs, 1e-30))
+    draws = jax.random.categorical(
+        key, logp[:, None, :].repeat(per_pauli, axis=1), axis=-1)  # [t, shots]
+    onehot = jax.nn.one_hot(draws, probs.shape[-1], dtype=probs.dtype)
+    freqs = onehot.sum(axis=1) / per_pauli  # [t, d]
+    return jnp.sum(terms.weights * jnp.sum(terms.evals * freqs, axis=-1))
+
+
+def measurement_noise(value: jnp.ndarray, key: jax.Array,
+                      rel_scale: float = NOISE_REL_SCALE) -> jnp.ndarray:
+    """value + N(0, |value| * rel_scale) — `sim_plain.py:283-284`."""
+    sigma = jnp.abs(value) * rel_scale
+    return value + sigma * jax.random.normal(key, jnp.shape(value),
+                                             dtype=jnp.result_type(value))
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass(frozen=True)
+class Measurement:
+    """A measurement objective: dense operator + optional term decomposition
+    + noise/sampling switches (the reference's `sampling_measure` /
+    `is_noisy` flags, `sim_plain.py:30-31`)."""
+
+    matrix: jnp.ndarray                 # [d, d] Hermitian
+    terms: PauliTermSet | None = None
+    sampling: bool = False
+    noisy: bool = False
+    per_pauli: int = 100
+
+    def tree_flatten(self):
+        return (self.matrix, self.terms), (self.sampling, self.noisy,
+                                           self.per_pauli)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        matrix, terms = children
+        sampling, noisy, per_pauli = aux
+        return cls(matrix=matrix, terms=terms, sampling=sampling, noisy=noisy,
+                   per_pauli=per_pauli)
+
+    def expectation(self, psi: jnp.ndarray, key: jax.Array | None = None):
+        """Measured value of <psi|M|psi> honoring sampling/noise flags.
+
+        ``key`` is required when sampling or noisy."""
+        if self.sampling:
+            if key is None:
+                raise ValueError("sampling measurement needs a PRNG key")
+            key, sub = jax.random.split(key)
+            val = stochastic_measure(self.terms, psi, sub, self.per_pauli)
+        else:
+            val = exact_expectation(self.matrix, psi)
+        if self.noisy:
+            if key is None:
+                raise ValueError("noisy measurement needs a PRNG key")
+            _, sub = jax.random.split(key)
+            val = measurement_noise(val, sub)
+        return val
