@@ -7,22 +7,30 @@ trainable spectral pulse parameterizations and optimizes the coefficients
 against quantum objectives with three gradient engines: reverse-mode adjoint
 (`jax.grad` through a checkpointed scan), the paper's unbiased Monte-Carlo
 estimator, and finite differences.
+
+All complex arithmetic runs in the real-pair representation
+(:class:`diffquantum_tpu.ops.cpx.CP`) — TPU hardware and Pallas are
+real-valued; see ops/cpx.py.
 """
 from .version import __version__
 
-from .ops import linalg
-from .ops.expm import expm_taylor, expm_pade13, expm_hermitian, expm_apply_taylor
+from .ops import cpx, linalg
+from .ops.cpx import CP
+from .ops.expm import (cexpm_apply_taylor, cexpm_pade13, cexpm_taylor,
+                       taylor_params)
 from .pulses.basis import basis_matrix
-from .pulses.envelope import SimpleEnvelope, ChannelEnvelope, Channel
+from .pulses.envelope import Channel, ChannelEnvelope, SimpleEnvelope
 from .dynamics.hamiltonian import ControlledHamiltonian, TermStructure
-from .dynamics.propagator import evolve, trotter, reference_n_steps
+from .dynamics.propagator import evolve, reference_n_steps, trotter
+from .measure import Measurement, PauliTermSet
 
 __all__ = [
     "__version__",
-    "linalg",
-    "expm_taylor", "expm_pade13", "expm_hermitian", "expm_apply_taylor",
+    "cpx", "CP", "linalg",
+    "cexpm_taylor", "cexpm_pade13", "cexpm_apply_taylor", "taylor_params",
     "basis_matrix",
     "SimpleEnvelope", "ChannelEnvelope", "Channel",
     "ControlledHamiltonian", "TermStructure",
     "evolve", "trotter", "reference_n_steps",
+    "Measurement", "PauliTermSet",
 ]

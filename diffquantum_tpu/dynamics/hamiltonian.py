@@ -4,8 +4,10 @@ The reference passes Hamiltonians as QuTiP-style nested lists
 ``[H0, [H_1, u_1], [H_2, u_2], ...]`` (`/root/reference/sim_plain.py:272-274`)
 or copies them into C++ globals (`/root/reference/diffqc.cc:43-73`). Here the
 system is an immutable pytree holding the drift ``H0`` and the stacked
-control operators ``Hs [n_controls, d, d]``, plus statically-known spectral
-norms used to pick expm orders without data-dependent control flow.
+control operators ``Hs [n_controls, d, d]`` in the real-pair CP
+representation (TPU has no native complex; see ops/cpx.py), plus
+statically-known spectral norms used to pick expm orders without
+data-dependent control flow.
 
 Optional *structure* metadata (diagonal / single-qubit terms) unlocks the
 product-formula backend that scales past dense-matrix sizes
@@ -20,6 +22,9 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ..ops import cpx
+from ..ops.cpx import CP
+
 
 def spectral_norm_bound(m: np.ndarray) -> float:
     """Tight-ish spectral norm: exact (eigvalsh) for Hermitian inputs,
@@ -28,18 +33,24 @@ def spectral_norm_bound(m: np.ndarray) -> float:
     if m.size == 0:
         return 0.0
     if np.allclose(m, m.conj().T, atol=1e-10):
-        return float(np.max(np.abs(np.linalg.eigvalsh(m)))) if m.shape[0] else 0.0
+        return float(np.max(np.abs(np.linalg.eigvalsh(m))))
     return float(np.linalg.norm(m))
 
 
-@dataclasses.dataclass(frozen=True)
+@dataclasses.dataclass(frozen=True, eq=False)
 class TermStructure:
     """Structure tag for one control term, enabling matrix-free application.
+
+    ``eq=False``: instances compare/hash by identity — they ride in pytree
+    *metadata* (static aux data), where jit cache lookups require hashable,
+    cheap-equality objects; numpy array fields would otherwise break the
+    comparison. Reusing the same problem object hits the jit cache; a newly
+    built problem retraces (correct, just slower once).
 
     kind:
       - 'diag': term is diagonal; ``diag`` holds the length-d real diagonal.
       - '1q'  : single-qubit operator; ``qubit`` is the site (0 = MSB in the
-                kron ordering), ``local`` the 2x2 matrix.
+                kron ordering), ``local`` the 2x2 complex matrix.
       - 'dense': no structure (fallback to dense matvec).
     """
 
@@ -52,10 +63,10 @@ class TermStructure:
 @jax.tree_util.register_pytree_node_class
 @dataclasses.dataclass(frozen=True)
 class ControlledHamiltonian:
-    """H(t) = H0 + sum_k u_k(t) H_k with static norm metadata."""
+    """H(t) = H0 + sum_k u_k(t) H_k with static norm metadata (CP storage)."""
 
-    H0: jnp.ndarray          # [d, d] complex
-    Hs: jnp.ndarray          # [n_controls, d, d] complex
+    H0: CP                   # [d, d]
+    Hs: CP                   # [n_controls, d, d]
     h0_norm: float           # static ||H0||_2 bound
     hs_norms: tuple[float, ...]  # static per-control ||H_k||_2 bounds
     structure: Optional[tuple[TermStructure, ...]] = None
@@ -78,17 +89,21 @@ class ControlledHamiltonian:
 
     # ------------------------------------------------------------------
     @classmethod
-    def create(cls, H0, Hs: Sequence, dtype=jnp.complex64,
+    def create(cls, H0, Hs: Sequence, dtype=jnp.float32,
                structure: Optional[Sequence[TermStructure]] = None,
                h0_structure: Optional[TermStructure] = None) -> "ControlledHamiltonian":
-        H0_np = np.asarray(H0)
-        Hs_np = np.stack([np.asarray(h) for h in Hs]) if len(Hs) else \
-            np.zeros((0,) + H0_np.shape, dtype=np.complex128)
+        """Build from host-side (complex) numpy operators.
+
+        ``dtype`` is the REAL storage dtype (float32 on TPU, float64 for
+        high-precision CPU runs)."""
+        H0_np = np.asarray(H0, dtype=np.complex128)
+        Hs_np = np.stack([np.asarray(h, dtype=np.complex128) for h in Hs]) \
+            if len(Hs) else np.zeros((0,) + H0_np.shape, dtype=np.complex128)
         d = H0_np.shape[0]
         n_qubits = int(round(np.log2(d))) if d & (d - 1) == 0 else -1
         return cls(
-            H0=jnp.asarray(H0_np, dtype=dtype),
-            Hs=jnp.asarray(Hs_np, dtype=dtype),
+            H0=cpx.from_complex(H0_np, dtype=dtype),
+            Hs=cpx.from_complex(Hs_np, dtype=dtype),
             h0_norm=spectral_norm_bound(H0_np),
             hs_norms=tuple(spectral_norm_bound(h) for h in Hs_np),
             structure=tuple(structure) if structure is not None else None,
@@ -104,16 +119,19 @@ class ControlledHamiltonian:
     def n_controls(self) -> int:
         return self.Hs.shape[0]
 
+    @property
+    def dtype(self):
+        return self.H0.dtype
+
     def norm_bound(self, u_max: Sequence[float]) -> float:
         """Static bound on ||H(t)|| given per-control amplitude bounds
         (typically the envelope's omegas)."""
         return self.h0_norm + float(
             sum(abs(u) * n for u, n in zip(u_max, self.hs_norms)))
 
-    def at(self, u_t: jnp.ndarray) -> jnp.ndarray:
-        """Dense H(t) for one amplitude vector u_t [n_controls]."""
+    def at(self, u_t: jnp.ndarray) -> CP:
+        """Dense H(t) for one real amplitude vector u_t [n_controls]."""
         if self.n_controls == 0:
             return self.H0
-        return self.H0 + jnp.tensordot(
-            u_t.astype(self.Hs.real.dtype).astype(self.Hs.dtype),
-            self.Hs, axes=1)
+        mix = cpx.tensordot_weights(u_t.astype(self.dtype), self.Hs)
+        return cpx.add(self.H0, mix)

@@ -11,17 +11,19 @@ per step); the *shape* is TPU-first:
   scalar at a time);
 - the step loop is a ``jax.lax.scan`` (one compiled program, no retrace per
   step);
-- each step applies ``exp(-i dt H_t)`` either as a dense solve-free Taylor
-  scaling-and-squaring expm (small d) or directly to the (batched) state via
-  Taylor matvecs (large d / batched states — this is the MXU sweet spot:
-  [d,d]x[d,B] matmuls);
+- complex state/operators are real pairs (:class:`~..ops.cpx.CP`) — TPU has
+  no native complex support — and each step applies ``exp(-i dt H_t)``
+  either as a dense solve-free Taylor scaling-and-squaring expm (small d) or
+  directly to the (batched) state via Taylor matvecs (large d / batched
+  states: [B, d] x [d, d] real matmuls on the MXU);
 - the scan body is `jax.checkpoint`-ed so reverse-mode differentiation
-  (adjoint gradients) uses O(sqrt-ish) memory instead of storing every step.
+  (adjoint gradients) rematerializes steps instead of storing every
+  intermediate.
 
 Step-count semantics match the C++ backend: ``n_steps = int(per_step *
 (|T - T0| + 1))`` (`diffqc.cc:182`). The Python reference omits the abs()
-(`sim_plain.py:123`) — for the forward-time segments the demos use they are
-identical; we keep the C++ (correct) form and document the divergence.
+(`sim_plain.py:123`) — identical for the forward-time segments the demos
+use; we keep the C++ (correct) form and document the divergence.
 
 Both backends evaluate envelopes at the *left* endpoint ``t_k = T0 + k dt``
 and advance ``t += dt`` after each step (`sim_plain.py:134-150`,
@@ -35,7 +37,9 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 
-from ..ops.expm import expm_taylor, expm_apply_taylor
+from ..ops import cpx
+from ..ops.cpx import CP
+from ..ops.expm import cexpm_apply_taylor, cexpm_taylor
 from .hamiltonian import ControlledHamiltonian
 
 
@@ -63,37 +67,37 @@ def evolve(
     ham: ControlledHamiltonian,
     envelope,
     coeff: jnp.ndarray,
-    psi0: jnp.ndarray,
+    psi0: CP,
     T0,
     T,
     horizon: float,
     n_steps: int,
     backend: str = "auto",
-    tol: float = 1e-8,
+    tol: float = 1e-7,
     dt_bound: Optional[float] = None,
-) -> jnp.ndarray:
+) -> CP:
     """Evolve ``psi0`` from ``T0`` to ``T`` under H(t) = H0 + sum u_k(t) H_k.
 
     Args:
-        ham: the controlled Hamiltonian (pytree).
+        ham: the controlled Hamiltonian (pytree, CP storage).
         envelope: pulse model (SimpleEnvelope / ChannelEnvelope) — static.
         coeff: spectral coefficients (trainable; envelope.coeff_shape).
-        psi0: state [d] or batch [..., d].
+        psi0: state CP [d] or batch CP [..., d].
         T0, T: segment endpoints. May be traced scalars (the MC estimator
             evolves to a *sampled* time s).
-        horizon: static total pulse duration used for basis normalization
-            (the reference's ``self.T`` / ``g_duration``).
-        n_steps: static step count (use :func:`reference_n_steps` for
-            reference semantics; must be static for jit).
+        horizon: static total pulse duration for basis normalization (the
+            reference's ``self.T`` / ``g_duration``).
+        n_steps: static step count (:func:`reference_n_steps` for reference
+            semantics).
         backend: 'expm' (dense per-step exponential), 'apply' (Taylor
             expm-times-vector), or 'auto' (apply for d >= 512 or batched
             states, else expm).
-        tol: truncation tolerance for the Taylor series.
+        tol: truncation tolerance of the Taylor series.
         dt_bound: static upper bound on |dt| = |T-T0|/n_steps. Required when
             T/T0 are traced; defaults to horizon/n_steps.
 
     Returns:
-        psi(T) with the same shape as psi0.
+        psi(T) as CP with the same shape as psi0.
     """
     dt = (T - T0) / n_steps
     ts = T0 + dt * jnp.arange(n_steps, dtype=jnp.result_type(float))
@@ -109,16 +113,15 @@ def evolve(
     if backend == "auto":
         backend = "apply" if (d >= 512 or batched) else "expm"
 
-    cdtype = ham.H0.dtype
-    psi0 = psi0.astype(cdtype)
-    u_steps = u.T  # [n_steps, n_controls] — scan xs
+    psi0 = psi0.astype(ham.dtype)
+    u_steps = u.T.astype(ham.dtype)  # [n_steps, n_controls] — scan xs
 
     if backend == "expm":
         @jax.checkpoint
         def step(psi, u_t):
             h_t = ham.at(u_t)
-            e = expm_taylor((-1j * dt) * h_t, a_bound, tol)
-            return psi @ e.T if batched else e @ psi, None
+            e = cexpm_taylor(cpx.mulmi(cpx.rscale(h_t, dt)), a_bound, tol)
+            return cpx.matvec(e, psi), None
 
         psi, _ = jax.lax.scan(step, psi0, u_steps)
         return psi
@@ -129,21 +132,22 @@ def evolve(
         @jax.checkpoint
         def step(psi, u_t):
             h_t = ham.at(u_t)
-            return expm_apply_taylor(h_t, psi, -1j * dt, a_bound, tol), None
+            # exp(z H) psi with z = -i dt  →  (z_re, z_im) = (0, -dt)
+            return cexpm_apply_taylor(h_t, psi, jnp.zeros_like(dt), -dt,
+                                      a_bound, tol), None
 
         psi, _ = jax.lax.scan(step, flat, u_steps)
-        return psi.reshape(psi0.shape)
+        return psi.reshape(*psi0.shape)
 
     raise ValueError(f"unknown backend {backend!r}")
 
 
-def trotter(ham: ControlledHamiltonian, envelope, coeff, psi0, T0: float,
+def trotter(ham: ControlledHamiltonian, envelope, coeff, psi0: CP, T0: float,
             T: float, horizon: Optional[float] = None, per_step: int = 10,
-            **kw) -> jnp.ndarray:
-    """Reference-signature wrapper: step count from `diffqc.cc:182`.
+            **kw) -> CP:
+    """Reference-signature wrapper: step count per `diffqc.cc:182`.
 
-    ``horizon`` defaults to T (the common case where the segment is the whole
-    pulse)."""
+    ``horizon`` defaults to T (segment == whole pulse, the common case)."""
     n_steps = reference_n_steps(per_step, T0, T)
     return evolve(ham, envelope, coeff, psi0, T0, T,
                   horizon=float(T if horizon is None else horizon),

@@ -21,13 +21,18 @@ import jax.numpy as jnp
 
 from ..dynamics.propagator import evolve
 from ..measure import exact_expectation
+from ..ops import cpx
+from ..ops.cpx import CP
 
 
-@functools.partial(jax.jit, static_argnames=("envelope", "n_steps", "backend"))
-def energy_and_grad(ham, envelope, m: jnp.ndarray, coeff: jnp.ndarray,
-                    psi0: jnp.ndarray, T: float, n_steps: int,
+@functools.partial(jax.jit, static_argnames=("envelope", "T", "n_steps", "backend"))
+def energy_and_grad(ham, envelope, m: CP, coeff: jnp.ndarray,
+                    psi0: CP, T: float, n_steps: int,
                     backend: str = "auto"):
-    """(<psi(T)|M|psi(T)>, d/dcoeff) by reverse-mode autodiff."""
+    """(<psi(T)|M|psi(T)>, d/dcoeff) by reverse-mode autodiff.
+
+    Everything is real-valued (CP pairs), so this is plain real reverse-mode
+    — no complex-autodiff convention subtleties."""
 
     def loss(c):
         psi = evolve(ham, envelope, c, psi0, 0.0, T, horizon=T,
@@ -37,16 +42,16 @@ def energy_and_grad(ham, envelope, m: jnp.ndarray, coeff: jnp.ndarray,
     return jax.value_and_grad(loss)(coeff)
 
 
-@functools.partial(jax.jit, static_argnames=("envelope", "n_steps", "backend"))
-def fidelity_and_grad(ham, envelope, target: jnp.ndarray, coeff: jnp.ndarray,
-                      psi0: jnp.ndarray, T: float, n_steps: int,
+@functools.partial(jax.jit, static_argnames=("envelope", "T", "n_steps", "backend"))
+def fidelity_and_grad(ham, envelope, target: CP, coeff: jnp.ndarray,
+                      psi0: CP, T: float, n_steps: int,
                       backend: str = "auto"):
     """(1 - |<target|psi(T)>|^2, d/dcoeff) by reverse-mode autodiff."""
 
     def loss(c):
         psi = evolve(ham, envelope, c, psi0, 0.0, T, horizon=T,
                      n_steps=n_steps, backend=backend)
-        ov = jnp.sum(jnp.conjugate(target) * psi, axis=-1)
-        return 1.0 - (jnp.abs(ov) ** 2)
+        ov = cpx.vdot(target, psi)
+        return 1.0 - (ov.re * ov.re + ov.im * ov.im)
 
     return jax.value_and_grad(loss)(coeff)

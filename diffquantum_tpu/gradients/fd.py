@@ -28,8 +28,8 @@ from ..measure import (Measurement, exact_expectation, measurement_noise,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("envelope", "n_steps", "backend", "delta", "sampling",
-                     "noisy", "per_pauli"))
+    static_argnames=("envelope", "T", "n_steps", "backend", "delta",
+                     "sampling", "noisy", "per_pauli"))
 def fd_energy_grad(
     ham,
     envelope,

@@ -43,6 +43,7 @@ import jax.numpy as jnp
 from ..dynamics.propagator import evolve
 from ..measure import (Measurement, exact_expectation, measurement_noise,
                        stochastic_measure)
+from ..ops.cpx import CP
 from ..pulses.basis import basis_matrix
 
 
@@ -74,8 +75,8 @@ def envelope_sensitivity(envelope, coeff: jnp.ndarray, s, T,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("envelope", "n_steps", "backend", "r", "coeff_sign",
-                     "chain", "sampling", "noisy", "per_pauli"))
+    static_argnames=("envelope", "T", "n_steps", "backend", "r",
+                     "coeff_sign", "chain", "sampling", "noisy", "per_pauli"))
 def mc_energy_grad(
     ham,
     envelope,
@@ -108,12 +109,20 @@ def mc_energy_grad(
     phi = evolve(ham, envelope, coeff, psi0, 0.0, s, horizon=T,
                  n_steps=n_steps, backend=backend, dt_bound=T / n_steps)
 
-    # --- matrix-free perturbation gates --------------------------------
-    hphi = jnp.einsum("kij,j->ki", ham.Hs, phi)  # [n_Hs, d]
+    # --- matrix-free perturbation gates (CP real-pair algebra) ----------
+    # H_k phi for all controls k at once: [n_Hs, d]
+    hphi_re = jnp.einsum("kij,j->ki", ham.Hs.re, phi.re) \
+        - jnp.einsum("kij,j->ki", ham.Hs.im, phi.im)
+    hphi_im = jnp.einsum("kij,j->ki", ham.Hs.re, phi.im) \
+        + jnp.einsum("kij,j->ki", ham.Hs.im, phi.re)
     scale = 1.0 / jnp.sqrt(1.0 + r * r)
-    branch_p = (phi[None, :] + 1j * r * hphi) * scale
-    branch_m = (phi[None, :] - 1j * r * hphi) * scale
-    branches = jnp.concatenate([branch_p, branch_m], axis=0)  # [2 n_Hs, d]
+    # phi ± r * i * (H_k phi); i*(a+ib) = -b + ia
+    branch_p = CP((phi.re[None, :] - r * hphi_im) * scale,
+                  (phi.im[None, :] + r * hphi_re) * scale)
+    branch_m = CP((phi.re[None, :] + r * hphi_im) * scale,
+                  (phi.im[None, :] - r * hphi_re) * scale)
+    branches = CP(jnp.concatenate([branch_p.re, branch_m.re], axis=0),
+                  jnp.concatenate([branch_p.im, branch_m.im], axis=0))
 
     # --- one batched evolution s → T ------------------------------------
     kets = evolve(ham, envelope, coeff, branches, s, T, horizon=T,
@@ -121,7 +130,7 @@ def mc_energy_grad(
 
     # --- measurement -----------------------------------------------------
     if sampling:
-        keys = jax.random.split(k_meas, kets.shape[0] + 1)
+        keys = jax.random.split(k_meas, branches.shape[0] + 1)
         ps = jax.vmap(lambda psi, kk: stochastic_measure(
             measurement.terms, psi, kk, per_pauli))(kets, keys[:-1])
         k_noise = keys[-1]

@@ -1,5 +1,5 @@
 """Quantum measurement: exact expectations, shot-sampled Pauli estimation,
-and hardware-noise injection.
+and hardware-noise injection — on the real-pair (CP) state representation.
 
 Rebuilds the reference's measurement layer:
 
@@ -24,13 +24,16 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from .ops import cpx
+from .ops.cpx import CP
+
 NOISE_REL_SCALE = 0.2  # reference: np.random.normal(scale=|v|/5)
 
 
-def exact_expectation(m: jnp.ndarray, psi: jnp.ndarray) -> jnp.ndarray:
-    """Real part of <psi|M|psi> (psi may carry leading batch dims)."""
-    mp = psi @ m.T  # (M psi) for row-stacked states
-    return jnp.sum(jnp.conjugate(psi) * mp, axis=-1).real
+def exact_expectation(m: CP, psi: CP) -> jnp.ndarray:
+    """Re <psi|M|psi> (psi may carry leading batch dims)."""
+    mp = cpx.matvec(m, psi)
+    return jnp.sum(psi.re * mp.re + psi.im * mp.im, axis=-1)
 
 
 @jax.tree_util.register_pytree_node_class
@@ -40,14 +43,14 @@ class PauliTermSet:
     precomputed eigensystems — the reference's ``self.Pauli_M`` table
     (`demo_maxcut.py:47-65`, entries ``[matrix, weight, (evals, estates)]``).
 
-    evals:   [n_terms, d]      (real eigenvalues per term)
-    estates: [n_terms, d, d]   (eigenvectors as columns per term)
+    evals:   [n_terms, d]      real eigenvalues per term
+    estates: CP [n_terms, d, d] eigenvectors as columns per term
     weights: [n_terms]
     """
 
     weights: jnp.ndarray
     evals: jnp.ndarray
-    estates: jnp.ndarray
+    estates: CP
 
     def tree_flatten(self):
         return (self.weights, self.evals, self.estates), None
@@ -58,7 +61,7 @@ class PauliTermSet:
 
     @classmethod
     def create(cls, terms: Sequence[tuple[np.ndarray, float]],
-               dtype=jnp.complex64) -> "PauliTermSet":
+               dtype=jnp.float32) -> "PauliTermSet":
         """From (matrix, weight) pairs; eigendecomposition done once in
         numpy at setup (matches `demo_maxcut.py:64-65`)."""
         ws, evs, ests = [], [], []
@@ -67,17 +70,16 @@ class PauliTermSet:
             ws.append(float(w))
             evs.append(ev)
             ests.append(es)
-        rdtype = jnp.float64 if dtype == jnp.complex128 else jnp.float32
-        return cls(weights=jnp.asarray(ws, dtype=rdtype),
-                   evals=jnp.asarray(np.stack(evs), dtype=rdtype),
-                   estates=jnp.asarray(np.stack(ests), dtype=dtype))
+        return cls(weights=jnp.asarray(ws, dtype=dtype),
+                   evals=jnp.asarray(np.stack(evs), dtype=dtype),
+                   estates=cpx.from_complex(np.stack(ests), dtype=dtype))
 
     @property
     def n_terms(self) -> int:
         return self.weights.shape[0]
 
 
-def stochastic_measure(terms: PauliTermSet, psi: jnp.ndarray, key: jax.Array,
+def stochastic_measure(terms: PauliTermSet, psi: CP, key: jax.Array,
                        per_pauli: int = 100) -> jnp.ndarray:
     """Finite-shot estimate of sum_i w_i <psi|P_i|psi>.
 
@@ -85,9 +87,15 @@ def stochastic_measure(terms: PauliTermSet, psi: jnp.ndarray, key: jax.Array,
     eigenstates, ``per_pauli`` categorical draws, estimate
     ``w * sum_j eval_j freq_j / shots`` (`sim_plain.py:101-117`).
     """
-    # amplitudes of psi in each term's eigenbasis: [n_terms, d]
-    amps = jnp.einsum("d,tde->te", jnp.conjugate(psi), terms.estates)
-    probs = jnp.abs(amps) ** 2
+    # amplitude of psi on eigenvector j of term t: <e_j|psi> with
+    # estates[t, :, j] as columns → contract the middle (d) axis.
+    er = jnp.swapaxes(terms.estates.re, -1, -2)  # [t, j, d]
+    ei = jnp.swapaxes(terms.estates.im, -1, -2)
+    amp_re = jnp.einsum("tjd,d->tj", er, psi.re) \
+        + jnp.einsum("tjd,d->tj", ei, psi.im)
+    amp_im = jnp.einsum("tjd,d->tj", er, psi.im) \
+        - jnp.einsum("tjd,d->tj", ei, psi.re)
+    probs = amp_re**2 + amp_im**2  # [n_terms, d]
     logp = jnp.log(jnp.maximum(probs, 1e-30))
     draws = jax.random.categorical(
         key, logp[:, None, :].repeat(per_pauli, axis=1), axis=-1)  # [t, shots]
@@ -107,11 +115,11 @@ def measurement_noise(value: jnp.ndarray, key: jax.Array,
 @jax.tree_util.register_pytree_node_class
 @dataclasses.dataclass(frozen=True)
 class Measurement:
-    """A measurement objective: dense operator + optional term decomposition
-    + noise/sampling switches (the reference's `sampling_measure` /
-    `is_noisy` flags, `sim_plain.py:30-31`)."""
+    """A measurement objective: dense operator (CP) + optional term
+    decomposition + noise/sampling switches (the reference's
+    `sampling_measure` / `is_noisy` flags, `sim_plain.py:30-31`)."""
 
-    matrix: jnp.ndarray                 # [d, d] Hermitian
+    matrix: CP                          # [d, d] Hermitian
     terms: PauliTermSet | None = None
     sampling: bool = False
     noisy: bool = False
@@ -128,7 +136,15 @@ class Measurement:
         return cls(matrix=matrix, terms=terms, sampling=sampling, noisy=noisy,
                    per_pauli=per_pauli)
 
-    def expectation(self, psi: jnp.ndarray, key: jax.Array | None = None):
+    @classmethod
+    def create(cls, matrix, terms=None, dtype=jnp.float32, **kw) -> "Measurement":
+        """From a host-side complex operator (+ optional (matrix, weight)
+        term list for sampled measurement)."""
+        term_set = PauliTermSet.create(terms, dtype=dtype) if terms else None
+        return cls(matrix=cpx.from_complex(matrix, dtype=dtype),
+                   terms=term_set, **kw)
+
+    def expectation(self, psi: CP, key: jax.Array | None = None):
         """Measured value of <psi|M|psi> honoring sampling/noise flags.
 
         ``key`` is required when sampling or noisy."""

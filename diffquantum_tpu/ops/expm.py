@@ -1,26 +1,28 @@
-"""Matrix exponential kernels for time-ordered quantum propagation.
+"""Matrix exponential kernels on the real-pair (CP) representation.
 
 This replaces the reference's two exponentiation engines — Eigen's dense Padé
 ``.exp()`` in the C++ core (`/root/reference/diffqc.cc:157,198`) and
 ``scipy.linalg.expm`` in the Python path (`/root/reference/sim_plain.py:145`)
-— with TPU-shaped alternatives:
+— with TPU-shaped alternatives operating on :class:`~.cpx.CP` real pairs
+(native complex is unsupported on the TPU backend; see ops/cpx.py):
 
-1. :func:`expm_taylor` — scaling-and-squaring with a truncated Taylor series.
-   Solve-free (pure batched matmuls → MXU), the preferred dense path on TPU.
-   For the anti-Hermitian generators ``A = -i dt H`` that arise here, the
-   spectral norm is known in advance (``dt * ||H||``), so the scaling count
-   and order are chosen *statically* (no data-dependent control flow under
-   jit).
+1. :func:`cexpm_taylor` — scaling-and-squaring with a truncated Taylor
+   series. Solve-free: nothing but real batched matmuls (MXU). For the
+   anti-Hermitian generators ``A = -i dt H`` arising here, the spectral norm
+   is bounded in advance (``dt * ||H||``), so scaling count and order are
+   chosen *statically* — no data-dependent control flow under jit.
 
-2. :func:`expm_pade13` — classic Padé(13) with a linear solve, batched.
-   Used for cross-checks and generic inputs.
+2. :func:`cexpm_pade13` — classic Padé(13) with the linear solve done on the
+   real 2d x 2d embedding ``[[re, -im], [im, re]]``. Cross-check / generic
+   path.
 
-3. :func:`expm_apply_taylor` — applies ``exp(z H)`` to a (batch of) state
-   vector(s) without ever forming the exponential: sub-stepped truncated
-   Taylor on matvecs. With a batch of states this is a ``[d,d] x [d,B]``
-   matmul per Taylor term — MXU-friendly — and memory drops from O(d^2) per
-   step to O(dB). This is the scalable engine the reference only gestured at
-   (commented-out ``expm_multiply``, `sim_plain.py:139,147`).
+3. :func:`cexpm_apply_taylor` — applies ``exp(z H)`` directly to a (batch
+   of) state(s) without forming the exponential: sub-stepped truncated
+   Taylor matvecs. With a batch of B states each Taylor term is a
+   ``[B, d] x [d, d]`` real matmul — the MXU sweet spot — and memory drops
+   from O(d^2) to O(dB) per step. This is the scalable engine the reference
+   only gestured at (commented-out ``expm_multiply``,
+   `sim_plain.py:139,147`).
 
 All functions are jit/vmap/grad-compatible.
 """
@@ -32,16 +34,19 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from . import cpx
+from .cpx import CP
+
 _FACTORIALS = [math.factorial(k) for k in range(35)]
 
 
-def taylor_params(norm_bound: float, tol: float = 1e-8,
+def taylor_params(norm_bound: float, tol: float = 1e-7,
                   max_order: int = 24) -> tuple[int, int]:
     """Static (order, n_squarings) so the truncated-Taylor error of
-    ``exp(A)`` with ``||A|| <= norm_bound`` is below ``tol``.
+    ``exp(A)`` with ``||A|| <= norm_bound`` stays below ``tol``.
 
-    Picks the smallest number of squarings s with scaled norm theta <= 1.0,
-    then the smallest order m with theta^(m+1)/(m+1)! <= tol.
+    Picks the smallest squaring count s with scaled norm theta <= 1.0, then
+    the smallest order m with theta^(m+1)/(m+1)! <= tol.
     """
     norm_bound = float(max(norm_bound, 1e-30))
     s = max(0, int(math.ceil(math.log2(norm_bound))))  # theta <= 1
@@ -52,23 +57,24 @@ def taylor_params(norm_bound: float, tol: float = 1e-8,
     return max_order, s
 
 
-def expm_taylor(a: jnp.ndarray, norm_bound: float, tol: float = 1e-8) -> jnp.ndarray:
+def cexpm_taylor(a: CP, norm_bound: float, tol: float = 1e-7) -> CP:
     """Batched ``exp(a)`` by scaling-and-squaring + Taylor (solve-free).
 
-    a: [..., d, d]; ``norm_bound`` is a static upper bound on the spectral
-    norm of every matrix in the batch.
+    a: CP [..., d, d]; ``norm_bound`` is a static upper bound on the
+    spectral norm of every matrix in the batch.
     """
     order, s = taylor_params(norm_bound, tol)
-    a = a / (2.0**s)
+    a = cpx.rscale(a, 1.0 / (2.0**s))
     d = a.shape[-1]
-    eye = jnp.eye(d, dtype=a.dtype)
-    eye = jnp.broadcast_to(eye, a.shape)
-    # Horner evaluation: exp(a) ≈ I + a(I + a/2(I + a/3(...)))
-    acc = eye + a / order
+    eye_re = jnp.broadcast_to(jnp.eye(d, dtype=a.dtype), a.shape)
+    zero = jnp.zeros_like(eye_re)
+    # Horner: exp(a) ≈ I + a(I + a/2(I + a/3(...)))
+    acc = CP(eye_re + a.re / order, zero + a.im / order)
     for k in range(order - 1, 0, -1):
-        acc = eye + (a @ acc) / k
+        prod = cpx.matmul(a, acc)
+        acc = CP(eye_re + prod.re / k, zero + prod.im / k)
     for _ in range(s):
-        acc = acc @ acc
+        acc = cpx.matmul(acc, acc)
     return acc
 
 
@@ -82,66 +88,72 @@ _PADE13_B = np.array([
 _PADE13_THETA = 5.371920351148152
 
 
-def expm_pade13(a: jnp.ndarray, norm_bound: float) -> jnp.ndarray:
-    """Batched Padé(13) scaling-and-squaring ``exp(a)`` with a linear solve.
+def _real_embed(a: CP) -> jnp.ndarray:
+    """[[re, -im], [im, re]] block matrix (the regular representation)."""
+    top = jnp.concatenate([a.re, -a.im], axis=-1)
+    bot = jnp.concatenate([a.im, a.re], axis=-1)
+    return jnp.concatenate([top, bot], axis=-2)
 
-    Same algorithm family as Eigen's ``MatrixBase::exp`` (`diffqc.cc:198`)
-    and ``scipy.linalg.expm`` (`sim_plain.py:145`), with the scaling count
-    chosen statically from ``norm_bound`` to stay jit-compatible.
-    """
+
+def _real_unembed(m: jnp.ndarray) -> CP:
+    d = m.shape[-1] // 2
+    return CP(m[..., :d, :d], m[..., d:, :d])
+
+
+def cexpm_pade13(a: CP, norm_bound: float) -> CP:
+    """Padé(13) scaling-and-squaring; same algorithm family as Eigen's
+    ``MatrixBase::exp`` (`diffqc.cc:198`) / scipy (`sim_plain.py:145`), with
+    a static scaling count and the solve on the real embedding."""
     s = max(0, int(math.ceil(math.log2(max(norm_bound, 1e-30) / _PADE13_THETA))))
-    a = a / (2.0**s)
+    a = cpx.rscale(a, 1.0 / (2.0**s))
     d = a.shape[-1]
     b = _PADE13_B
-    eye = jnp.broadcast_to(jnp.eye(d, dtype=a.dtype), a.shape)
-    a2 = a @ a
-    a4 = a2 @ a2
-    a6 = a2 @ a4
-    u = a @ (a6 @ (b[13] * a6 + b[11] * a4 + b[9] * a2)
-             + b[7] * a6 + b[5] * a4 + b[3] * a2 + b[1] * eye)
-    v = a6 @ (b[12] * a6 + b[10] * a4 + b[8] * a2) \
-        + b[6] * a6 + b[4] * a4 + b[2] * a2 + b[0] * eye
-    r = jnp.linalg.solve(v - u, v + u)
+    ident = cpx.eye(d, dtype=a.dtype)
+    ident = CP(jnp.broadcast_to(ident.re, a.re.shape),
+               jnp.broadcast_to(ident.im, a.im.shape))
+    a2 = cpx.matmul(a, a)
+    a4 = cpx.matmul(a2, a2)
+    a6 = cpx.matmul(a2, a4)
+
+    def lin(c6, c4, c2, c0):
+        return CP(c6 * a6.re + c4 * a4.re + c2 * a2.re + c0 * ident.re,
+                  c6 * a6.im + c4 * a4.im + c2 * a2.im + c0 * ident.im)
+
+    inner = CP(b[13] * a6.re + b[11] * a4.re + b[9] * a2.re,
+               b[13] * a6.im + b[11] * a4.im + b[9] * a2.im)
+    u = cpx.matmul(a, cpx.add(cpx.matmul(a6, inner),
+                              lin(b[7], b[5], b[3], b[1])))
+    v = cpx.add(cpx.matmul(a6, CP(b[12] * a6.re + b[10] * a4.re + b[8] * a2.re,
+                                  b[12] * a6.im + b[10] * a4.im + b[8] * a2.im)),
+                lin(b[6], b[4], b[2], b[0]))
+    lhs = _real_embed(cpx.sub(v, u))
+    rhs = _real_embed(cpx.add(v, u))
+    r = _real_unembed(jnp.linalg.solve(lhs, rhs))
     for _ in range(s):
-        r = r @ r
+        r = cpx.matmul(r, r)
     return r
 
 
-def expm_hermitian(h: jnp.ndarray, z: complex) -> jnp.ndarray:
-    """``exp(z h)`` for Hermitian ``h`` via eigendecomposition.
+def cexpm_apply_taylor(h: CP, psi: CP, z_re, z_im, norm_bound: float,
+                       tol: float = 1e-7, max_order: int = 24) -> CP:
+    """Apply ``exp((z_re + i z_im) h) @ psi`` via truncated-Taylor matvecs.
 
-    Exactly unitary for purely imaginary z; used as a high-accuracy oracle in
-    tests and for very stiff steps.
-    """
-    w, v = jnp.linalg.eigh(h)
-    phase = jnp.exp(z * w)
-    return (v * phase[..., None, :]) @ jnp.conjugate(jnp.swapaxes(v, -1, -2))
-
-
-def expm_apply_taylor(h: jnp.ndarray, psi: jnp.ndarray, z: jnp.ndarray,
-                      norm_bound: float, tol: float = 1e-8,
-                      max_order: int = 24) -> jnp.ndarray:
-    """Apply ``exp(z h) @ psi`` with truncated-Taylor matvecs (no expm).
-
-    h: [d, d] (Hermitian-or-not), psi: [..., d] (leading batch dims), z:
-    scalar (may be traced; ``|z| * ||h|| <= norm_bound`` must hold and is
-    used statically to pick substeps and order).
-
-    Sub-steps r are chosen so each substep has scaled norm <= 1, then a
-    Taylor series of static order is applied per substep. Cost per substep:
-    ``order`` matvecs — with a batch of states these are [d,d]x[d,B] MXU
-    matmuls.
+    h: CP [d, d]; psi: CP [..., d] (leading batch dims); (z_re, z_im): real
+    scalars, may be traced — ``|z| * ||h|| <= norm_bound`` must hold and is
+    used statically to pick substeps and order. Cost per substep: ``order``
+    batched real matvecs/matmuls.
     """
     order, s = taylor_params(norm_bound, tol, max_order)
-    r = 2**s  # number of substeps (reuse power-of-two split)
-    zr = z / r
+    r = 2**s
+    zr_re, zr_im = z_re / r, z_im / r
 
-    def substep(psi, _):
-        term = psi
-        acc = psi
+    def substep(p, _):
+        term = p
+        acc = p
         for k in range(1, order + 1):
-            term = (zr / k) * (term @ h.T)
-            acc = acc + term
+            term = cpx.matvec(h, term)
+            term = cpx.cscale(term, zr_re / k, zr_im / k)
+            acc = cpx.add(acc, term)
         return acc, None
 
     out, _ = jax.lax.scan(substep, psi, None, length=r)

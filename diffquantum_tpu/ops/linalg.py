@@ -69,10 +69,13 @@ def find_state(final_state) -> tuple[int, np.ndarray]:
     """Most-probable computational basis state and the Born distribution.
 
     Mirrors ``SimulatorPlain.find_state`` (`sim_plain.py:494-505`).
-    Accepts a 1-D state vector (numpy or jax).
+    Accepts a 1-D state vector (numpy/jax complex, or a CP real pair).
     """
-    psi = np.asarray(final_state).reshape(-1)
-    prob = np.abs(psi) ** 2
+    if hasattr(final_state, "re"):  # CP pair — fetch real arrays only
+        prob = (np.asarray(final_state.re).reshape(-1) ** 2
+                + np.asarray(final_state.im).reshape(-1) ** 2)
+    else:
+        prob = np.abs(np.asarray(final_state).reshape(-1)) ** 2
     return int(np.argmax(prob)), prob
 
 

@@ -1,0 +1,186 @@
+"""Energy-minimization training (VQE / QAOA driver).
+
+Rebuild of ``SimulatorPlain.train_energy`` (`/root/reference/
+sim_plain.py:245-305`) and ``train_energy_FD`` (`sim_plain.py:355-412`) on
+optax, with three gradient modes:
+
+- ``adjoint``: exact reverse-mode gradient through the checkpointed
+  propagator scan (new capability — the reference cannot do this);
+- ``mc``: the paper's unbiased Monte-Carlo estimator (`sim_plain.py:290`,
+  one sample per step; ``config.mc_samples`` averages several, vmapped);
+- ``fd``: central finite differences (`sim_plain.py:398`).
+
+Semantics kept from the reference:
+- coefficient init ``N(0, 1e-3)`` (`sim_plain.py:259`);
+- Adam with lr=2e-2 default (`sim_plain.py:266`);
+- per-epoch reported quantity is the optimality gap
+  ``loss - lambda_min(M)`` (`sim_plain.py:294`) — but we eigendecompose M
+  once, not every epoch like the reference does;
+- the measured loss honors `sampling_measure` / `is_noisy`
+  (`sim_plain.py:278-284`).
+
+Documented divergence: the reference's j^2-weighted L2 regularizer
+(`sim_plain.py:285-289`) never reaches the optimizer — its autograd
+gradient is overwritten by the estimator gradient at `sim_plain.py:291`.
+Here ``w_l2 > 0`` genuinely regularizes (added analytically to the
+estimator gradient); the default ``w_l2 = 0`` matches the reference's
+effective behavior.
+"""
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..dynamics.propagator import evolve, reference_n_steps
+from ..gradients.adjoint import energy_and_grad
+from ..gradients.fd import fd_energy_grad
+from ..gradients.mc import mc_energy_grad
+from ..measure import Measurement
+from ..utils.logger import Logger, NullLogger
+from .config import TrainConfig
+
+
+@dataclasses.dataclass
+class TrainResult:
+    coeff: jnp.ndarray
+    losses_energy: list          # per-epoch optimality gaps (ref: losses_energy)
+    losses_raw: list             # per-epoch measured loss values
+    final_state: jnp.ndarray
+    wall_s: float
+    grad_mode: str
+
+
+def make_optimizer(config: TrainConfig) -> optax.GradientTransformation:
+    if config.optimizer == "adam":
+        return optax.adam(config.lr)
+    if config.optimizer == "sgd":
+        return optax.sgd(config.lr)
+    raise ValueError(f"unknown optimizer {config.optimizer!r}")
+
+
+def l2_grad(coeff: jnp.ndarray, w_l2: float) -> jnp.ndarray:
+    """Gradient of the reference's j^2-weighted L2 term
+    ``mean_j(mean_k c_kj^2 * j^2) * w_l2`` (`sim_plain.py:285-287`)."""
+    if w_l2 == 0.0:
+        return jnp.zeros_like(coeff)
+    n_hs, n_basis = coeff.shape
+    j2 = jnp.arange(n_basis, dtype=coeff.dtype) ** 2
+    return 2.0 * w_l2 * coeff * j2[None, :] / (n_hs * n_basis)
+
+
+def train_energy(
+    ham,
+    envelope,
+    measurement: Measurement,
+    psi0: jnp.ndarray,
+    T: float,
+    config: TrainConfig,
+    logger: Optional[Logger] = None,
+    init_coeff: Optional[jnp.ndarray] = None,
+    callback: Optional[Callable] = None,
+) -> TrainResult:
+    """Optimize spectral coefficients to minimize <psi(T)|M|psi(T)>."""
+    log = logger or NullLogger()
+    log.write_text("!!!! train_energy ========")
+    log.log_config({f.name: getattr(config, f.name)
+                    for f in dataclasses.fields(config)})
+
+    key = jax.random.PRNGKey(config.seed)
+    key, k_init = jax.random.split(key)
+    coeff = (envelope.init_coeff(k_init, scale=1e-3, dtype=config.rdtype)
+             if init_coeff is None else jnp.asarray(init_coeff, config.rdtype))
+
+    opt = make_optimizer(config)
+    opt_state = opt.init(coeff)
+
+    n_steps = reference_n_steps(config.per_step, 0.0, T)
+    mode = config.grad_mode
+    T = float(T)
+
+    # lambda_min(M): once, in numpy (the reference recomputes the full
+    # spectrum every epoch, sim_plain.py:294).
+    from ..ops import cpx
+    lam_min = float(np.linalg.eigvalsh(cpx.to_complex(measurement.matrix))[0])
+
+    meas_flags = dict(sampling=config.sampling_measure, noisy=config.is_noisy,
+                      per_pauli=config.per_pauli)
+
+    @jax.jit
+    def measured_loss(c, k):
+        psi = evolve(ham, envelope, c, psi0, 0.0, T, horizon=T,
+                     n_steps=n_steps, backend=config.backend)
+        m = dataclasses.replace(measurement, sampling=config.sampling_measure,
+                                noisy=config.is_noisy,
+                                per_pauli=config.per_pauli)
+        return m.expectation(psi, key=k), psi
+
+    def grad_fn(c, k):
+        if mode == "adjoint":
+            _, g = energy_and_grad(ham, envelope, measurement.matrix, c, psi0,
+                                   T, n_steps, backend=config.backend)
+            return g
+        if mode == "mc":
+            if config.mc_samples == 1:
+                return mc_energy_grad(
+                    ham, envelope, measurement, c, psi0, T, k, config.n_step,
+                    backend=config.backend, chain=config.mc_chain, **meas_flags)
+            keys = jax.random.split(k, config.mc_samples)
+            gs = jax.vmap(lambda kk: mc_energy_grad(
+                ham, envelope, measurement, c, psi0, T, kk, config.n_step,
+                backend=config.backend, chain=config.mc_chain,
+                **meas_flags))(keys)
+            return gs.mean(axis=0)
+        if mode == "fd":
+            return fd_energy_grad(
+                ham, envelope, measurement, c, psi0, T, k, config.n_step,
+                backend=config.backend, delta=config.fd_delta, **meas_flags)
+        raise ValueError(f"unknown grad_mode {mode!r}")
+
+    @jax.jit
+    def apply_update(c, g, opt_state):
+        g = g.astype(c.dtype) + l2_grad(c, config.w_l2)
+        updates, opt_state = opt.update(g, opt_state, c)
+        return optax.apply_updates(c, updates), opt_state
+
+    losses_gap, losses_raw = [], []
+    final_state = None
+    t0 = time.time()
+    for epoch in range(1, config.n_epoch + 1):
+        key, k_loss, k_grad = jax.random.split(key, 3)
+        loss, final_state = measured_loss(coeff, k_loss)
+        grad = grad_fn(coeff, k_grad)
+        coeff, opt_state = apply_update(coeff, grad, opt_state)
+
+        loss = float(loss)
+        gap = loss - lam_min
+        losses_raw.append(loss)
+        losses_gap.append(gap)
+        if epoch % config.log_every == 0:
+            log.write_text(
+                f"epoch: {epoch:04d}, loss: {loss}, loss_energy: {gap}")
+            log.log_metrics(epoch=epoch, loss=loss, gap=gap, mode=mode)
+        if callback is not None:
+            callback(epoch=epoch, coeff=coeff, loss=loss, gap=gap)
+        if config.checkpoint_every and epoch % config.checkpoint_every == 0 \
+                and config.checkpoint_dir:
+            from ..utils.checkpointing import save_checkpoint
+            save_checkpoint(config.checkpoint_dir,
+                            dict(coeff=coeff, opt_state=opt_state, key=key,
+                                 epoch=epoch))
+
+    return TrainResult(coeff=coeff, losses_energy=losses_gap,
+                       losses_raw=losses_raw, final_state=final_state,
+                       wall_s=time.time() - t0, grad_mode=mode)
+
+
+def train_energy_fd(ham, envelope, measurement, psi0, T, config: TrainConfig,
+                    **kw) -> TrainResult:
+    """The reference's FD baseline trainer (`sim_plain.py:355-412`)."""
+    return train_energy(ham, envelope, measurement, psi0, T,
+                        config.replace(grad_mode="fd"), **kw)

@@ -1,10 +1,15 @@
-"""expm kernels vs scipy.linalg.expm and unitarity invariants."""
+"""expm kernels (real-pair CP representation) vs scipy.linalg.expm oracles
+and unitarity invariants."""
+import jax
 import jax.numpy as jnp
 import numpy as np
 import scipy.linalg
 
-from diffquantum_tpu.ops.expm import (
-    expm_apply_taylor, expm_hermitian, expm_pade13, expm_taylor, taylor_params)
+from diffquantum_tpu.ops import cpx
+from diffquantum_tpu.ops.expm import (cexpm_apply_taylor, cexpm_pade13,
+                                      cexpm_taylor, taylor_params)
+
+F64 = jnp.float64
 
 
 def random_hermitian(rng, d):
@@ -19,76 +24,89 @@ def test_taylor_params_reasonable():
     assert s0 == 0
 
 
-def test_expm_taylor_matches_scipy():
+def test_cpx_roundtrip_and_matmul():
+    rng = np.random.default_rng(7)
+    a = rng.standard_normal((5, 5)) + 1j * rng.standard_normal((5, 5))
+    b = rng.standard_normal((5, 5)) + 1j * rng.standard_normal((5, 5))
+    ca, cb = cpx.from_complex(a, F64), cpx.from_complex(b, F64)
+    np.testing.assert_allclose(cpx.to_complex(ca), a, atol=1e-12)
+    np.testing.assert_allclose(cpx.to_complex(cpx.matmul(ca, cb)), a @ b,
+                               atol=1e-12)
+    psi = rng.standard_normal((3, 5)) + 1j * rng.standard_normal((3, 5))
+    cpsi = cpx.from_complex(psi, F64)
+    np.testing.assert_allclose(cpx.to_complex(cpx.matvec(ca, cpsi)),
+                               (a @ psi.T).T, atol=1e-12)
+    np.testing.assert_allclose(cpx.to_complex(cpx.vdot(cpsi, cpsi)),
+                               np.sum(np.abs(psi) ** 2, axis=1), atol=1e-12)
+
+
+def test_cexpm_taylor_matches_scipy():
     rng = np.random.default_rng(0)
     for d in (4, 16, 48):
         h = random_hermitian(rng, d)
         a = -0.37j * h
         bound = 0.37 * np.linalg.norm(h, 2)
-        got = np.asarray(expm_taylor(jnp.asarray(a), bound, tol=1e-12))
+        got = cpx.to_complex(cexpm_taylor(cpx.from_complex(a, F64), bound,
+                                          tol=1e-12))
         want = scipy.linalg.expm(a)
         np.testing.assert_allclose(got, want, atol=5e-11)
 
 
-def test_expm_taylor_batched():
+def test_cexpm_taylor_batched():
     rng = np.random.default_rng(1)
     hs = np.stack([random_hermitian(rng, 8) for _ in range(5)])
     a = -0.2j * hs
     bound = 0.2 * max(np.linalg.norm(h, 2) for h in hs)
-    got = np.asarray(expm_taylor(jnp.asarray(a), bound, tol=1e-12))
+    got = cpx.to_complex(cexpm_taylor(cpx.from_complex(a, F64), bound,
+                                      tol=1e-12))
     want = np.stack([scipy.linalg.expm(m) for m in a])
     np.testing.assert_allclose(got, want, atol=5e-11)
 
 
-def test_expm_pade13_matches_scipy():
+def test_cexpm_pade13_matches_scipy():
     rng = np.random.default_rng(2)
     h = random_hermitian(rng, 12)
     a = -1.7j * h  # larger norm exercises squaring
     bound = 1.7 * np.linalg.norm(h, 2)
-    got = np.asarray(expm_pade13(jnp.asarray(a), bound))
+    got = cpx.to_complex(cexpm_pade13(cpx.from_complex(a, F64), bound))
     np.testing.assert_allclose(got, scipy.linalg.expm(a), atol=1e-10)
 
 
-def test_expm_hermitian_unitary():
-    rng = np.random.default_rng(3)
-    h = random_hermitian(rng, 10)
-    u = np.asarray(expm_hermitian(jnp.asarray(h), -0.5j))
-    np.testing.assert_allclose(u @ u.conj().T, np.eye(10), atol=1e-12)
-    np.testing.assert_allclose(u, scipy.linalg.expm(-0.5j * h), atol=1e-10)
-
-
-def test_expm_apply_taylor_single_and_batch():
+def test_cexpm_apply_taylor_single_and_batch():
     rng = np.random.default_rng(4)
     d = 32
     h = random_hermitian(rng, d)
     z = -0.9j
     bound = 0.9 * np.linalg.norm(h, 2)
     want_mat = scipy.linalg.expm(z * h)
+    ch = cpx.from_complex(h, F64)
 
     psi = rng.standard_normal(d) + 1j * rng.standard_normal(d)
-    got = np.asarray(expm_apply_taylor(jnp.asarray(h), jnp.asarray(psi), z,
-                                       bound, tol=1e-12))
+    got = cpx.to_complex(cexpm_apply_taylor(ch, cpx.from_complex(psi, F64),
+                                            0.0, -0.9, bound, tol=1e-12))
     np.testing.assert_allclose(got, want_mat @ psi, atol=1e-9)
 
     batch = rng.standard_normal((7, d)) + 1j * rng.standard_normal((7, d))
-    got_b = np.asarray(expm_apply_taylor(jnp.asarray(h), jnp.asarray(batch), z,
-                                         bound, tol=1e-12))
+    got_b = cpx.to_complex(cexpm_apply_taylor(ch, cpx.from_complex(batch, F64),
+                                              0.0, -0.9, bound, tol=1e-12))
     np.testing.assert_allclose(got_b, (want_mat @ batch.T).T, atol=1e-9)
 
 
-def test_expm_apply_preserves_norm_over_long_chain():
+def test_cexpm_apply_preserves_norm_over_long_chain():
     # 1000 sequential applications must not drift (unitarity accumulation,
     # the BASELINE.md stretch concern).
     rng = np.random.default_rng(5)
     d = 16
-    h = jnp.asarray(random_hermitian(rng, d))
-    bound = float(np.linalg.norm(np.asarray(h), 2)) * 0.05
-    psi = jnp.asarray(rng.standard_normal(d) + 1j * rng.standard_normal(d))
-    psi = psi / jnp.linalg.norm(psi)
-    import jax
+    h_np = random_hermitian(rng, d)
+    h = cpx.from_complex(h_np, F64)
+    bound = float(np.linalg.norm(h_np, 2)) * 0.05
+    psi_np = rng.standard_normal(d) + 1j * rng.standard_normal(d)
+    psi_np /= np.linalg.norm(psi_np)
+    psi = cpx.from_complex(psi_np, F64)
 
     def step(p, _):
-        return expm_apply_taylor(h, p, -0.05j, bound, tol=1e-12), None
+        return cexpm_apply_taylor(h, p, 0.0, -0.05, bound, tol=1e-12), None
 
     out, _ = jax.lax.scan(step, psi, None, length=1000)
-    assert abs(float(jnp.linalg.norm(out)) - 1.0) < 1e-8
+    norm = float(jnp.sqrt(cpx.norm2(out)))
+    assert abs(norm - 1.0) < 1e-8

@@ -1,5 +1,6 @@
-"""Propagator vs (a) an independent scipy re-implementation of the reference
-trotter semantics and (b) closed-form Rabi physics."""
+"""Propagator (CP representation) vs (a) an independent scipy
+re-implementation of the reference trotter semantics and (b) closed-form
+Rabi physics."""
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -7,7 +8,9 @@ import scipy.linalg
 
 from diffquantum_tpu.dynamics.hamiltonian import ControlledHamiltonian
 from diffquantum_tpu.dynamics.propagator import evolve, reference_n_steps, trotter
-from diffquantum_tpu.ops import linalg
+from diffquantum_tpu.ops import cpx, linalg
+
+F64 = jnp.float64
 from diffquantum_tpu.pulses.envelope import SimpleEnvelope
 
 
@@ -34,7 +37,6 @@ def sigmoid(x):
 
 def make_problem(seed=0, n_qubits=3, n_controls=4, n_basis=5, T=2.0):
     rng = np.random.default_rng(seed)
-    d = 2**n_qubits
     H0 = linalg.op_on_qubits(linalg.Z, [0], n_qubits) * 0.3
     Hs, omegas = [], []
     specs = ["XII", "IXI", "ZZI", "IZZ"][:n_controls]
@@ -63,10 +65,11 @@ def test_evolve_matches_reference_semantics_legendre():
     want = reference_trotter(H0, Hs, [u_fn(i) for i in range(len(Hs))],
                              psi0, 0.0, T, per_step=10)
 
-    ham = ControlledHamiltonian.create(H0, Hs, dtype=jnp.complex128)
+    ham = ControlledHamiltonian.create(H0, Hs, dtype=F64)
     env = SimpleEnvelope(basis="legendre", n_basis=n_basis, omegas=tuple(omegas))
-    got = np.asarray(trotter(ham, env, jnp.asarray(coeff), jnp.asarray(psi0),
-                             0.0, T, per_step=10))
+    got = cpx.to_complex(trotter(ham, env, jnp.asarray(coeff),
+                                 cpx.from_complex(psi0, F64), 0.0, T,
+                                 per_step=10))
     fidelity = abs(np.vdot(want, got)) ** 2
     assert fidelity > 1 - 1e-9, fidelity
     np.testing.assert_allclose(got, want, atol=1e-7)
@@ -74,14 +77,15 @@ def test_evolve_matches_reference_semantics_legendre():
 
 def test_expm_and_apply_backends_agree():
     H0, Hs, omegas, coeff, psi0, T = make_problem(seed=1)
-    ham = ControlledHamiltonian.create(H0, Hs, dtype=jnp.complex128)
+    ham = ControlledHamiltonian.create(H0, Hs, dtype=F64)
     env = SimpleEnvelope(basis="bspline", n_basis=5, omegas=tuple(omegas))
     n_steps = reference_n_steps(10, 0.0, T)
-    a = evolve(ham, env, jnp.asarray(coeff), jnp.asarray(psi0), 0.0, T,
+    cp0 = cpx.from_complex(psi0, F64)
+    a = evolve(ham, env, jnp.asarray(coeff), cp0, 0.0, T,
                horizon=T, n_steps=n_steps, backend="expm")
-    b = evolve(ham, env, jnp.asarray(coeff), jnp.asarray(psi0), 0.0, T,
+    b = evolve(ham, env, jnp.asarray(coeff), cp0, 0.0, T,
                horizon=T, n_steps=n_steps, backend="apply")
-    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-9)
+    np.testing.assert_allclose(cpx.to_complex(a), cpx.to_complex(b), atol=1e-9)
 
 
 def test_rabi_closed_form():
@@ -92,25 +96,24 @@ def test_rabi_closed_form():
     omega = np.pi
     u = (2 * sigmoid(c0) - 1) * omega
     T = 1.0
-    ham = ControlledHamiltonian.create(np.zeros((2, 2)), [linalg.X],
-                                       dtype=jnp.complex128)
+    ham = ControlledHamiltonian.create(np.zeros((2, 2)), [linalg.X], dtype=F64)
     env = SimpleEnvelope(basis="poly", n_basis=1, omegas=(omega,))
-    psi0 = jnp.asarray(linalg.basis_state(0, 2))
-    psiT = np.asarray(trotter(ham, env, jnp.asarray([[c0]]), psi0, 0.0, T,
-                              per_step=200))
+    psi0 = cpx.from_complex(linalg.basis_state(0, 2), F64)
+    psiT = cpx.to_complex(trotter(ham, env, jnp.asarray([[c0]]), psi0, 0.0, T,
+                                  per_step=200))
     p1 = abs(psiT[1]) ** 2
     assert abs(p1 - np.sin(u * T) ** 2) < 1e-6
 
 
 def test_norm_preserved_and_batched():
     H0, Hs, omegas, coeff, psi0, T = make_problem(seed=2)
-    ham = ControlledHamiltonian.create(H0, Hs, dtype=jnp.complex128)
+    ham = ControlledHamiltonian.create(H0, Hs, dtype=F64)
     env = SimpleEnvelope(basis="fourier", n_basis=6, omegas=tuple(omegas))
     coeff = jnp.asarray(np.random.default_rng(3).standard_normal((4, 6)))
-    batch = jnp.stack([jnp.asarray(psi0)] * 3)
+    batch = cpx.from_complex(np.stack([psi0] * 3), F64)
     out = trotter(ham, env, coeff, batch, 0.0, T, per_step=10)
     assert out.shape == batch.shape
-    norms = np.linalg.norm(np.asarray(out), axis=-1)
+    norms = np.linalg.norm(cpx.to_complex(out), axis=-1)
     np.testing.assert_allclose(norms, 1.0, atol=1e-9)
 
 
@@ -118,20 +121,20 @@ def test_traced_endpoint_segments_compose():
     # evolve(0→s) then evolve(s→T) with traced s ≈ evolve(0→T) in the
     # piecewise-constant-limit sense: check convergence as per_step grows.
     H0, Hs, omegas, coeff, psi0, T = make_problem(seed=4)
-    ham = ControlledHamiltonian.create(H0, Hs, dtype=jnp.complex128)
+    ham = ControlledHamiltonian.create(H0, Hs, dtype=F64)
     env = SimpleEnvelope(basis="legendre", n_basis=5, omegas=tuple(omegas))
     coeff = jnp.asarray(coeff)
-    psi0 = jnp.asarray(psi0)
+    cp0 = cpx.from_complex(psi0, F64)
     n = 400
 
     @jax.jit
     def split_evolve(s):
-        mid = evolve(ham, env, coeff, psi0, 0.0, s, horizon=T, n_steps=n,
+        mid = evolve(ham, env, coeff, cp0, 0.0, s, horizon=T, n_steps=n,
                      dt_bound=T / n)
         return evolve(ham, env, coeff, mid, s, T, horizon=T, n_steps=n,
                       dt_bound=T / n)
 
-    full = evolve(ham, env, coeff, psi0, 0.0, T, horizon=T, n_steps=2 * n)
+    full = evolve(ham, env, coeff, cp0, 0.0, T, horizon=T, n_steps=2 * n)
     got = split_evolve(jnp.asarray(0.773))
-    fid = abs(np.vdot(np.asarray(full), np.asarray(got))) ** 2
+    fid = abs(np.vdot(cpx.to_complex(full), cpx.to_complex(got))) ** 2
     assert fid > 1 - 1e-6, fid

@@ -1,0 +1,92 @@
+"""End-to-end training: maxcut converges, VQE-H2 reaches chemical accuracy
+region, control reaches high fidelity (SURVEY.md §4 oracle #5)."""
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from diffquantum_tpu.models import control, maxcut, vqe_h2
+from diffquantum_tpu.train import TrainConfig, train_energy, train_fidelity
+from diffquantum_tpu.ops import linalg
+
+
+def test_maxcut_demo_adjoint_converges():
+    prob = maxcut.demo_problem(dtype=jnp.float64)
+    cfg = TrainConfig(n_basis=6, n_epoch=60, lr=5e-2, grad_mode="adjoint",
+                      dtype="float64", seed=0)
+    res = train_energy(prob.ham, prob.envelope, prob.measurement, prob.psi0,
+                       prob.T, cfg)
+    # optimality gap should shrink decisively
+    assert res.losses_energy[-1] < 0.25 * res.losses_energy[0]
+    state, cut = prob.readout(res.final_state)
+    assert cut == prob.max_cut  # ring of 4: max cut = 4
+
+
+def test_maxcut_demo_mc_converges():
+    prob = maxcut.demo_problem(dtype=jnp.float64)
+    cfg = TrainConfig(n_basis=6, n_epoch=120, lr=2e-2, grad_mode="mc",
+                      mc_samples=4, dtype="float64", seed=1, n_step=30)
+    res = train_energy(prob.ham, prob.envelope, prob.measurement, prob.psi0,
+                       prob.T, cfg)
+    assert res.losses_energy[-1] < 0.5 * res.losses_energy[0]
+
+
+def test_maxcut_fd_step_descends():
+    # FD is O(n_Hs * n_basis) sims per step — run a few epochs only.
+    prob = maxcut.demo_problem(dtype=jnp.float64, n_basis=3)
+    cfg = TrainConfig(n_basis=3, n_epoch=8, lr=5e-2, grad_mode="fd",
+                      dtype="float64", seed=2, n_step=20)
+    res = train_energy(prob.ham, prob.envelope, prob.measurement, prob.psi0,
+                       prob.T, cfg)
+    assert res.losses_energy[-1] < res.losses_energy[0]
+
+
+def test_vqe_h2_reaches_ground_state():
+    prob = vqe_h2.build_h2(dtype=jnp.float64)
+    cfg = TrainConfig(n_basis=6, n_epoch=250, lr=1e-1, grad_mode="adjoint",
+                      dtype="float64", seed=0)
+    res = train_energy(prob.ham, prob.envelope, prob.measurement, prob.psi0,
+                       prob.T, cfg)
+    final_energy = res.losses_raw[-1]
+    # within 2 mHa of the exact ground energy (chemical accuracy ~1.6 mHa)
+    assert final_energy - prob.exact_ground_energy < 2e-3, \
+        (final_energy, prob.exact_ground_energy)
+
+
+def test_state_transfer_fidelity():
+    prob = control.state_transfer(n_qubits=1, T=2.0, dtype=jnp.float64)
+    cfg = TrainConfig(n_basis=6, n_epoch=150, lr=1e-1, grad_mode="adjoint",
+                      dtype="float64", seed=0)
+    res = train_fidelity(prob.ham, prob.envelope, prob.initial_states,
+                         prob.target_states, prob.T, cfg)
+    assert res.losses_energy[-1] < 1e-3  # fidelity > 0.999
+
+
+def test_fidelity_mc_mode_descends():
+    prob = control.state_transfer(n_qubits=1, T=2.0, dtype=jnp.float64)
+    cfg = TrainConfig(n_basis=6, n_epoch=60, lr=5e-2, grad_mode="mc",
+                      dtype="float64", seed=3, n_step=25)
+    res = train_fidelity(prob.ham, prob.envelope, prob.initial_states,
+                         prob.target_states, prob.T, cfg)
+    assert res.losses_energy[-1] < res.losses_energy[0]
+
+
+def test_noisy_sampled_training_runs():
+    prob = maxcut.demo_problem(dtype=jnp.float64, sampling=True, noisy=True)
+    cfg = TrainConfig(n_basis=6, n_epoch=3, lr=2e-2, grad_mode="mc",
+                      sampling_measure=True, is_noisy=True,
+                      dtype="float64", seed=4, n_step=20)
+    res = train_energy(prob.ham, prob.envelope, prob.measurement, prob.psi0,
+                       prob.T, cfg)
+    assert np.all(np.isfinite(res.losses_raw))
+
+
+def test_checkpointing_roundtrip(tmp_path):
+    import jax
+    from diffquantum_tpu.utils.checkpointing import (load_checkpoint,
+                                                     save_checkpoint)
+    state = dict(coeff=jnp.ones((2, 3)), epoch=np.int64(7),
+                 key=jax.random.PRNGKey(0))
+    save_checkpoint(str(tmp_path), state)
+    back = load_checkpoint(str(tmp_path))
+    np.testing.assert_allclose(np.asarray(back["coeff"]), 1.0)
+    assert int(back["epoch"]) == 7
