@@ -111,13 +111,48 @@ class ControlledHamiltonian:
             n_qubits=n_qubits,
         )
 
+    @classmethod
+    def create_structured(cls, dim: int,
+                          structure: Sequence[TermStructure],
+                          h0_structure: Optional[TermStructure] = None,
+                          dtype=jnp.float32) -> "ControlledHamiltonian":
+        """Matrix-free construction: store ONLY structure metadata (diag
+        vectors / 2x2 locals), no dense 2^n x 2^n operators. Required beyond
+        ~13 qubits; usable only with the product backend
+        (:mod:`.product`) and the adjoint/FD gradient paths."""
+        if h0_structure is None:
+            h0_structure = TermStructure(kind="diag",
+                                         diag=np.zeros(dim))
+        norms = []
+        for st in structure:
+            if st.kind == "diag":
+                norms.append(float(np.max(np.abs(st.diag))))
+            elif st.kind == "1q":
+                norms.append(spectral_norm_bound(st.local))
+            else:
+                raise ValueError("structured terms must be 'diag' or '1q'")
+        h0_norm = float(np.max(np.abs(h0_structure.diag))) \
+            if h0_structure.kind == "diag" else spectral_norm_bound(
+                h0_structure.local)
+        placeholder = cpx.zeros((0,), dtype=dtype)
+        n_qubits = int(round(np.log2(dim)))
+        return cls(H0=placeholder, Hs=placeholder, h0_norm=h0_norm,
+                   hs_norms=tuple(norms), structure=tuple(structure),
+                   h0_structure=h0_structure, n_qubits=n_qubits)
+
+    @property
+    def is_structured_only(self) -> bool:
+        return self.H0.re.ndim != 2
+
     @property
     def dim(self) -> int:
+        if self.is_structured_only:
+            return 2**self.n_qubits
         return self.H0.shape[-1]
 
     @property
     def n_controls(self) -> int:
-        return self.Hs.shape[0]
+        return len(self.hs_norms)
 
     @property
     def dtype(self):

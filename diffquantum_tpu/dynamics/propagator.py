@@ -99,6 +99,14 @@ def evolve(
     Returns:
         psi(T) as CP with the same shape as psi0.
     """
+    if backend == "auto" and ham.is_structured_only:
+        backend = "product"
+    if backend == "product":
+        from .product import evolve_product
+        return evolve_product(ham, envelope, coeff, psi0, T0, T,
+                              horizon=horizon, n_steps=n_steps,
+                              dt_bound=dt_bound)
+
     dt = (T - T0) / n_steps
     ts = T0 + dt * jnp.arange(n_steps, dtype=jnp.result_type(float))
     u = envelope.amplitudes(coeff, ts, horizon)  # [n_controls, n_steps]

@@ -26,18 +26,26 @@ from ..ops.cpx import CP
 
 
 @functools.partial(jax.jit, static_argnames=("envelope", "T", "n_steps", "backend"))
-def energy_and_grad(ham, envelope, m: CP, coeff: jnp.ndarray,
+def energy_and_grad(ham, envelope, m, coeff: jnp.ndarray,
                     psi0: CP, T: float, n_steps: int,
                     backend: str = "auto"):
     """(<psi(T)|M|psi(T)>, d/dcoeff) by reverse-mode autodiff.
 
-    Everything is real-valued (CP pairs), so this is plain real reverse-mode
-    — no complex-autodiff convention subtleties."""
+    ``m``: a CP dense operator, a real diagonal vector (matrix-free
+    observable), or a Measurement (its exact path is used). Everything is
+    real-valued (CP pairs), so this is plain real reverse-mode — no
+    complex-autodiff convention subtleties."""
 
     def loss(c):
         psi = evolve(ham, envelope, c, psi0, 0.0, T, horizon=T,
                      n_steps=n_steps, backend=backend)
-        return exact_expectation(m, psi)
+        if isinstance(m, CP):
+            return exact_expectation(m, psi)
+        if isinstance(m, jnp.ndarray) or hasattr(m, "shape"):
+            return jnp.sum(cpx.abs2(psi) * m, axis=-1)  # diagonal M
+        if m.diag is not None:
+            return jnp.sum(cpx.abs2(psi) * m.diag, axis=-1)
+        return exact_expectation(m.matrix, psi)
 
     return jax.value_and_grad(loss)(coeff)
 

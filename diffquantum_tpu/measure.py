@@ -104,6 +104,56 @@ def stochastic_measure(terms: PauliTermSet, psi: CP, key: jax.Array,
     return jnp.sum(terms.weights * jnp.sum(terms.evals * freqs, axis=-1))
 
 
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass(frozen=True)
+class DiagonalTermSet:
+    """Weighted DIAGONAL terms (the maxcut cost decomposes entirely into ZZ
+    strings + identity, `demo_maxcut.py:47-65`): eigenbasis is the
+    computational basis, so Born sampling reads |psi_j|^2 directly — no
+    eigendecompositions, scales to any qubit count.
+
+    weights: [n_terms]; diags: [n_terms, d] (the terms' diagonals).
+    """
+
+    weights: jnp.ndarray
+    diags: jnp.ndarray
+
+    def tree_flatten(self):
+        return (self.weights, self.diags), None
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children)
+
+    @classmethod
+    def create(cls, terms: Sequence[tuple[np.ndarray, float]],
+               dtype=jnp.float32) -> "DiagonalTermSet":
+        """terms: (diag_vector, weight) pairs."""
+        ws = jnp.asarray([w for _, w in terms], dtype=dtype)
+        ds = jnp.asarray(np.stack([np.asarray(d) for d, _ in terms]),
+                         dtype=dtype)
+        return cls(weights=ws, diags=ds)
+
+    @property
+    def n_terms(self) -> int:
+        return self.weights.shape[0]
+
+
+def stochastic_measure_diag(terms: DiagonalTermSet, psi: CP, key: jax.Array,
+                            per_pauli: int = 100) -> jnp.ndarray:
+    """Finite-shot estimate for diagonal terms: independent ``per_pauli``
+    computational-basis draws per term (matching the reference's per-term
+    sampling, `sim_plain.py:104-116`)."""
+    probs = cpx.abs2(psi)  # [d]
+    logp = jnp.log(jnp.maximum(probs, 1e-30))
+    n_terms = terms.n_terms
+    draws = jax.random.categorical(
+        key, jnp.broadcast_to(logp, (n_terms, per_pauli, logp.shape[-1])),
+        axis=-1)  # [t, shots]
+    vals = jnp.take_along_axis(terms.diags, draws, axis=-1)  # [t, shots]
+    return jnp.sum(terms.weights * vals.mean(axis=-1))
+
+
 def measurement_noise(value: jnp.ndarray, key: jax.Array,
                       rel_scale: float = NOISE_REL_SCALE) -> jnp.ndarray:
     """value + N(0, |value| * rel_scale) — `sim_plain.py:283-284`."""
@@ -119,22 +169,23 @@ class Measurement:
     decomposition + noise/sampling switches (the reference's
     `sampling_measure` / `is_noisy` flags, `sim_plain.py:30-31`)."""
 
-    matrix: CP                          # [d, d] Hermitian
-    terms: PauliTermSet | None = None
+    matrix: CP | None                   # [d, d] Hermitian (None if diagonal)
+    terms: PauliTermSet | DiagonalTermSet | None = None
+    diag: jnp.ndarray | None = None     # [d] real diagonal (matrix-free M)
     sampling: bool = False
     noisy: bool = False
     per_pauli: int = 100
 
     def tree_flatten(self):
-        return (self.matrix, self.terms), (self.sampling, self.noisy,
-                                           self.per_pauli)
+        return (self.matrix, self.terms, self.diag), (
+            self.sampling, self.noisy, self.per_pauli)
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        matrix, terms = children
+        matrix, terms, diag = children
         sampling, noisy, per_pauli = aux
-        return cls(matrix=matrix, terms=terms, sampling=sampling, noisy=noisy,
-                   per_pauli=per_pauli)
+        return cls(matrix=matrix, terms=terms, diag=diag, sampling=sampling,
+                   noisy=noisy, per_pauli=per_pauli)
 
     @classmethod
     def create(cls, matrix, terms=None, dtype=jnp.float32, **kw) -> "Measurement":
@@ -144,6 +195,17 @@ class Measurement:
         return cls(matrix=cpx.from_complex(matrix, dtype=dtype),
                    terms=term_set, **kw)
 
+    @classmethod
+    def create_diagonal(cls, diag, diag_terms=None, dtype=jnp.float32,
+                        **kw) -> "Measurement":
+        """Matrix-free diagonal observable (e.g. any cut/Ising cost):
+        ``diag`` is the length-d real diagonal; ``diag_terms`` optional
+        (diag_vector, weight) pairs for shot-sampled measurement."""
+        term_set = DiagonalTermSet.create(diag_terms, dtype=dtype) \
+            if diag_terms else None
+        return cls(matrix=None, terms=term_set,
+                   diag=jnp.asarray(np.asarray(diag), dtype=dtype), **kw)
+
     def expectation(self, psi: CP, key: jax.Array | None = None):
         """Measured value of <psi|M|psi> honoring sampling/noise flags.
 
@@ -152,7 +214,13 @@ class Measurement:
             if key is None:
                 raise ValueError("sampling measurement needs a PRNG key")
             key, sub = jax.random.split(key)
-            val = stochastic_measure(self.terms, psi, sub, self.per_pauli)
+            if isinstance(self.terms, DiagonalTermSet):
+                val = stochastic_measure_diag(self.terms, psi, sub,
+                                              self.per_pauli)
+            else:
+                val = stochastic_measure(self.terms, psi, sub, self.per_pauli)
+        elif self.diag is not None:
+            val = jnp.sum(cpx.abs2(psi) * self.diag, axis=-1)
         else:
             val = exact_expectation(self.matrix, psi)
         if self.noisy:

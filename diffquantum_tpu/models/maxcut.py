@@ -74,40 +74,60 @@ def build_maxcut(n_qubits: int, graph: Sequence[Sequence[int]],
                  n_basis: int = 6, basis: str = "bspline",
                  omega0: float = np.pi, omega1: float = np.pi,
                  n_layers: int = 1, dtype=jnp.float32,
-                 sampling: bool = False, noisy: bool = False) -> MaxCutProblem:
+                 sampling: bool = False, noisy: bool = False,
+                 dense: bool | None = None) -> MaxCutProblem:
+    """``dense=None`` auto-selects: dense operators up to 12 qubits (enables
+    all three gradient modes + both dense propagator backends), matrix-free
+    structured construction beyond (product backend + adjoint gradients —
+    no 2^n x 2^n arrays anywhere)."""
     graph = [tuple(e) for e in graph]
     d = 2**n_qubits
+    if dense is None:
+        dense = n_qubits <= 12
 
     # cost observable: M = -1/2 sum_e (I - Z_i Z_j); diagonal
     cost_diag = np.zeros(d)
     for (i, j) in graph:
         cost_diag += -0.5 * (1.0 - linalg.zz_diagonal(n_qubits, i, j))
-    M = np.diag(cost_diag).astype(np.complex128)
-
-    # Pauli term table for sampled measurement (demo_maxcut.py:47-65)
-    terms = [(np.diag(linalg.zz_diagonal(n_qubits, i, j)).astype(np.complex128),
-              0.5) for (i, j) in graph]
-    terms.append((np.eye(d, dtype=np.complex128), -0.5 * len(graph)))
 
     # controls: ZZ per edge, X per qubit (demo_maxcut.py:71-79)
-    Hs, omegas, structure = [], [], []
+    omegas, structure = [], []
     for (i, j) in graph:
-        Hs.append(np.diag(linalg.zz_diagonal(n_qubits, i, j)))
         omegas.append(omega0)
         structure.append(TermStructure(
             kind="diag", diag=linalg.zz_diagonal(n_qubits, i, j)))
     for q in range(n_qubits):
-        Hs.append(linalg.op_on_qubits(linalg.X, [q], n_qubits))
         omegas.append(omega1)
         structure.append(TermStructure(kind="1q", qubit=q, local=linalg.X))
 
-    ham = ControlledHamiltonian.create(np.zeros((d, d)), Hs, dtype=dtype,
-                                       structure=structure,
-                                       h0_structure=TermStructure(
-                                           kind="diag", diag=np.zeros(d)))
     env = SimpleEnvelope(basis=basis, n_basis=n_basis, omegas=tuple(omegas))
-    meas = Measurement.create(M, terms=terms, dtype=dtype,
-                              sampling=sampling, noisy=noisy)
+
+    if dense:
+        Hs = [np.diag(linalg.zz_diagonal(n_qubits, i, j)) for (i, j) in graph]
+        Hs += [linalg.op_on_qubits(linalg.X, [q], n_qubits)
+               for q in range(n_qubits)]
+        ham = ControlledHamiltonian.create(np.zeros((d, d)), Hs, dtype=dtype,
+                                           structure=structure,
+                                           h0_structure=TermStructure(
+                                               kind="diag", diag=np.zeros(d)))
+        # Pauli term table for sampled measurement (demo_maxcut.py:47-65)
+        terms = [(np.diag(linalg.zz_diagonal(n_qubits, i, j)).astype(
+            np.complex128), 0.5) for (i, j) in graph]
+        terms.append((np.eye(d, dtype=np.complex128), -0.5 * len(graph)))
+        meas = Measurement.create(np.diag(cost_diag).astype(np.complex128),
+                                  terms=terms, dtype=dtype,
+                                  sampling=sampling, noisy=noisy)
+    else:
+        ham = ControlledHamiltonian.create_structured(
+            d, structure, h0_structure=TermStructure(kind="diag",
+                                                     diag=np.zeros(d)),
+            dtype=dtype)
+        diag_terms = [(linalg.zz_diagonal(n_qubits, i, j), 0.5)
+                      for (i, j) in graph]
+        diag_terms.append((np.ones(d), -0.5 * len(graph)))
+        meas = Measurement.create_diagonal(cost_diag, diag_terms=diag_terms,
+                                           dtype=dtype, sampling=sampling,
+                                           noisy=noisy)
     T = float(np.pi * (1.0 / omega0 + 1.0 / omega1) * n_layers)
     psi0 = cpx.from_complex(linalg.uniform_superposition(n_qubits), dtype=dtype)
     return MaxCutProblem(n_qubits=n_qubits, graph=list(graph), ham=ham,

@@ -106,7 +106,11 @@ def train_energy(
     # lambda_min(M): once, in numpy (the reference recomputes the full
     # spectrum every epoch, sim_plain.py:294).
     from ..ops import cpx
-    lam_min = float(np.linalg.eigvalsh(cpx.to_complex(measurement.matrix))[0])
+    if measurement.diag is not None:
+        lam_min = float(np.min(np.asarray(measurement.diag)))
+    else:
+        lam_min = float(
+            np.linalg.eigvalsh(cpx.to_complex(measurement.matrix))[0])
 
     meas_flags = dict(sampling=config.sampling_measure, noisy=config.is_noisy,
                       per_pauli=config.per_pauli)
@@ -122,7 +126,7 @@ def train_energy(
 
     def grad_fn(c, k):
         if mode == "adjoint":
-            _, g = energy_and_grad(ham, envelope, measurement.matrix, c, psi0,
+            _, g = energy_and_grad(ham, envelope, measurement, c, psi0,
                                    T, n_steps, backend=config.backend)
             return g
         if mode == "mc":

@@ -1,0 +1,88 @@
+"""Product-formula backend vs the dense propagator (structured maxcut)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from diffquantum_tpu.dynamics.product import evolve_product
+from diffquantum_tpu.dynamics.propagator import evolve, reference_n_steps
+from diffquantum_tpu.models import maxcut
+from diffquantum_tpu.ops import cpx
+
+F64 = jnp.float64
+
+
+def test_product_matches_dense_on_maxcut():
+    prob = maxcut.demo_problem(dtype=F64)
+    rng = np.random.default_rng(0)
+    coeff = jnp.asarray(rng.standard_normal(prob.envelope.coeff_shape) * 0.4)
+    per_step = 60  # fine grid: Strang splitting error O(dt^2) global
+    n_steps = reference_n_steps(per_step, 0.0, prob.T)
+    dense = evolve(prob.ham, prob.envelope, coeff, prob.psi0, 0.0, prob.T,
+                   horizon=prob.T, n_steps=n_steps, backend="expm")
+    prod = evolve_product(prob.ham, prob.envelope, coeff, prob.psi0, 0.0,
+                          prob.T, horizon=prob.T, n_steps=n_steps)
+    f = abs(np.vdot(cpx.to_complex(dense), cpx.to_complex(prod))) ** 2
+    assert f > 1 - 1e-6, f
+
+
+def test_product_converges_with_step_refinement():
+    prob = maxcut.demo_problem(dtype=F64)
+    rng = np.random.default_rng(1)
+    coeff = jnp.asarray(rng.standard_normal(prob.envelope.coeff_shape) * 0.4)
+    n_ref = reference_n_steps(200, 0.0, prob.T)
+    ref = evolve(prob.ham, prob.envelope, coeff, prob.psi0, 0.0, prob.T,
+                 horizon=prob.T, n_steps=n_ref, backend="expm")
+    errs = []
+    for per_step in (10, 40):
+        n_steps = reference_n_steps(per_step, 0.0, prob.T)
+        prod = evolve_product(prob.ham, prob.envelope, coeff, prob.psi0, 0.0,
+                              prob.T, horizon=prob.T, n_steps=n_steps)
+        errs.append(1 - abs(np.vdot(cpx.to_complex(ref),
+                                    cpx.to_complex(prod))) ** 2)
+    # 4x finer steps → error drops by ~16x (2nd order); allow slack
+    assert errs[1] < errs[0] / 8, errs
+
+
+def test_product_batched_and_differentiable():
+    prob = maxcut.demo_problem(dtype=F64)
+    rng = np.random.default_rng(2)
+    coeff = jnp.asarray(rng.standard_normal(prob.envelope.coeff_shape) * 0.3)
+    n_steps = 40
+    batch = jax.tree_util.tree_map(lambda x: jnp.stack([x, x]), prob.psi0)
+    out = evolve_product(prob.ham, prob.envelope, coeff, batch, 0.0, prob.T,
+                         horizon=prob.T, n_steps=n_steps)
+    assert out.re.shape == (2, 16)
+    norms = np.asarray(cpx.norm2(out))
+    np.testing.assert_allclose(norms, 1.0, atol=1e-10)
+
+    def loss(c):
+        psi = evolve_product(prob.ham, prob.envelope, c, prob.psi0, 0.0,
+                             prob.T, horizon=prob.T, n_steps=n_steps)
+        from diffquantum_tpu.measure import exact_expectation
+        return exact_expectation(prob.measurement.matrix, psi)
+
+    g = jax.grad(loss)(coeff)
+    assert np.all(np.isfinite(np.asarray(g)))
+    # cross-check against dense adjoint on same grid (splitting bias small)
+    def loss_dense(c):
+        psi = evolve(prob.ham, prob.envelope, c, prob.psi0, 0.0, prob.T,
+                     horizon=prob.T, n_steps=n_steps, backend="expm")
+        from diffquantum_tpu.measure import exact_expectation
+        return exact_expectation(prob.measurement.matrix, psi)
+
+    gd = jax.grad(loss_dense)(coeff)
+    cos = (np.asarray(g).ravel() @ np.asarray(gd).ravel()) / (
+        np.linalg.norm(np.asarray(g)) * np.linalg.norm(np.asarray(gd)))
+    assert cos > 0.999, cos
+
+
+def test_product_16_qubit_scales():
+    # BASELINE.md stretch shape: 16 qubits via ring maxcut, no dense matrix.
+    n = 16
+    prob = maxcut.build_maxcut(n, maxcut.ring_graph(n), n_basis=4, dtype=F64)
+    rng = np.random.default_rng(3)
+    coeff = jnp.asarray(rng.standard_normal(prob.envelope.coeff_shape) * 0.2)
+    out = evolve_product(prob.ham, prob.envelope, coeff, prob.psi0, 0.0,
+                         prob.T, horizon=prob.T, n_steps=30)
+    assert out.re.shape == (2**n,)
+    assert abs(float(cpx.norm2(out)) - 1.0) < 1e-9
