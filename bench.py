@@ -1,0 +1,93 @@
+"""Headline benchmark: 12-qubit QAOA pulse-gradient step latency.
+
+BASELINE.md target: < 100 ms for one full pulse-gradient step (forward
+propagation + reverse-mode adjoint through the whole time-ordered evolution)
+on one TPU v5e chip, 12-qubit ring-graph maxcut.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"} where
+vs_baseline = 100ms / measured — >1 beats the target. Secondary metrics go
+to stderr.
+
+The reference implements this step as 1 + 2*n_Hs sequential scipy-expm
+evolutions on CPU (`/root/reference/sim_plain.py:190-215`) — minutes per
+step at 12 qubits; the adjoint needs only forward + reverse of one scan.
+"""
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def median_latency(fn, args, n_warmup=3, n_runs=20):
+    import jax
+    for _ in range(n_warmup):
+        jax.block_until_ready(fn(*args))
+    times = []
+    for _ in range(n_runs):
+        t0 = time.perf_counter()
+        jax.block_until_ready(fn(*args))
+        times.append(time.perf_counter() - t0)
+    return float(np.median(times))
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from diffquantum_tpu.dynamics.product import evolve_product
+    from diffquantum_tpu.models import maxcut
+    from diffquantum_tpu.ops import cpx
+
+    n = 12
+    per_step = 10
+    prob = maxcut.build_maxcut(n, maxcut.ring_graph(n), n_basis=6,
+                               dense=False)
+    from diffquantum_tpu.dynamics.propagator import reference_n_steps
+    n_steps = reference_n_steps(per_step, 0.0, prob.T)
+
+    def loss(coeff):
+        psi = evolve_product(prob.ham, prob.envelope, coeff, prob.psi0,
+                             0.0, prob.T, horizon=prob.T, n_steps=n_steps)
+        return jnp.sum(cpx.abs2(psi) * prob.measurement.diag, axis=-1)
+
+    grad_step = jax.jit(jax.value_and_grad(loss))
+
+    rng = np.random.default_rng(0)
+    coeff = jnp.asarray(rng.standard_normal(
+        prob.envelope.coeff_shape).astype(np.float32) * 1e-3)
+
+    lat = median_latency(grad_step, (coeff,))
+    ms = lat * 1e3
+
+    # secondary: forward-only propagator throughput (time-steps/sec, 10q)
+    try:
+        prob10 = maxcut.build_maxcut(10, maxcut.ring_graph(10), n_basis=6,
+                                     dense=False)
+        ns10 = reference_n_steps(per_step, 0.0, prob10.T)
+
+        def fwd(c):
+            return evolve_product(prob10.ham, prob10.envelope, c, prob10.psi0,
+                                  0.0, prob10.T, horizon=prob10.T,
+                                  n_steps=ns10).re.sum()
+
+        f = jax.jit(fwd)
+        c10 = jnp.asarray(rng.standard_normal(
+            prob10.envelope.coeff_shape).astype(np.float32) * 1e-3)
+        lat10 = median_latency(f, (c10,), n_runs=10)
+        print(json.dumps({"metric": "propagator_steps_per_sec_10q",
+                          "value": ns10 / lat10, "unit": "steps/s"}),
+              file=sys.stderr)
+    except Exception as e:  # secondary metric must not kill the headline
+        print(f"secondary bench failed: {e}", file=sys.stderr)
+
+    print(json.dumps({
+        "metric": "qaoa12_pulse_grad_step_latency",
+        "value": round(ms, 3),
+        "unit": "ms",
+        "vs_baseline": round(100.0 / ms, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,123 @@
+"""Device-mesh utilities + seed-batched (data-parallel) training.
+
+The reference trains ONE pulse initialization at a time on one CPU thread;
+the natural TPU scale-out axis is *embarrassingly parallel seeds*: many
+independent pulse initializations training simultaneously as one batched
+program (BASELINE.md target: 64 parallel seeds for 12-qubit maxcut).
+
+`train_energy_seeds` vmaps the full optimizer step over a leading seed axis
+and shards that axis over a mesh ("data" parallelism over ICI); the whole
+n-epoch loop runs as one `lax.scan` inside a single jit — zero host
+round-trips during training.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..dynamics.propagator import evolve, reference_n_steps
+from ..measure import Measurement
+from ..ops import cpx
+from ..ops.cpx import CP
+from ..train.config import TrainConfig
+from ..train.energy import make_optimizer
+
+
+def make_mesh(axes: dict[str, int], devices=None) -> Mesh:
+    """Mesh over the available devices, e.g. ``make_mesh({"data": 4,
+    "state": 2})``."""
+    devices = jax.devices() if devices is None else devices
+    names = tuple(axes.keys())
+    shape = tuple(axes.values())
+    n = int(np.prod(shape))
+    if n > len(devices):
+        raise ValueError(f"mesh needs {n} devices, have {len(devices)}")
+    dev_array = np.asarray(devices[:n]).reshape(shape)
+    return Mesh(dev_array, names)
+
+
+@dataclasses.dataclass
+class SeedsResult:
+    coeffs: jnp.ndarray        # [n_seeds, ...] final coefficients
+    losses: jnp.ndarray        # [n_epochs, n_seeds] measured loss history
+    best_seed: int
+    best_loss: float
+
+
+def train_energy_seeds(
+    ham,
+    envelope,
+    measurement: Measurement,
+    psi0: CP,
+    T: float,
+    config: TrainConfig,
+    n_seeds: int,
+    mesh: Optional[Mesh] = None,
+    data_axis: str = "data",
+) -> SeedsResult:
+    """Train ``n_seeds`` independent pulse initializations in one batched,
+    mesh-sharded program. Adjoint gradients (exact); the whole training loop
+    is a single compiled scan."""
+    T = float(T)
+    n_steps = reference_n_steps(config.per_step, 0.0, T)
+    opt = make_optimizer(config)
+
+    key = jax.random.PRNGKey(config.seed)
+    keys = jax.random.split(key, n_seeds)
+    init_scale = 1e-3
+    coeffs = jax.vmap(lambda k: envelope.init_coeff(
+        k, scale=init_scale, dtype=config.rdtype))(keys)
+
+    if mesh is not None:
+        spec = (data_axis,) + (None,) * (coeffs.ndim - 1)
+        coeffs = jax.device_put(coeffs, NamedSharding(mesh, P(*spec)))
+
+    def loss_fn(c):
+        psi = evolve(ham, envelope, c, psi0, 0.0, T, horizon=T,
+                     n_steps=n_steps, backend=config.backend)
+        if measurement.diag is not None:
+            return jnp.sum(cpx.abs2(psi) * measurement.diag, axis=-1)
+        from ..measure import exact_expectation
+        return exact_expectation(measurement.matrix, psi)
+
+    def one_step(c, opt_state):
+        loss, g = jax.value_and_grad(loss_fn)(c)
+        updates, opt_state = opt.update(g, opt_state, c)
+        return optax.apply_updates(c, updates), opt_state, loss
+
+    @jax.jit
+    def run(coeffs):
+        opt_states = jax.vmap(opt.init)(coeffs)
+
+        def epoch(carry, _):
+            cs, oss = carry
+            cs, oss, losses = jax.vmap(one_step)(cs, oss)
+            return (cs, oss), losses
+
+        (cs, _), losses = jax.lax.scan(epoch, (coeffs, opt_states), None,
+                                       length=config.n_epoch)
+        return cs, losses
+
+    ctx = mesh if mesh is not None else _null_ctx()
+    with ctx:
+        coeffs_out, losses = run(coeffs)
+
+    losses_np = np.asarray(losses)
+    final = losses_np[-1]
+    best = int(np.argmin(final))
+    return SeedsResult(coeffs=coeffs_out, losses=losses_np, best_seed=best,
+                       best_loss=float(final[best]))
+
+
+class _null_ctx:
+    def __enter__(self):
+        return None
+
+    def __exit__(self, *a):
+        return False

@@ -1,0 +1,241 @@
+"""State-vector sharding over a device mesh (shard_map + collectives).
+
+The reference is single-process/single-thread (SURVEY.md §2 "Parallelism
+inventory: none"); this module is the TPU-native scale-out for state vectors
+too large for one chip's HBM (20+ qubits) or for cutting latency at 16-18.
+
+Layout: a mesh axis ``state`` of size 2^k shards the 2^n amplitude vector
+into contiguous blocks — equivalently, the first k qubits (MSBs in the kron
+ordering) become *distributed* qubits, device coordinate m holding the
+amplitudes whose leading bits equal binary(m). Under ``shard_map``:
+
+- **diagonal terms** (ZZ couplers, Z drives, any Ising cost): the phase
+  vector is sharded identically — purely local elementwise work, zero
+  communication;
+- **single-qubit rotations on local qubits** (q >= k): a 2x2 contraction on
+  a local tensor axis — no communication;
+- **single-qubit rotations on distributed qubits** (q < k): the pair partner
+  lives on device ``m XOR 2^(k-1-q)`` — one ``lax.ppermute`` exchanges
+  blocks, then the rotation is a local linear combination. For involutory
+  generators: X: psi' = cos(th) psi - i sin(th) psi_partner; Y: psi' =
+  cos(th) psi + sign(bit) sin(th) psi_partner (real mix);
+- **measurement** of a diagonal observable: local partial sum + ``psum``.
+
+Communication cost per step: one ppermute of the local block per
+distributed-qubit rotation — bandwidth-optimal for this gate set, riding ICI
+neighbor links.
+
+Everything is differentiable (shard_map supports reverse-mode), so adjoint
+training works on the sharded path.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, PartitionSpec as P
+from jax import shard_map
+
+from ..dynamics.hamiltonian import ControlledHamiltonian
+from ..dynamics.product import split_structure
+from ..ops import cpx
+from ..ops.cpx import CP
+
+
+def _phase_cp(theta: jnp.ndarray) -> CP:
+    return CP(jnp.cos(theta), -jnp.sin(theta))
+
+
+def _bcast_theta(theta, extra_dims: int):
+    """Right-pad theta (scalar or [batch]) with singleton dims so it
+    broadcasts against [batch, ...block dims...]."""
+    theta = jnp.asarray(theta)
+    if theta.ndim == 0:
+        return theta
+    return theta.reshape(theta.shape + (1,) * extra_dims)
+
+
+def _local_1q_rot(psi: CP, theta, qubit_local: int, n_local: int,
+                  local_re, local_im) -> CP:
+    """Rotation exp(-i theta G) on a LOCAL tensor axis of the block.
+
+    psi: CP [..., d_local]; qubit_local indexes within the local n_local
+    qubits (0 = most significant local qubit). ``theta`` may be a scalar or
+    a per-batch vector matching psi's leading axis."""
+    lead = psi.re.shape[:-1]
+    left = 2**qubit_local
+    right = 2 ** (n_local - qubit_local - 1)
+    shape = lead + (left, 2, right)
+    pre, pim = psi.re.reshape(shape), psi.im.reshape(shape)
+    gre = jnp.einsum("ab,...lbr->...lar", local_re, pre) \
+        - jnp.einsum("ab,...lbr->...lar", local_im, pim)
+    gim = jnp.einsum("ab,...lbr->...lar", local_re, pim) \
+        + jnp.einsum("ab,...lbr->...lar", local_im, pre)
+    th = _bcast_theta(theta, 3)
+    c, s = jnp.cos(th), jnp.sin(th)
+    out_re = c * pre + s * gim
+    out_im = c * pim - s * gre
+    flat = lead + (left * 2 * right,)
+    return CP(out_re.reshape(flat), out_im.reshape(flat))
+
+
+def _distributed_1q_rot(psi: CP, theta, kind: str, bit: jnp.ndarray,
+                        mask: int, axis_name: str, axis_size: int) -> CP:
+    """Rotation on a distributed qubit via one ppermute block exchange.
+
+    kind: 'x' or 'y' (Pauli generators; Z on a distributed qubit is diagonal
+    and never reaches here). ``bit`` is this device's value of the qubit;
+    ``mask`` the XOR partner distance on the state axis.
+    """
+    perm = [(i, i ^ mask) for i in range(axis_size)]
+    pp_re = jax.lax.ppermute(psi.re, axis_name, perm)
+    pp_im = jax.lax.ppermute(psi.im, axis_name, perm)
+    th = _bcast_theta(theta, psi.re.ndim - jnp.asarray(theta).ndim)
+    c, s = jnp.cos(th), jnp.sin(th)
+    if kind == "x":
+        # psi' = c psi - i s psi_partner
+        return CP(c * psi.re + s * pp_im, c * psi.im - s * pp_re)
+    if kind == "y":
+        # (Y psi)_local = i (2 bit - 1) psi_partner → real mix
+        sgn = 2.0 * bit - 1.0
+        return CP(c * psi.re + s * sgn * pp_re,
+                  c * psi.im + s * sgn * pp_im)
+    raise ValueError(f"unsupported distributed generator {kind!r}")
+
+
+def _classify_local(g: np.ndarray) -> str:
+    if np.allclose(g, np.array([[0, 1], [1, 0]])):
+        return "x"
+    if np.allclose(g, np.array([[0, -1j], [1j, 0]])):
+        return "y"
+    return "dense"
+
+
+def evolve_product_sharded(
+    ham: ControlledHamiltonian,
+    envelope,
+    coeff: jnp.ndarray,
+    psi0: CP,
+    T0,
+    T,
+    horizon: float,
+    n_steps: int,
+    mesh: Mesh,
+    state_axis: str = "state",
+    batch_axis: Optional[str] = None,
+) -> CP:
+    """Strang-split evolution with the amplitude axis sharded over
+    ``state_axis`` of ``mesh`` (and an optional leading batch axis sharded
+    over ``batch_axis``). Same math/grid as
+    :func:`..dynamics.product.evolve_product`.
+    """
+    n = ham.n_qubits
+    (diag_idx, diag_rows, h0_diag, oneq_idx, oneq_qubits,
+     oneq_locals) = split_structure(ham)
+
+    axis_size = mesh.shape[state_axis]
+    k = int(round(np.log2(axis_size)))
+    assert 2**k == axis_size, "state axis size must be a power of two"
+    n_local = n - k
+
+    dt = (T - T0) / n_steps
+    ts = T0 + dt * jnp.arange(n_steps, dtype=jnp.result_type(float))
+    # per-seed coefficients: one extra leading dim on coeff → per-seed
+    # amplitude tables (true data-parallel training over the batch axis).
+    per_seed = coeff.ndim == len(envelope.coeff_shape) + 1
+    if per_seed:
+        if not batch_axis:
+            raise ValueError("per-seed coeff needs a batch_axis")
+        u = jax.vmap(lambda c: envelope.amplitudes(c, ts, horizon))(coeff)
+        # u: [S, n_controls, n_steps]
+    else:
+        u = envelope.amplitudes(coeff, ts, horizon)  # [n_controls, n_steps]
+    rdt = ham.dtype
+
+    diag_table = jnp.asarray(np.stack(diag_rows), dtype=rdt) if diag_rows \
+        else jnp.zeros((0, ham.dim), dtype=rdt)
+    h0_vec = jnp.asarray(h0_diag, dtype=rdt)
+    ctrl_axis = -2
+    di = jnp.asarray(diag_idx, dtype=jnp.int32)
+    qi = jnp.asarray(oneq_idx, dtype=jnp.int32)
+    u_diag = jnp.take(u, di, axis=ctrl_axis) if diag_idx else \
+        jnp.zeros(u.shape[:-2] + (0, n_steps), dtype=u.dtype)
+    u_oneq = jnp.take(u, qi, axis=ctrl_axis) if oneq_idx else \
+        jnp.zeros(u.shape[:-2] + (0, n_steps), dtype=u.dtype)
+    # scan xs layout: [n_steps, (S,) n_k]
+    u_diag = jnp.moveaxis(u_diag, -1, 0)
+    u_oneq = jnp.moveaxis(u_oneq, -1, 0)
+    locals_np = [np.asarray(g) for g in oneq_locals]
+    kinds = [_classify_local(g) for g in locals_np]
+    locals_re = [jnp.asarray(g.real, dtype=rdt) for g in locals_np]
+    locals_im = [jnp.asarray(g.imag, dtype=rdt) for g in locals_np]
+
+    batched = psi0.ndim > 1
+    state_spec = (P(batch_axis, state_axis) if batched
+                  else P(state_axis))
+    diag_spec = P(state_axis)
+    u_spec = P(None, batch_axis, None) if per_seed else P()
+
+    def inner(psi_re, psi_im, dtab, h0v, ud_t, uq_t):
+        psi = CP(psi_re, psi_im)
+        me = jax.lax.axis_index(state_axis)
+
+        def step(p, xs):
+            ud, uq = xs  # [(S,) n_diag], [(S,) n_oneq]
+            # local diagonal phase: [(S,) d_local]
+            theta_half = (0.5 * dt) * (h0v + ud @ dtab)
+            ph = _phase_cp(theta_half)
+            p = cpx.mul(CP(jnp.broadcast_to(ph.re, p.re.shape),
+                           jnp.broadcast_to(ph.im, p.im.shape)), p)
+            for i in range(len(oneq_qubits)):
+                q = oneq_qubits[i]
+                th = dt * uq[..., i]
+                if q >= k:
+                    p = _local_1q_rot(p, th, q - k, n_local,
+                                      locals_re[i], locals_im[i])
+                else:
+                    mask = 1 << (k - 1 - q)
+                    bit = ((me >> (k - 1 - q)) & 1).astype(p.re.dtype)
+                    p = _distributed_1q_rot(p, th, kinds[i], bit, mask,
+                                            state_axis, axis_size)
+            p = cpx.mul(CP(jnp.broadcast_to(ph.re, p.re.shape),
+                           jnp.broadcast_to(ph.im, p.im.shape)), p)
+            return p, None
+
+        out, _ = jax.lax.scan(step, psi, (ud_t, uq_t))
+        return out.re, out.im
+
+    for i, kind in enumerate(kinds):
+        if kind == "dense" and oneq_qubits[i] < k:
+            raise ValueError("distributed 1q terms must be Pauli X or Y")
+
+    shmap = shard_map(
+        inner, mesh=mesh,
+        in_specs=(state_spec, state_spec, P(None, state_axis), diag_spec,
+                  u_spec, u_spec),
+        out_specs=(state_spec, state_spec),
+    )
+    re, im = shmap(psi0.re.astype(rdt), psi0.im.astype(rdt), diag_table,
+                   h0_vec, u_diag, u_oneq)
+    return CP(re, im)
+
+
+def sharded_diag_expectation(psi: CP, diag: jnp.ndarray, mesh: Mesh,
+                             state_axis: str = "state",
+                             batch_axis: Optional[str] = None) -> jnp.ndarray:
+    """<psi|diag(M)|psi> with the amplitude axis sharded: local partial sums
+    + one psum over the state axis."""
+    batched = psi.ndim > 1
+    state_spec = P(batch_axis, state_axis) if batched else P(state_axis)
+    out_spec = P(batch_axis) if batched else P()
+
+    def inner(p_re, p_im, dvec):
+        local = jnp.sum((p_re * p_re + p_im * p_im) * dvec, axis=-1)
+        return jax.lax.psum(local, state_axis)
+
+    return shard_map(inner, mesh=mesh,
+                     in_specs=(state_spec, state_spec, P(state_axis)),
+                     out_specs=out_spec)(psi.re, psi.im, diag)
