@@ -1,0 +1,2 @@
+from . import diffqc
+from .sim_plain import SimulatorPlain

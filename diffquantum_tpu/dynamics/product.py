@@ -137,6 +137,9 @@ def evolve_product(
     locals_im = [jnp.asarray(g.imag, dtype=rdt) for g in oneq_locals]
 
     psi0 = psi0.astype(rdt)
+    u_diag = u_diag.astype(rdt)
+    u_oneq = u_oneq.astype(rdt)
+    dt = jnp.asarray(dt, dtype=rdt)
 
     @jax.checkpoint
     def step(psi, xs):

@@ -123,12 +123,15 @@ def evolve(
 
     psi0 = psi0.astype(ham.dtype)
     u_steps = u.T.astype(ham.dtype)  # [n_steps, n_controls] — scan xs
+    # keep the scan carry dtype stable: a traced f64 dt must not promote an
+    # f32 state (x64 mode computes the time grid in f64)
+    dt_c = jnp.asarray(dt, dtype=ham.dtype)
 
     if backend == "expm":
         @jax.checkpoint
         def step(psi, u_t):
             h_t = ham.at(u_t)
-            e = cexpm_taylor(cpx.mulmi(cpx.rscale(h_t, dt)), a_bound, tol)
+            e = cexpm_taylor(cpx.mulmi(cpx.rscale(h_t, dt_c)), a_bound, tol)
             return cpx.matvec(e, psi), None
 
         psi, _ = jax.lax.scan(step, psi0, u_steps)
@@ -141,7 +144,7 @@ def evolve(
         def step(psi, u_t):
             h_t = ham.at(u_t)
             # exp(z H) psi with z = -i dt  →  (z_re, z_im) = (0, -dt)
-            return cexpm_apply_taylor(h_t, psi, jnp.zeros_like(dt), -dt,
+            return cexpm_apply_taylor(h_t, psi, jnp.zeros_like(dt_c), -dt_c,
                                       a_bound, tol), None
 
         psi, _ = jax.lax.scan(step, flat, u_steps)

@@ -166,8 +166,9 @@ def evolve_product_sharded(
     u_oneq = jnp.take(u, qi, axis=ctrl_axis) if oneq_idx else \
         jnp.zeros(u.shape[:-2] + (0, n_steps), dtype=u.dtype)
     # scan xs layout: [n_steps, (S,) n_k]
-    u_diag = jnp.moveaxis(u_diag, -1, 0)
-    u_oneq = jnp.moveaxis(u_oneq, -1, 0)
+    u_diag = jnp.moveaxis(u_diag, -1, 0).astype(rdt)
+    u_oneq = jnp.moveaxis(u_oneq, -1, 0).astype(rdt)
+    dt = jnp.asarray(dt, dtype=rdt)
     locals_np = [np.asarray(g) for g in oneq_locals]
     kinds = [_classify_local(g) for g in locals_np]
     locals_re = [jnp.asarray(g.real, dtype=rdt) for g in locals_np]
