@@ -95,6 +95,48 @@ def apply_1q_pauli_rot(psi: CP, theta, qubit: int, n_qubits: int,
     return CP(out_re.reshape(flat), out_im.reshape(flat))
 
 
+def apply_1q_operator(psi: CP, qubit: int, n_qubits: int,
+                      local_re: jnp.ndarray, local_im: jnp.ndarray) -> CP:
+    """(G psi) for a single-qubit operator G on tensor axis ``qubit``."""
+    lead = psi.re.shape[:-1]
+    left = 2**qubit
+    right = 2 ** (n_qubits - qubit - 1)
+    shape = lead + (left, 2, right)
+    pre, pim = psi.re.reshape(shape), psi.im.reshape(shape)
+    gre = jnp.einsum("ab,...lbr->...lar", local_re, pre) \
+        - jnp.einsum("ab,...lbr->...lar", local_im, pim)
+    gim = jnp.einsum("ab,...lbr->...lar", local_re, pim) \
+        + jnp.einsum("ab,...lbr->...lar", local_im, pre)
+    flat = lead + (left * 2 * right,)
+    return CP(gre.reshape(flat), gim.reshape(flat))
+
+
+def apply_structured_terms(ham: ControlledHamiltonian, psi: CP):
+    """(H_k psi) for every control term k, matrix-free.
+
+    Returns (re, im) arrays of shape [n_controls, d]. Used by the MC
+    gradient estimator on structured (>13-qubit) problems where no dense
+    H_k exists."""
+    n = ham.n_qubits
+    res_re, res_im = [], []
+    for st in ham.structure:
+        if st.kind == "diag":
+            dvec = jnp.asarray(np.asarray(st.diag), dtype=psi.re.dtype)
+            res_re.append(dvec * psi.re)
+            res_im.append(dvec * psi.im)
+        elif st.kind == "1q":
+            g = np.asarray(st.local)
+            out = apply_1q_operator(
+                psi, st.qubit, n,
+                jnp.asarray(g.real, dtype=psi.re.dtype),
+                jnp.asarray(g.imag, dtype=psi.re.dtype))
+            res_re.append(out.re)
+            res_im.append(out.im)
+        else:
+            raise ValueError(f"unstructured term {st.kind!r}")
+    return jnp.stack(res_re), jnp.stack(res_im)
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("envelope", "horizon", "n_steps", "dt_bound"))

@@ -110,11 +110,16 @@ def mc_energy_grad(
                  n_steps=n_steps, backend=backend, dt_bound=T / n_steps)
 
     # --- matrix-free perturbation gates (CP real-pair algebra) ----------
-    # H_k phi for all controls k at once: [n_Hs, d]
-    hphi_re = jnp.einsum("kij,j->ki", ham.Hs.re, phi.re) \
-        - jnp.einsum("kij,j->ki", ham.Hs.im, phi.im)
-    hphi_im = jnp.einsum("kij,j->ki", ham.Hs.re, phi.im) \
-        + jnp.einsum("kij,j->ki", ham.Hs.im, phi.re)
+    # H_k phi for all controls k: [n_Hs, d]
+    if ham.is_structured_only:
+        # structure-aware application — no dense H_k exists (>13 qubits)
+        from ..dynamics.product import apply_structured_terms
+        hphi_re, hphi_im = apply_structured_terms(ham, phi)
+    else:
+        hphi_re = jnp.einsum("kij,j->ki", ham.Hs.re, phi.re) \
+            - jnp.einsum("kij,j->ki", ham.Hs.im, phi.im)
+        hphi_im = jnp.einsum("kij,j->ki", ham.Hs.re, phi.im) \
+            + jnp.einsum("kij,j->ki", ham.Hs.im, phi.re)
     scale = 1.0 / jnp.sqrt(1.0 + r * r)
     # phi ± r * i * (H_k phi); i*(a+ib) = -b + ia
     branch_p = CP((phi.re[None, :] - r * hphi_im) * scale,
@@ -130,10 +135,18 @@ def mc_energy_grad(
 
     # --- measurement -----------------------------------------------------
     if sampling:
+        from ..measure import DiagonalTermSet, stochastic_measure_diag
+        sampler = stochastic_measure_diag \
+            if isinstance(measurement.terms, DiagonalTermSet) \
+            else stochastic_measure
         keys = jax.random.split(k_meas, branches.shape[0] + 1)
-        ps = jax.vmap(lambda psi, kk: stochastic_measure(
+        ps = jax.vmap(lambda psi, kk: sampler(
             measurement.terms, psi, kk, per_pauli))(kets, keys[:-1])
         k_noise = keys[-1]
+    elif measurement.diag is not None:
+        from ..ops import cpx as _cpx
+        ps = jnp.sum(_cpx.abs2(kets) * measurement.diag, axis=-1)
+        k_noise = k_meas
     else:
         ps = exact_expectation(measurement.matrix, kets)  # [2 n_Hs]
         k_noise = k_meas

@@ -82,6 +82,10 @@ class SimpleEnvelope:
         coeff: [n_controls, n_basis]; ts: [n_t] → [n_controls, n_t].
         """
         phi = basis_matrix(self.basis, self.n_basis, ts, T)  # [n_t, n_basis]
+        # Keep the (select-heavy) basis evaluation OUT of the matmul fusion:
+        # on the TPU backend the fused kernel is ~1000x slower (30 ms vs
+        # 0.03 ms for this shape). The barrier forces materialization.
+        phi = jax.lax.optimization_barrier(phi)
         return coeff @ phi.T
 
     def amplitudes(self, coeff: jnp.ndarray, ts: jnp.ndarray, T) -> jnp.ndarray:
@@ -156,6 +160,7 @@ class ChannelEnvelope:
         kind = "legendre" if self.func_type == 0 else "bspline"
         ts = jnp.asarray(ts)
         phi = basis_matrix(kind, self.n_basis, ts, T)  # [n_t, n_basis]
+        phi = jax.lax.optimization_barrier(phi)  # see SimpleEnvelope.raw
 
         ctrl = np.array([c.control for c in self.channels], dtype=np.int32)
         omega = jnp.array([c.omega for c in self.channels], dtype=phi.dtype)
