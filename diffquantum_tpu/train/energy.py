@@ -64,6 +64,15 @@ def make_optimizer(config: TrainConfig) -> optax.GradientTransformation:
     raise ValueError(f"unknown optimizer {config.optimizer!r}")
 
 
+def serialization_to_optstate(restored, template):
+    """Rebuild an optax state pytree from its msgpack-restored plain
+    containers using the freshly-initialized state as the structure
+    template (msgpack flattens NamedTuples to dicts/lists)."""
+    from flax import serialization
+    return serialization.from_state_dict(template, restored) \
+        if isinstance(restored, dict) else restored
+
+
 def l2_grad(coeff: jnp.ndarray, w_l2: float) -> jnp.ndarray:
     """Gradient of the reference's j^2-weighted L2 term
     ``mean_j(mean_k c_kj^2 * j^2) * w_l2`` (`sim_plain.py:285-287`)."""
@@ -98,6 +107,21 @@ def train_energy(
 
     opt = make_optimizer(config)
     opt_state = opt.init(coeff)
+    start_epoch = 1
+
+    # checkpoint/resume (absent in the reference — SURVEY.md §5)
+    if config.checkpoint_dir:
+        import os
+        from ..utils.checkpointing import load_checkpoint
+        if os.path.exists(os.path.join(config.checkpoint_dir, "ckpt.msgpack")):
+            state = load_checkpoint(config.checkpoint_dir)
+            coeff = jnp.asarray(state["coeff"], config.rdtype)
+            opt_state = jax.tree_util.tree_map(
+                jnp.asarray, serialization_to_optstate(state["opt_state"],
+                                                       opt_state))
+            key = jnp.asarray(state["key"])
+            start_epoch = int(state["epoch"]) + 1
+            log.write_text(f"resumed from epoch {start_epoch - 1}")
 
     n_steps = reference_n_steps(config.per_step, 0.0, T)
     mode = config.grad_mode
@@ -155,7 +179,7 @@ def train_energy(
     losses_gap, losses_raw = [], []
     final_state = None
     t0 = time.time()
-    for epoch in range(1, config.n_epoch + 1):
+    for epoch in range(start_epoch, config.n_epoch + 1):
         key, k_loss, k_grad = jax.random.split(key, 3)
         loss, final_state = measured_loss(coeff, k_loss)
         grad = grad_fn(coeff, k_grad)

@@ -26,7 +26,10 @@ def save_checkpoint(directory: str, state: dict, name: str = "ckpt") -> str:
     os.makedirs(directory, exist_ok=True)
     path = os.path.join(directory, f"{name}.msgpack")
     tmp = path + ".tmp"
-    data = serialization.msgpack_serialize(_to_numpy(state))
+    # to_state_dict flattens NamedTuple pytrees (e.g. optax states) into
+    # plain dicts that msgpack can carry
+    data = serialization.msgpack_serialize(
+        serialization.to_state_dict(_to_numpy(state)))
     with open(tmp, "wb") as f:
         f.write(data)
     os.replace(tmp, path)
