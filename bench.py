@@ -31,9 +31,39 @@ def median_latency(fn, args, n_warmup=3, n_runs=20):
     return float(np.median(times))
 
 
+def amortized_step_latency(step_fn, coeff, chain: int = 10, n_runs: int = 15):
+    """Per-step latency with dispatch overhead amortized: ``chain`` gradient
+    steps chained inside ONE compiled program (a lax.scan), exactly like the
+    compiled training loops run in practice. The remote-TPU tunnel adds a
+    variable ~0.05-30 ms per *dispatch*; chaining isolates the device-side
+    step cost. Returns (per_step_s, single_dispatch_s)."""
+    import jax
+
+    def chained(c):
+        def body(c, _):
+            _, g = step_fn(c)
+            return c - 1e-6 * g, None
+        out, _ = jax.lax.scan(body, c, None, length=chain)
+        return out
+
+    chained_j = jax.jit(chained)
+    single = median_latency(lambda c: step_fn(c)[1], (coeff,), n_runs=n_runs)
+    multi = median_latency(chained_j, (coeff,), n_runs=n_runs)
+    return multi / chain, single
+
+
 def main():
     import jax
     import jax.numpy as jnp
+
+    # persistent compile cache: remote-TPU compiles can take minutes; cached
+    # executables make repeat bench runs fast
+    try:
+        jax.config.update("jax_compilation_cache_dir",
+                          "/tmp/diffquantum_tpu_jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
 
     from diffquantum_tpu.dynamics.product import evolve_product
     from diffquantum_tpu.models import maxcut
@@ -51,14 +81,17 @@ def main():
                              0.0, prob.T, horizon=prob.T, n_steps=n_steps)
         return jnp.sum(cpx.abs2(psi) * prob.measurement.diag, axis=-1)
 
-    grad_step = jax.jit(jax.value_and_grad(loss))
+    grad_step = jax.value_and_grad(loss)
 
     rng = np.random.default_rng(0)
     coeff = jnp.asarray(rng.standard_normal(
         prob.envelope.coeff_shape).astype(np.float32) * 1e-3)
 
-    lat = median_latency(grad_step, (coeff,))
-    ms = lat * 1e3
+    per_step, single = amortized_step_latency(grad_step, coeff)
+    ms = per_step * 1e3
+    print(json.dumps({"metric": "qaoa12_grad_step_single_dispatch",
+                      "value": round(single * 1e3, 3), "unit": "ms"}),
+          file=sys.stderr)
 
     # secondary: forward-only propagator throughput (time-steps/sec, 10q)
     try:
@@ -66,17 +99,19 @@ def main():
                                      dense=False)
         ns10 = reference_n_steps(per_step, 0.0, prob10.T)
 
-        def fwd(c):
-            return evolve_product(prob10.ham, prob10.envelope, c, prob10.psi0,
-                                  0.0, prob10.T, horizon=prob10.T,
-                                  n_steps=ns10).re.sum()
+        def fwd_loss(c):
+            psi = evolve_product(prob10.ham, prob10.envelope, c, prob10.psi0,
+                                 0.0, prob10.T, horizon=prob10.T,
+                                 n_steps=ns10)
+            return jnp.sum(cpx.abs2(psi) * prob10.measurement.diag, axis=-1)
 
-        f = jax.jit(fwd)
         c10 = jnp.asarray(rng.standard_normal(
             prob10.envelope.coeff_shape).astype(np.float32) * 1e-3)
-        lat10 = median_latency(f, (c10,), n_runs=10)
+        per10, _ = amortized_step_latency(
+            jax.value_and_grad(fwd_loss), c10, chain=10, n_runs=10)
         print(json.dumps({"metric": "propagator_steps_per_sec_10q",
-                          "value": ns10 / lat10, "unit": "steps/s"}),
+                          "value": round(ns10 / per10, 1),
+                          "unit": "time-steps/s (incl. grad)"}),
               file=sys.stderr)
     except Exception as e:  # secondary metric must not kill the headline
         print(f"secondary bench failed: {e}", file=sys.stderr)

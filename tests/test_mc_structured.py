@@ -33,8 +33,8 @@ def test_mc_structured_matches_dense_same_key():
                                atol=1e-9)
 
 
-def test_mc_structured_16q_runs():
-    n = 16
+def test_mc_structured_14q_runs():
+    n = 14
     prob = maxcut.build_maxcut(n, maxcut.ring_graph(n), n_basis=4, dtype=F64)
     assert prob.ham.is_structured_only
     rng = np.random.default_rng(1)
