@@ -73,12 +73,17 @@ def main():
     per_step = 10
     prob = maxcut.build_maxcut(n, maxcut.ring_graph(n), n_basis=6,
                                dense=False)
+    from diffquantum_tpu.dynamics.product import (evolve_product_fused,
+                                                  fused_eligible)
     from diffquantum_tpu.dynamics.propagator import reference_n_steps
     n_steps = reference_n_steps(per_step, 0.0, prob.T)
 
+    evolver = evolve_product_fused if fused_eligible(prob.ham) \
+        else evolve_product
+
     def loss(coeff):
-        psi = evolve_product(prob.ham, prob.envelope, coeff, prob.psi0,
-                             0.0, prob.T, horizon=prob.T, n_steps=n_steps)
+        psi = evolver(prob.ham, prob.envelope, coeff, prob.psi0,
+                      0.0, prob.T, horizon=prob.T, n_steps=n_steps)
         return jnp.sum(cpx.abs2(psi) * prob.measurement.diag, axis=-1)
 
     grad_step = jax.value_and_grad(loss)

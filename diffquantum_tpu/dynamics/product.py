@@ -137,6 +137,70 @@ def apply_structured_terms(ham: ControlledHamiltonian, psi: CP):
     return jnp.stack(res_re), jnp.stack(res_im)
 
 
+def fused_eligible(ham: ControlledHamiltonian) -> bool:
+    """Whether the fused Pallas whole-evolution kernel applies: >=10 qubits
+    (sublane-aligned [2^(n-7), 128] state block), diagonal H0, and every 1q
+    term a Pauli-X."""
+    if ham.structure is None or ham.n_qubits < 10:
+        return False
+    if ham.h0_structure is None or ham.h0_structure.kind != "diag":
+        return False
+    for st in ham.structure:
+        if st.kind == "1q" and not np.allclose(
+                np.asarray(st.local), np.array([[0, 1], [1, 0]])):
+            return False
+        if st.kind not in ("diag", "1q"):
+            return False
+    return True
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("envelope", "horizon", "n_steps", "dt_bound"))
+def evolve_product_fused(
+    ham: ControlledHamiltonian,
+    envelope,
+    coeff: jnp.ndarray,
+    psi0: CP,
+    T0,
+    T,
+    horizon: float,
+    n_steps: int,
+    dt_bound=None,
+) -> CP:
+    """Same math as :func:`evolve_product`, executed by the fused Pallas
+    whole-evolution kernel (:mod:`..ops.fused_product`): the entire
+    n_steps-long Strang chain runs as ONE kernel with the state resident in
+    VMEM, plus an exact custom-VJP adjoint kernel for gradients."""
+    from ..ops.fused_product import fused_product_evolve
+
+    n = ham.n_qubits
+    (diag_idx, diag_rows, h0_diag, oneq_idx, oneq_qubits,
+     oneq_locals) = split_structure(ham)
+
+    dt = (T - T0) / n_steps
+    ts = T0 + dt * jnp.arange(n_steps, dtype=jnp.result_type(float))
+    u = envelope.amplitudes(coeff, ts, horizon)  # [n_controls, n_steps]
+    rdt = jnp.float32
+    dt = jnp.asarray(dt, rdt)
+
+    diag_table = jnp.asarray(np.stack(diag_rows), dtype=rdt) if diag_rows \
+        else jnp.zeros((0, ham.dim), dtype=rdt)
+    h0_vec = jnp.asarray(h0_diag, dtype=rdt)
+    u_diag = (u[jnp.asarray(diag_idx, dtype=jnp.int32)] if diag_idx else
+              jnp.zeros((0, n_steps), dtype=u.dtype)).astype(rdt)
+    u_oneq = (u[jnp.asarray(oneq_idx, dtype=jnp.int32)] if oneq_idx else
+              jnp.zeros((0, n_steps), dtype=u.dtype)).astype(rdt)
+
+    # per-step angle tables for the kernel
+    theta_half = 0.5 * dt * (h0_vec[None, :] + u_diag.T @ diag_table)
+    theta_x = dt * u_oneq.T  # [n_steps, n_x]
+
+    out = fused_product_evolve(psi0.astype(rdt), theta_half, theta_x,
+                               tuple(oneq_qubits), n)
+    return out
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("envelope", "horizon", "n_steps", "dt_bound"))

@@ -101,6 +101,11 @@ def evolve(
     """
     if backend == "auto" and ham.is_structured_only:
         backend = "product"
+    if backend == "product_fused":
+        from .product import evolve_product_fused
+        return evolve_product_fused(ham, envelope, coeff, psi0, T0, T,
+                                    horizon=horizon, n_steps=n_steps,
+                                    dt_bound=dt_bound)
     if backend == "product":
         from .product import evolve_product
         return evolve_product(ham, envelope, coeff, psi0, T0, T,

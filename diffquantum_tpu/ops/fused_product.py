@@ -1,0 +1,353 @@
+"""Fused whole-evolution Pallas kernel for the product-formula propagator.
+
+The XLA product backend (:mod:`..dynamics.product`) emits ~50 small VPU ops
+per Strang step; at 12 qubits that is ~285 us/step of pure op overhead. This
+kernel runs the ENTIRE time-ordered evolution in one Pallas program: the
+state pair lives in VMEM scratch across all steps (the TPU grid is
+sequential, scratch persists), per-step phase angles stream in as grid
+blocks, and the backward pass is a second kernel implementing the exact
+adjoint evolution with on-the-fly state reconstruction (unitary steps are
+inverted, not stored) — O(1) memory in the step count.
+
+Layout: the 2^n amplitudes sit in a [R, 128] block, R = 2^(n-7): the last 7
+qubits are *lane* qubits, the rest *row* qubits.
+
+- diagonal phase exp(-i theta) — elementwise on the block;
+- X rotation on a row qubit — a sublane-axis flip (reshape + reverse);
+- X rotation on a lane qubit — one [R,128]x[128,128] MXU matmul with a
+  constant XOR-permutation matrix P (P[l, l^m] = 1).
+
+Per step: 2 phase applications + n_x rotations, all register/VMEM resident.
+
+Forward/backward math (real-pair convention, L real):
+  phase    y = e^{-i th} x:  dL/dth = lam_re*y_im - lam_im*y_re (elementwise)
+           lam_x = e^{+i th} lam_y;  x = e^{+i th} y
+  X-rot    y = c x - i s Gx (G = flip, real symmetric involutory):
+           dL/dth = sum lam_re*(-s x_re + c (Gx)_im)
+                       + lam_im*(-s x_im - c (Gx)_re)
+           lam_x = c lam + i s G lam;  x = c y + i s G y
+
+Restrictions (wrapper falls back to the XLA path otherwise): n_qubits >= 10
+(so R is sublane-aligned), all 1q control terms are Pauli-X, single
+unbatched state, f32.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .cpx import CP
+
+_LANES = 128
+_LANE_QUBITS = 7  # log2(_LANES)
+
+
+def _xor_perm_matrix(mask: int) -> np.ndarray:
+    p = np.zeros((_LANES, _LANES), dtype=np.float32)
+    for l in range(_LANES):
+        p[l, l ^ mask] = 1.0
+    return p
+
+
+def _split_qubits(x_qubits: Sequence[int], n: int):
+    """(row_rotations, lane_rotations): row → sublane flip mask exponent,
+    lane → index into the stacked permutation matrices."""
+    rows, lanes = [], []
+    for j, q in enumerate(x_qubits):
+        if q < n - _LANE_QUBITS:
+            rows.append((j, q))
+        else:
+            lanes.append((j, q))
+    return rows, lanes
+
+
+def _flip_row(x: jnp.ndarray, bit: int, n_row_bits: int) -> jnp.ndarray:
+    """Reverse the sublane-axis bit ``bit`` (0 = MSB of the row index)."""
+    r = x.shape[0]
+    hi = 2**bit
+    mid = 2
+    lo = r // (hi * mid)
+    y = x.reshape(hi, mid, lo, _LANES)
+    # swap the two halves of the size-2 axis (jnp.flip/`rev` has no Mosaic
+    # lowering; static slice + concat does)
+    y = jnp.concatenate([y[:, 1:2], y[:, 0:1]], axis=1)
+    return y.reshape(r, _LANES)
+
+
+def _pad_tx(theta_x: jnp.ndarray) -> jnp.ndarray:
+    """[n_steps, n_x] → [n_steps, 1, 128] f32 (lane-aligned block)."""
+    n_steps, n_x = theta_x.shape
+    out = jnp.zeros((n_steps, 1, _LANES), jnp.float32)
+    return out.at[:, 0, :n_x].set(theta_x.astype(jnp.float32))
+
+
+def _make_forward_kernel(n_steps, row_rots, lane_rots, n_row_bits):
+    def kernel(th_ref, tx_ref, pin_re, pin_im, perms_ref, out_re, out_im,
+               s_re, s_im):
+        i = pl.program_id(0)
+
+        @pl.when(i == 0)
+        def _():
+            s_re[:] = pin_re[:]
+            s_im[:] = pin_im[:]
+
+        def phase():
+            th = th_ref[0]
+            c, s = jnp.cos(th), jnp.sin(th)
+            re = c * s_re[:] + s * s_im[:]
+            im = c * s_im[:] - s * s_re[:]
+            s_re[:] = re
+            s_im[:] = im
+
+        phase()
+        for (j, q) in row_rots:
+            th = tx_ref[0, 0, j]
+            c, s = jnp.cos(th), jnp.sin(th)
+            g_re = _flip_row(s_re[:], q, n_row_bits)
+            g_im = _flip_row(s_im[:], q, n_row_bits)
+            re = c * s_re[:] + s * g_im
+            im = c * s_im[:] - s * g_re
+            s_re[:] = re
+            s_im[:] = im
+        for li, (j, q) in enumerate(lane_rots):
+            th = tx_ref[0, 0, j]
+            c, s = jnp.cos(th), jnp.sin(th)
+            p = perms_ref[li]
+            g_re = jnp.dot(s_re[:], p, preferred_element_type=jnp.float32)
+            g_im = jnp.dot(s_im[:], p, preferred_element_type=jnp.float32)
+            re = c * s_re[:] + s * g_im
+            im = c * s_im[:] - s * g_re
+            s_re[:] = re
+            s_im[:] = im
+        phase()
+
+        @pl.when(i == n_steps - 1)
+        def _():
+            out_re[:] = s_re[:]
+            out_im[:] = s_im[:]
+
+    return kernel
+
+
+def _make_backward_kernel(n_steps, row_rots, lane_rots, n_row_bits):
+    """Reversed-step adjoint: reconstructs the state by inverting each
+    unitary op; accumulates dL/dtheta_half (streamed per step) and
+    dL/dtheta_x (streamed per step, padded to 128 lanes)."""
+
+    def kernel(th_ref, tx_ref, pT_re, pT_im, lamT_re, lamT_im, perms_ref,
+               gth_ref, gtx_ref, gp0_re, gp0_im, y_re, y_im, l_re, l_im):
+        i = pl.program_id(0)  # i-th reversed step
+
+        @pl.when(i == 0)
+        def _():
+            y_re[:] = pT_re[:]
+            y_im[:] = pT_im[:]
+            l_re[:] = lamT_re[:]
+            l_im[:] = lamT_im[:]
+
+        th = th_ref[0]
+        c, s = jnp.cos(th), jnp.sin(th)
+        gth = jnp.zeros_like(th)
+        g_rot = {}  # j -> scalar dL/dtheta_x[j], written once at the end
+
+        # --- undo trailing phase: grad uses OUTPUT y and output-side lam --
+        gth += l_re[:] * y_im[:] - l_im[:] * y_re[:]
+        # x = e^{+i th} y ; lam_x = e^{+i th} lam_y
+        re = c * y_re[:] - s * y_im[:]
+        im = s * y_re[:] + c * y_im[:]
+        y_re[:] = re
+        y_im[:] = im
+        re = c * l_re[:] - s * l_im[:]
+        im = s * l_re[:] + c * l_im[:]
+        l_re[:] = re
+        l_im[:] = im
+
+        # --- undo rotations in reverse order ------------------------------
+        def undo_rot(j, g_of):
+            thx = tx_ref[0, 0, j]
+            cx, sx = jnp.cos(thx), jnp.sin(thx)
+            # reconstruct x = c y + i s G y
+            gy_re = g_of(y_re[:])
+            gy_im = g_of(y_im[:])
+            x_re = cx * y_re[:] - sx * gy_im
+            x_im = cx * y_im[:] + sx * gy_re
+            # grad dL/dth with x and Gx
+            gx_re = g_of(x_re)
+            gx_im = g_of(x_im)
+            g_rot[j] = jnp.sum(l_re[:] * (-sx * x_re + cx * gx_im)
+                               + l_im[:] * (-sx * x_im - cx * gx_re))
+            # lam_x = c lam + i s G lam
+            gl_re = g_of(l_re[:])
+            gl_im = g_of(l_im[:])
+            nl_re = cx * l_re[:] - sx * gl_im
+            nl_im = cx * l_im[:] + sx * gl_re
+            y_re[:] = x_re
+            y_im[:] = x_im
+            l_re[:] = nl_re
+            l_im[:] = nl_im
+
+        for li in range(len(lane_rots) - 1, -1, -1):
+            j, q = lane_rots[li]
+            p = perms_ref[li]
+            undo_rot(j, lambda v, p=p: jnp.dot(
+                v, p, preferred_element_type=jnp.float32))
+        for (j, q) in reversed(row_rots):
+            undo_rot(j, lambda v, q=q: _flip_row(v, q, n_row_bits))
+
+        # --- undo leading phase -------------------------------------------
+        gth += l_re[:] * y_im[:] - l_im[:] * y_re[:]
+        re = c * y_re[:] - s * y_im[:]
+        im = s * y_re[:] + c * y_im[:]
+        y_re[:] = re
+        y_im[:] = im
+        re = c * l_re[:] - s * l_im[:]
+        im = s * l_re[:] + c * l_im[:]
+        l_re[:] = re
+        l_im[:] = im
+
+        gth_ref[0] = gth
+        # assemble the per-step rotation-gradient row (one VMEM write)
+        lane_ids = jax.lax.broadcasted_iota(jnp.int32, (1, _LANES), 1)
+        row = jnp.zeros((1, _LANES), jnp.float32)
+        for j, g in g_rot.items():
+            row = jnp.where(lane_ids == j, g, row)
+        gtx_ref[0] = row
+
+        @pl.when(i == n_steps - 1)
+        def _():
+            gp0_re[:] = l_re[:]
+            gp0_im[:] = l_im[:]
+
+    return kernel
+
+
+def _vmem_specs(n_extra=0):
+    return pl.BlockSpec(memory_space=pltpu.VMEM)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def fused_product_evolve(psi0: CP, theta_half: jnp.ndarray,
+                         theta_x: jnp.ndarray, x_qubits: tuple,
+                         n_qubits: int) -> CP:
+    """psi(T) = prod_t [Phi_t Rot_t Phi_t] psi0, fully fused on TPU.
+
+    psi0: CP [2^n]; theta_half: [n_steps, 2^n] diagonal half-step phase
+    angles; theta_x: [n_steps, n_x] X-rotation angles (order = x_qubits).
+    """
+    return _forward(psi0, theta_half, theta_x, x_qubits, n_qubits)
+
+
+def _forward(psi0, theta_half, theta_x, x_qubits, n_qubits):
+    n_steps, d = theta_half.shape
+    r = d // _LANES
+    n_row_bits = n_qubits - _LANE_QUBITS
+    row_rots, lane_rots = _split_qubits(x_qubits, n_qubits)
+    perms = np.stack([_xor_perm_matrix(1 << (n_qubits - 1 - q))
+                      for (_, q) in lane_rots]) if lane_rots else \
+        np.zeros((1, _LANES, _LANES), np.float32)
+
+    kernel = _make_forward_kernel(n_steps, row_rots, lane_rots, n_row_bits)
+    out_re, out_im = pl.pallas_call(
+        kernel,
+        grid=(n_steps,),
+        in_specs=[
+            pl.BlockSpec((1, r, _LANES), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, _LANES), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((r, _LANES), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((r, _LANES), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(perms.shape, lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(pl.BlockSpec((r, _LANES), lambda i: (0, 0),
+                                memory_space=pltpu.VMEM),
+                   pl.BlockSpec((r, _LANES), lambda i: (0, 0),
+                                memory_space=pltpu.VMEM)),
+        out_shape=(jax.ShapeDtypeStruct((r, _LANES), jnp.float32),
+                   jax.ShapeDtypeStruct((r, _LANES), jnp.float32)),
+        scratch_shapes=[pltpu.VMEM((r, _LANES), jnp.float32),
+                        pltpu.VMEM((r, _LANES), jnp.float32)],
+        interpret=(jax.default_backend() == "cpu"),
+    )(theta_half.reshape(n_steps, r, _LANES).astype(jnp.float32),
+      _pad_tx(theta_x),
+      psi0.re.reshape(r, _LANES).astype(jnp.float32),
+      psi0.im.reshape(r, _LANES).astype(jnp.float32),
+      jnp.asarray(perms))
+    return CP(out_re.reshape(d), out_im.reshape(d))
+
+
+def _fwd(psi0, theta_half, theta_x, x_qubits, n_qubits):
+    out = _forward(psi0, theta_half, theta_x, x_qubits, n_qubits)
+    return out, (out, theta_half, theta_x)
+
+
+def _bwd(x_qubits, n_qubits, residuals, lam):
+    psi_T, theta_half, theta_x = residuals
+    n_steps, d = theta_half.shape
+    r = d // _LANES
+    n_row_bits = n_qubits - _LANE_QUBITS
+    row_rots, lane_rots = _split_qubits(x_qubits, n_qubits)
+    perms = np.stack([_xor_perm_matrix(1 << (n_qubits - 1 - q))
+                      for (_, q) in lane_rots]) if lane_rots else \
+        np.zeros((1, _LANES, _LANES), np.float32)
+
+    kernel = _make_backward_kernel(n_steps, row_rots, lane_rots, n_row_bits)
+    rev = lambda i: (n_steps - 1 - i, 0, 0)  # noqa: E731
+    gth, gtx, gp_re, gp_im = pl.pallas_call(
+        kernel,
+        grid=(n_steps,),
+        in_specs=[
+            pl.BlockSpec((1, r, _LANES), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, _LANES), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((r, _LANES), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((r, _LANES), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((r, _LANES), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((r, _LANES), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(perms.shape, lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, r, _LANES), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, _LANES), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((r, _LANES), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((r, _LANES), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((n_steps, r, _LANES), jnp.float32),
+            jax.ShapeDtypeStruct((n_steps, 1, _LANES), jnp.float32),
+            jax.ShapeDtypeStruct((r, _LANES), jnp.float32),
+            jax.ShapeDtypeStruct((r, _LANES), jnp.float32),
+        ),
+        scratch_shapes=[pltpu.VMEM((r, _LANES), jnp.float32),
+                        pltpu.VMEM((r, _LANES), jnp.float32),
+                        pltpu.VMEM((r, _LANES), jnp.float32),
+                        pltpu.VMEM((r, _LANES), jnp.float32)],
+        interpret=(jax.default_backend() == "cpu"),
+    )(theta_half.reshape(n_steps, r, _LANES).astype(jnp.float32),
+      _pad_tx(theta_x),
+      psi_T.re.reshape(r, _LANES).astype(jnp.float32),
+      psi_T.im.reshape(r, _LANES).astype(jnp.float32),
+      lam.re.reshape(r, _LANES).astype(jnp.float32),
+      lam.im.reshape(r, _LANES).astype(jnp.float32),
+      jnp.asarray(perms))
+    return (CP(gp_re.reshape(d), gp_im.reshape(d)),
+            gth.reshape(n_steps, d).astype(theta_half.dtype),
+            gtx[:, 0, :theta_x.shape[1]].astype(theta_x.dtype))
+
+
+fused_product_evolve.defvjp(_fwd, _bwd)

@@ -1,0 +1,66 @@
+"""Fused Pallas whole-evolution kernel vs the XLA product backend —
+forward states and custom-VJP gradients (interpret mode on CPU; the real
+TPU path is exercised by bench.py)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from diffquantum_tpu.dynamics.product import (evolve_product,
+                                              evolve_product_fused,
+                                              fused_eligible)
+from diffquantum_tpu.models import maxcut
+from diffquantum_tpu.ops import cpx
+
+
+def make(n=10, n_basis=4, seed=0):
+    prob = maxcut.build_maxcut(n, maxcut.ring_graph(n), n_basis=n_basis,
+                               dense=False)
+    rng = np.random.default_rng(seed)
+    coeff = jnp.asarray(
+        rng.standard_normal(prob.envelope.coeff_shape).astype(np.float32)
+        * 0.4)
+    return prob, coeff
+
+
+def test_fused_eligibility():
+    prob, _ = make(10)
+    assert fused_eligible(prob.ham)
+    small = maxcut.build_maxcut(4, maxcut.ring_graph(4), dense=False)
+    assert not fused_eligible(small.ham)  # < 10 qubits
+
+
+def test_fused_forward_matches_xla():
+    prob, coeff = make(10)
+    n_steps = 12
+    want = evolve_product(prob.ham, prob.envelope, coeff, prob.psi0, 0.0,
+                          prob.T, horizon=prob.T, n_steps=n_steps)
+    got = evolve_product_fused(prob.ham, prob.envelope, coeff, prob.psi0,
+                               0.0, prob.T, horizon=prob.T, n_steps=n_steps)
+    # f32 path: different (but mathematically identical) op ordering than
+    # the XLA scan → agreement at f32 roundoff
+    f = abs(np.vdot(cpx.to_complex(want), cpx.to_complex(got))) ** 2
+    assert f > 1 - 1e-5, f
+    np.testing.assert_allclose(cpx.to_complex(got), cpx.to_complex(want),
+                               atol=5e-5)
+
+
+def test_fused_gradient_matches_xla_adjoint():
+    prob, coeff = make(10, seed=1)
+    n_steps = 10
+
+    def loss_fused(c):
+        psi = evolve_product_fused(prob.ham, prob.envelope, c, prob.psi0,
+                                   0.0, prob.T, horizon=prob.T,
+                                   n_steps=n_steps)
+        return jnp.sum(cpx.abs2(psi) * prob.measurement.diag, axis=-1)
+
+    def loss_xla(c):
+        psi = evolve_product(prob.ham, prob.envelope, c, prob.psi0, 0.0,
+                             prob.T, horizon=prob.T, n_steps=n_steps)
+        return jnp.sum(cpx.abs2(psi) * prob.measurement.diag, axis=-1)
+
+    v1, g1 = jax.value_and_grad(loss_fused)(coeff)
+    v2, g2 = jax.value_and_grad(loss_xla)(coeff)
+    assert abs(float(v1) - float(v2)) < 1e-5
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2),
+                               rtol=2e-3, atol=2e-5)
