@@ -47,7 +47,8 @@ def amortized_step_latency(step_fn, coeff, chain: int = 10, n_runs: int = 15):
         return out
 
     chained_j = jax.jit(chained)
-    single = median_latency(lambda c: step_fn(c)[1], (coeff,), n_runs=n_runs)
+    single_j = jax.jit(lambda c: step_fn(c)[1])
+    single = median_latency(single_j, (coeff,), n_runs=n_runs)
     multi = median_latency(chained_j, (coeff,), n_runs=n_runs)
     return multi / chain, single
 
@@ -92,8 +93,8 @@ def main():
     coeff = jnp.asarray(rng.standard_normal(
         prob.envelope.coeff_shape).astype(np.float32) * 1e-3)
 
-    per_step, single = amortized_step_latency(grad_step, coeff)
-    ms = per_step * 1e3
+    lat_step, single = amortized_step_latency(grad_step, coeff)
+    ms = lat_step * 1e3
     print(json.dumps({"metric": "qaoa12_grad_step_single_dispatch",
                       "value": round(single * 1e3, 3), "unit": "ms"}),
           file=sys.stderr)
@@ -104,10 +105,12 @@ def main():
                                      dense=False)
         ns10 = reference_n_steps(per_step, 0.0, prob10.T)
 
+        evolver10 = evolve_product_fused if fused_eligible(prob10.ham) \
+            else evolve_product
+
         def fwd_loss(c):
-            psi = evolve_product(prob10.ham, prob10.envelope, c, prob10.psi0,
-                                 0.0, prob10.T, horizon=prob10.T,
-                                 n_steps=ns10)
+            psi = evolver10(prob10.ham, prob10.envelope, c, prob10.psi0,
+                            0.0, prob10.T, horizon=prob10.T, n_steps=ns10)
             return jnp.sum(cpx.abs2(psi) * prob10.measurement.diag, axis=-1)
 
         c10 = jnp.asarray(rng.standard_normal(
