@@ -227,10 +227,6 @@ def _make_backward_kernel(n_steps, row_rots, lane_rots, n_row_bits):
     return kernel
 
 
-def _vmem_specs(n_extra=0):
-    return pl.BlockSpec(memory_space=pltpu.VMEM)
-
-
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
 def fused_product_evolve(psi0: CP, theta_half: jnp.ndarray,
                          theta_x: jnp.ndarray, x_qubits: tuple,
