@@ -73,6 +73,21 @@ def envelope_sensitivity(envelope, coeff: jnp.ndarray, s, T,
     raise ValueError(f"unknown chain mode {chain!r}")
 
 
+def envelope_jacobian(envelope, coeff: jnp.ndarray, s, T) -> jnp.ndarray:
+    """du_k(s)/dcoeff for ANY envelope model, by autodiff.
+
+    Returns [n_controls, *coeff.shape]. The closed form above only covers
+    the simple model (each control owns disjoint coefficient rows); the
+    carrier/channel model shares coefficient rows across channels, so the
+    full Jacobian is needed. Cost: one reverse pass per control of a
+    scalar-output envelope evaluation — negligible next to the evolutions.
+    """
+    def u_at_s(c):
+        return envelope.amplitudes(c, jnp.asarray(s)[None], T)[:, 0]
+
+    return jax.jacrev(u_at_s)(coeff)
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("envelope", "T", "n_steps", "backend", "r",
@@ -103,7 +118,12 @@ def mc_energy_grad(
     k_s, k_meas = jax.random.split(key)
     s = jax.random.uniform(k_s, dtype=jnp.result_type(float)) * T
 
-    dDdc = envelope_sensitivity(envelope, coeff, s, T, chain)
+    simple_model = hasattr(envelope, "omegas")
+    if simple_model:
+        dDdc = envelope_sensitivity(envelope, coeff, s, T, chain)
+    else:
+        # channel/carrier model: full Jacobian [n_controls, *coeff.shape]
+        dDdc = envelope_jacobian(envelope, coeff, s, T)
 
     # --- evolve to the sampled split time ------------------------------
     phi = evolve(ham, envelope, coeff, psi0, 0.0, s, horizon=T,
@@ -159,7 +179,10 @@ def mc_energy_grad(
     factor = coeff_sign * (1.0 + r * r) / (2.0 * r)
     ps_k = factor * (ps_m - ps_p)  # [n_Hs] real
 
-    return ps_k[:, None] * dDdc
+    if simple_model:
+        return ps_k[:, None] * dDdc
+    # channel model: contract the control axis of the full Jacobian
+    return jnp.tensordot(ps_k.astype(dDdc.dtype), dDdc, axes=1)
 
 
 def mc_energy_grad_batch(ham, envelope, measurement, coeff, psi0, T, key,
