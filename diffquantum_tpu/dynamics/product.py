@@ -180,21 +180,63 @@ def evolve_product_fused(
 
     dt = (T - T0) / n_steps
     ts = T0 + dt * jnp.arange(n_steps, dtype=jnp.result_type(float))
-    u = envelope.amplitudes(coeff, ts, horizon)  # [n_controls, n_steps]
     rdt = jnp.float32
-    dt = jnp.asarray(dt, rdt)
+    dtc = jnp.asarray(dt, rdt)
 
     diag_table = jnp.asarray(np.stack(diag_rows), dtype=rdt) if diag_rows \
         else jnp.zeros((0, ham.dim), dtype=rdt)
     h0_vec = jnp.asarray(h0_diag, dtype=rdt)
-    u_diag = (u[jnp.asarray(diag_idx, dtype=jnp.int32)] if diag_idx else
+    di = jnp.asarray(diag_idx, dtype=jnp.int32)
+    qi = jnp.asarray(oneq_idx, dtype=jnp.int32)
+
+    batched = psi0.ndim > 1
+    per_seed = coeff.ndim == len(envelope.coeff_shape) + 1
+    if batched:
+        from ..ops.fused_product import fused_product_evolve_batched
+        b = psi0.shape[0]
+        if per_seed:
+            u = jax.vmap(lambda c: envelope.amplitudes(c, ts, horizon))(coeff)
+        else:
+            u1 = envelope.amplitudes(coeff, ts, horizon)
+            u = jnp.broadcast_to(u1[None], (b,) + u1.shape)
+        # u: [B, n_controls, n_steps]
+        u_diag = jnp.take(u, di, axis=1).astype(rdt)   # [B, n_diag, T]
+        u_oneq = jnp.take(u, qi, axis=1).astype(rdt)   # [B, n_x, T]
+        theta_half = 0.5 * dtc * (h0_vec[None, None, :]
+                                  + jnp.einsum("bkt,kd->tbd", u_diag,
+                                               diag_table))
+        theta_x = dtc * jnp.moveaxis(u_oneq, 2, 0)     # [T, B, n_x]
+
+        # chunk the batch so the backward kernel's VMEM footprint
+        # (~14 state-sized buffers) stays under the ~16 MiB budget
+        r_rows = ham.dim // 128
+        bytes_per_seed = r_rows * 128 * 4 * 14
+        b_max = max(1, int((12 * 2**20) // bytes_per_seed))
+        chunk = 1
+        while chunk * 2 <= min(b, b_max):
+            chunk *= 2
+        if chunk >= b:
+            return fused_product_evolve_batched(
+                psi0.astype(rdt), theta_half, theta_x, tuple(oneq_qubits), n)
+        outs = []
+        psi32 = psi0.astype(rdt)
+        for s0 in range(0, b, chunk):
+            sl = slice(s0, min(s0 + chunk, b))
+            outs.append(fused_product_evolve_batched(
+                psi32[sl], theta_half[:, sl], theta_x[:, sl],
+                tuple(oneq_qubits), n))
+        return CP(jnp.concatenate([o.re for o in outs], axis=0),
+                  jnp.concatenate([o.im for o in outs], axis=0))
+
+    u = envelope.amplitudes(coeff, ts, horizon)  # [n_controls, n_steps]
+    u_diag = (u[di] if diag_idx else
               jnp.zeros((0, n_steps), dtype=u.dtype)).astype(rdt)
-    u_oneq = (u[jnp.asarray(oneq_idx, dtype=jnp.int32)] if oneq_idx else
+    u_oneq = (u[qi] if oneq_idx else
               jnp.zeros((0, n_steps), dtype=u.dtype)).astype(rdt)
 
     # per-step angle tables for the kernel
-    theta_half = 0.5 * dt * (h0_vec[None, :] + u_diag.T @ diag_table)
-    theta_x = dt * u_oneq.T  # [n_steps, n_x]
+    theta_half = 0.5 * dtc * (h0_vec[None, :] + u_diag.T @ diag_table)
+    theta_x = dtc * u_oneq.T  # [n_steps, n_x]
 
     out = fused_product_evolve(psi0.astype(rdt), theta_half, theta_x,
                                tuple(oneq_qubits), n)

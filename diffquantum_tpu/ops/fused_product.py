@@ -347,3 +347,269 @@ def _bwd(x_qubits, n_qubits, residuals, lam):
 
 
 fused_product_evolve.defvjp(_fwd, _bwd)
+
+
+# ===========================================================================
+# Batched (seed-parallel) variant: states [B, 2^n] with PER-SEED angles —
+# the data-parallel training shape. Same math; blocks carry a leading B dim
+# ([B, R, 128] state, per-step angle blocks [B, R, 128] / [B, 128]).
+# ===========================================================================
+
+def _bflip_row(x: jnp.ndarray, bit: int) -> jnp.ndarray:
+    """Row-bit swap on [B, R, 128]."""
+    b, r, _ = x.shape
+    hi = 2**bit
+    lo = r // (hi * 2)
+    y = x.reshape(b, hi, 2, lo, _LANES)
+    y = jnp.concatenate([y[:, :, 1:2], y[:, :, 0:1]], axis=2)
+    return y.reshape(b, r, _LANES)
+
+
+def _blane_dot(x: jnp.ndarray, p: jnp.ndarray) -> jnp.ndarray:
+    """[B, R, 128] @ [128, 128] via a flattened MXU matmul."""
+    b, r, _ = x.shape
+    return jnp.dot(x.reshape(b * r, _LANES), p,
+                   preferred_element_type=jnp.float32).reshape(b, r, _LANES)
+
+
+def _make_forward_kernel_b(n_steps, row_rots, lane_rots):
+    def kernel(th_ref, tx_ref, pin_re, pin_im, perms_ref, out_re, out_im,
+               s_re, s_im):
+        i = pl.program_id(0)
+
+        @pl.when(i == 0)
+        def _():
+            s_re[:] = pin_re[:]
+            s_im[:] = pin_im[:]
+
+        def phase():
+            th = th_ref[0]  # [B, R, 128]
+            c, s = jnp.cos(th), jnp.sin(th)
+            re = c * s_re[:] + s * s_im[:]
+            im = c * s_im[:] - s * s_re[:]
+            s_re[:] = re
+            s_im[:] = im
+
+        def rot(j, g_of):
+            th = tx_ref[0, j]  # [B, 1, 128] (angle replicated along lanes)
+            c, s = jnp.cos(th), jnp.sin(th)
+            g_re = g_of(s_re[:])
+            g_im = g_of(s_im[:])
+            re = c * s_re[:] + s * g_im
+            im = c * s_im[:] - s * g_re
+            s_re[:] = re
+            s_im[:] = im
+
+        phase()
+        for (j, q) in row_rots:
+            rot(j, lambda v, q=q: _bflip_row(v, q))
+        for li, (j, q) in enumerate(lane_rots):
+            p = perms_ref[li]
+            rot(j, lambda v, p=p: _blane_dot(v, p))
+        phase()
+
+        @pl.when(i == n_steps - 1)
+        def _():
+            out_re[:] = s_re[:]
+            out_im[:] = s_im[:]
+
+    return kernel
+
+
+def _make_backward_kernel_b(n_steps, row_rots, lane_rots):
+    def kernel(th_ref, tx_ref, pT_re, pT_im, lamT_re, lamT_im, perms_ref,
+               gth_ref, gtx_ref, gp0_re, gp0_im, y_re, y_im, l_re, l_im):
+        i = pl.program_id(0)
+
+        @pl.when(i == 0)
+        def _():
+            y_re[:] = pT_re[:]
+            y_im[:] = pT_im[:]
+            l_re[:] = lamT_re[:]
+            l_im[:] = lamT_im[:]
+
+        th = th_ref[0]
+        c, s = jnp.cos(th), jnp.sin(th)
+        g_rot = {}
+
+        def undo_phase(gth):
+            gth = gth + (l_re[:] * y_im[:] - l_im[:] * y_re[:])
+            re = c * y_re[:] - s * y_im[:]
+            im = s * y_re[:] + c * y_im[:]
+            y_re[:] = re
+            y_im[:] = im
+            re = c * l_re[:] - s * l_im[:]
+            im = s * l_re[:] + c * l_im[:]
+            l_re[:] = re
+            l_im[:] = im
+            return gth
+
+        gth = undo_phase(jnp.zeros_like(th))
+
+        def undo_rot(j, g_of):
+            thx = tx_ref[0, j]  # [B, 1, 128]
+            cx, sx = jnp.cos(thx), jnp.sin(thx)
+            gy_re = g_of(y_re[:])
+            gy_im = g_of(y_im[:])
+            x_re = cx * y_re[:] - sx * gy_im
+            x_im = cx * y_im[:] + sx * gy_re
+            gx_re = g_of(x_re)
+            gx_im = g_of(x_im)
+            contrib = (l_re[:] * (-sx * x_re + cx * gx_im)
+                       + l_im[:] * (-sx * x_im - cx * gx_re))  # [B, R, 128]
+            # rank-2 all the way (Mosaic dislikes rank-1 intermediates)
+            g_rot[j] = jnp.sum(jnp.sum(contrib, axis=2), axis=1,
+                               keepdims=True)  # [B, 1]
+            gl_re = g_of(l_re[:])
+            gl_im = g_of(l_im[:])
+            nl_re = cx * l_re[:] - sx * gl_im
+            nl_im = cx * l_im[:] + sx * gl_re
+            y_re[:] = x_re
+            y_im[:] = x_im
+            l_re[:] = nl_re
+            l_im[:] = nl_im
+
+        for li in range(len(lane_rots) - 1, -1, -1):
+            j, q = lane_rots[li]
+            p = perms_ref[li]
+            undo_rot(j, lambda v, p=p: _blane_dot(v, p))
+        for (j, q) in reversed(row_rots):
+            undo_rot(j, lambda v, q=q: _bflip_row(v, q))
+
+        gth = undo_phase(gth)
+        gth_ref[0] = gth
+
+        b = gth.shape[0]
+        lane_ids = jax.lax.broadcasted_iota(jnp.int32, (b, _LANES), 1)
+        row = jnp.zeros((b, _LANES), jnp.float32)
+        for j, g in g_rot.items():
+            row = jnp.where(lane_ids == j, g, row)  # g [B,1] broadcasts
+        gtx_ref[0] = row
+
+        @pl.when(i == n_steps - 1)
+        def _():
+            gp0_re[:] = l_re[:]
+            gp0_im[:] = l_im[:]
+
+    return kernel
+
+
+def _pad_tx_b(theta_x: jnp.ndarray) -> jnp.ndarray:
+    """[n_steps, B, n_x] → [n_steps, n_x, B, 1, 128] f32, each angle
+    replicated along the lane axis so kernel reads are rank-3 blocks
+    (Mosaic's layout inference rejects rank-1 intermediates)."""
+    n_steps, b, n_x = theta_x.shape
+    t = jnp.moveaxis(theta_x.astype(jnp.float32), 2, 1)  # [T, n_x, B]
+    return jnp.broadcast_to(t[:, :, :, None, None],
+                            (n_steps, n_x, b, 1, _LANES))
+
+
+def _common_b(theta_half, x_qubits, n_qubits):
+    n_steps, b, d = theta_half.shape
+    r = d // _LANES
+    row_rots, lane_rots = _split_qubits(x_qubits, n_qubits)
+    perms = np.stack([_xor_perm_matrix(1 << (n_qubits - 1 - q))
+                      for (_, q) in lane_rots]) if lane_rots else \
+        np.zeros((1, _LANES, _LANES), np.float32)
+    return n_steps, b, d, r, row_rots, lane_rots, perms
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def fused_product_evolve_batched(psi0: CP, theta_half: jnp.ndarray,
+                                 theta_x: jnp.ndarray, x_qubits: tuple,
+                                 n_qubits: int) -> CP:
+    """Batched fused evolution: psi0 CP [B, 2^n], theta_half
+    [n_steps, B, 2^n], theta_x [n_steps, B, n_x] — per-seed pulses."""
+    return _forward_b(psi0, theta_half, theta_x, x_qubits, n_qubits)
+
+
+def _forward_b(psi0, theta_half, theta_x, x_qubits, n_qubits):
+    n_steps, b, d, r, row_rots, lane_rots, perms = _common_b(
+        theta_half, x_qubits, n_qubits)
+    kernel = _make_forward_kernel_b(n_steps, row_rots, lane_rots)
+    n_x = max(theta_x.shape[2], 1)
+    state_spec = pl.BlockSpec((b, r, _LANES), lambda i: (0, 0, 0),
+                              memory_space=pltpu.VMEM)
+    out_re, out_im = pl.pallas_call(
+        kernel,
+        grid=(n_steps,),
+        in_specs=[
+            pl.BlockSpec((1, b, r, _LANES), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n_x, b, 1, _LANES),
+                         lambda i: (i, 0, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            state_spec, state_spec,
+            pl.BlockSpec(perms.shape, lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(state_spec, state_spec),
+        out_shape=(jax.ShapeDtypeStruct((b, r, _LANES), jnp.float32),
+                   jax.ShapeDtypeStruct((b, r, _LANES), jnp.float32)),
+        scratch_shapes=[pltpu.VMEM((b, r, _LANES), jnp.float32),
+                        pltpu.VMEM((b, r, _LANES), jnp.float32)],
+        interpret=(jax.default_backend() == "cpu"),
+    )(theta_half.reshape(n_steps, b, r, _LANES).astype(jnp.float32),
+      _pad_tx_b(theta_x),
+      psi0.re.reshape(b, r, _LANES).astype(jnp.float32),
+      psi0.im.reshape(b, r, _LANES).astype(jnp.float32),
+      jnp.asarray(perms))
+    return CP(out_re.reshape(b, d), out_im.reshape(b, d))
+
+
+def _fwd_b(psi0, theta_half, theta_x, x_qubits, n_qubits):
+    out = _forward_b(psi0, theta_half, theta_x, x_qubits, n_qubits)
+    return out, (out, theta_half, theta_x)
+
+
+def _bwd_b(x_qubits, n_qubits, residuals, lam):
+    psi_T, theta_half, theta_x = residuals
+    n_steps, b, d, r, row_rots, lane_rots, perms = _common_b(
+        theta_half, x_qubits, n_qubits)
+    kernel = _make_backward_kernel_b(n_steps, row_rots, lane_rots)
+    n_x = max(theta_x.shape[2], 1)
+    rev4 = lambda i: (n_steps - 1 - i, 0, 0, 0)  # noqa: E731
+    rev3 = lambda i: (n_steps - 1 - i, 0, 0)  # noqa: E731
+    rev5 = lambda i: (n_steps - 1 - i, 0, 0, 0, 0)  # noqa: E731
+    state_spec = pl.BlockSpec((b, r, _LANES), lambda i: (0, 0, 0),
+                              memory_space=pltpu.VMEM)
+    gth, gtx, gp_re, gp_im = pl.pallas_call(
+        kernel,
+        grid=(n_steps,),
+        in_specs=[
+            pl.BlockSpec((1, b, r, _LANES), rev4, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n_x, b, 1, _LANES), rev5,
+                         memory_space=pltpu.VMEM),
+            state_spec, state_spec, state_spec, state_spec,
+            pl.BlockSpec(perms.shape, lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, b, r, _LANES), rev4, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, b, _LANES), rev3, memory_space=pltpu.VMEM),
+            state_spec, state_spec,
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((n_steps, b, r, _LANES), jnp.float32),
+            jax.ShapeDtypeStruct((n_steps, b, _LANES), jnp.float32),
+            jax.ShapeDtypeStruct((b, r, _LANES), jnp.float32),
+            jax.ShapeDtypeStruct((b, r, _LANES), jnp.float32),
+        ),
+        scratch_shapes=[pltpu.VMEM((b, r, _LANES), jnp.float32),
+                        pltpu.VMEM((b, r, _LANES), jnp.float32),
+                        pltpu.VMEM((b, r, _LANES), jnp.float32),
+                        pltpu.VMEM((b, r, _LANES), jnp.float32)],
+        interpret=(jax.default_backend() == "cpu"),
+    )(theta_half.reshape(n_steps, b, r, _LANES).astype(jnp.float32),
+      _pad_tx_b(theta_x),
+      psi_T.re.reshape(b, r, _LANES).astype(jnp.float32),
+      psi_T.im.reshape(b, r, _LANES).astype(jnp.float32),
+      lam.re.reshape(b, r, _LANES).astype(jnp.float32),
+      lam.im.reshape(b, r, _LANES).astype(jnp.float32),
+      jnp.asarray(perms))
+    return (CP(gp_re.reshape(b, d), gp_im.reshape(b, d)),
+            gth.reshape(n_steps, b, d).astype(theta_half.dtype),
+            gtx[:, :, :theta_x.shape[2]].astype(theta_x.dtype))
+
+
+fused_product_evolve_batched.defvjp(_fwd_b, _bwd_b)

@@ -78,26 +78,51 @@ def train_energy_seeds(
         spec = (data_axis,) + (None,) * (coeffs.ndim - 1)
         coeffs = jax.device_put(coeffs, NamedSharding(mesh, P(*spec)))
 
-    def loss_fn(c):
-        psi = evolve(ham, envelope, c, psi0, 0.0, T, horizon=T,
-                     n_steps=n_steps, backend=config.backend)
-        if measurement.diag is not None:
-            return jnp.sum(cpx.abs2(psi) * measurement.diag, axis=-1)
-        from ..measure import exact_expectation
-        return exact_expectation(measurement.matrix, psi)
+    # single-chip + eligible structured problem → the batched fused Pallas
+    # kernel evolves ALL seeds in one program (a pallas_call is not
+    # SPMD-shardable, so the mesh path keeps the vmapped XLA evolution)
+    from ..dynamics.product import evolve_product_fused, fused_eligible
+    use_fused = (mesh is None and config.backend in ("auto", "product_fused")
+                 and fused_eligible(ham) and measurement.diag is not None)
+    psi_batch = jax.tree_util.tree_map(
+        lambda x: jnp.broadcast_to(x, (n_seeds,) + x.shape), psi0)
 
-    def one_step(c, opt_state):
-        loss, g = jax.value_and_grad(loss_fn)(c)
-        updates, opt_state = opt.update(g, opt_state, c)
-        return optax.apply_updates(c, updates), opt_state, loss
+    if use_fused:
+        def batch_energies(cs):
+            psi = evolve_product_fused(ham, envelope, cs, psi_batch, 0.0, T,
+                                       horizon=T, n_steps=n_steps)
+            return jnp.sum(cpx.abs2(psi) * measurement.diag, axis=-1)
+    else:
+        def seed_energy(c, p):
+            psi = evolve(ham, envelope, c, p, 0.0, T, horizon=T,
+                         n_steps=n_steps, backend=config.backend)
+            if measurement.diag is not None:
+                return jnp.sum(cpx.abs2(psi) * measurement.diag, axis=-1)
+            from ..measure import exact_expectation
+            return exact_expectation(measurement.matrix, psi)
+
+        def batch_energies(cs):
+            return jax.vmap(seed_energy)(cs, psi_batch)
+
+    def one_step(cs, opt_state):
+        # sum over seeds decouples: the gradient retains per-seed blocks,
+        # and adam is elementwise so one optimizer over [B, ...] equals
+        # B independent optimizers.
+        def total(c):
+            e = batch_energies(c)
+            return e.sum(), e
+
+        (_, energies), g = jax.value_and_grad(total, has_aux=True)(cs)
+        updates, opt_state = opt.update(g, opt_state, cs)
+        return optax.apply_updates(cs, updates), opt_state, energies
 
     @jax.jit
     def run(coeffs):
-        opt_states = jax.vmap(opt.init)(coeffs)
+        opt_states = opt.init(coeffs)
 
         def epoch(carry, _):
             cs, oss = carry
-            cs, oss, losses = jax.vmap(one_step)(cs, oss)
+            cs, oss, losses = one_step(cs, oss)
             return (cs, oss), losses
 
         (cs, _), losses = jax.lax.scan(epoch, (coeffs, opt_states), None,

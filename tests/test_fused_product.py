@@ -44,6 +44,40 @@ def test_fused_forward_matches_xla():
                                atol=5e-5)
 
 
+def test_fused_batched_per_seed_matches_xla():
+    prob, _ = make(10)
+    rng = np.random.default_rng(3)
+    b = 4
+    coeffs = jnp.asarray(rng.standard_normal(
+        (b,) + prob.envelope.coeff_shape).astype(np.float32) * 0.3)
+    batch = jax.tree_util.tree_map(lambda x: jnp.stack([x] * b), prob.psi0)
+    n_steps = 8
+    got = evolve_product_fused(prob.ham, prob.envelope, coeffs, batch, 0.0,
+                               prob.T, horizon=prob.T, n_steps=n_steps)
+    want = jax.vmap(lambda c, p: evolve_product(
+        prob.ham, prob.envelope, c, p, 0.0, prob.T, horizon=prob.T,
+        n_steps=n_steps))(coeffs, batch)
+    np.testing.assert_allclose(cpx.to_complex(got), cpx.to_complex(want),
+                               atol=5e-5)
+
+    # gradient of the batch-summed energy
+    def loss_f(cs):
+        psi = evolve_product_fused(prob.ham, prob.envelope, cs, batch, 0.0,
+                                   prob.T, horizon=prob.T, n_steps=n_steps)
+        return jnp.sum(cpx.abs2(psi) * prob.measurement.diag)
+
+    def loss_x(cs):
+        psi = jax.vmap(lambda c, p: evolve_product(
+            prob.ham, prob.envelope, c, p, 0.0, prob.T, horizon=prob.T,
+            n_steps=n_steps))(cs, batch)
+        return jnp.sum(cpx.abs2(psi) * prob.measurement.diag)
+
+    g_f = jax.grad(loss_f)(coeffs)
+    g_x = jax.grad(loss_x)(coeffs)
+    np.testing.assert_allclose(np.asarray(g_f), np.asarray(g_x),
+                               rtol=2e-3, atol=2e-5)
+
+
 def test_fused_gradient_matches_xla_adjoint():
     prob, coeff = make(10, seed=1)
     n_steps = 10
