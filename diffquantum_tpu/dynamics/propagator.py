@@ -158,6 +158,58 @@ def evolve(
     raise ValueError(f"unknown backend {backend!r}")
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("envelope", "horizon", "n_steps", "backend", "tol"))
+def evolve_trajectory(
+    ham: ControlledHamiltonian,
+    envelope,
+    coeff: jnp.ndarray,
+    psi0: CP,
+    T0,
+    T,
+    horizon: float,
+    n_steps: int,
+    backend: str = "auto",
+    tol: float = 1e-7,
+) -> CP:
+    """Like :func:`evolve` but returns the state at EVERY grid point —
+    CP [n_steps + 1, ..., d] including psi(T0) — the trajectory semantics of
+    the reference's ``qp.mesolve(H, psi0, ts).states``
+    (`/root/reference/sim_plain.py:330,386,448`)."""
+    dt = (T - T0) / n_steps
+    ts = T0 + dt * jnp.arange(n_steps, dtype=jnp.result_type(float))
+    u = envelope.amplitudes(coeff, ts, horizon)
+
+    dt_bound = float(horizon) / n_steps
+    a_bound = dt_bound * ham.norm_bound(_amplitude_bound(envelope))
+    d = ham.dim
+    psi0 = psi0.astype(ham.dtype)
+    u_steps = u.T.astype(ham.dtype)
+    dt_c = jnp.asarray(dt, dtype=ham.dtype)
+
+    use_expm = (backend == "expm" or
+                (backend == "auto" and d < 512 and psi0.ndim == 1
+                 and not ham.is_structured_only))
+
+    def step(psi, u_t):
+        if ham.is_structured_only:
+            raise ValueError("evolve_trajectory needs dense operators; use "
+                             "evolve_product per segment for structured H")
+        h_t = ham.at(u_t)
+        if use_expm:
+            e = cexpm_taylor(cpx.mulmi(cpx.rscale(h_t, dt_c)), a_bound, tol)
+            out = cpx.matvec(e, psi)
+        else:
+            out = cexpm_apply_taylor(h_t, psi, jnp.zeros_like(dt_c), -dt_c,
+                                     a_bound, tol)
+        return out, out
+
+    _, traj = jax.lax.scan(step, psi0, u_steps)
+    return CP(jnp.concatenate([psi0.re[None], traj.re], axis=0),
+              jnp.concatenate([psi0.im[None], traj.im], axis=0))
+
+
 def trotter(ham: ControlledHamiltonian, envelope, coeff, psi0: CP, T0: float,
             T: float, horizon: Optional[float] = None, per_step: int = 10,
             **kw) -> CP:
