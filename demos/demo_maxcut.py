@@ -9,7 +9,6 @@ import sys
 
 sys.path.insert(0, ".")
 
-import jax.numpy as jnp  # noqa: E402
 
 from diffquantum_tpu.models import maxcut  # noqa: E402
 from diffquantum_tpu.train import TrainConfig, train_energy  # noqa: E402

@@ -30,7 +30,6 @@ training works on the sharded path.
 """
 from __future__ import annotations
 
-import functools
 from typing import Optional
 
 import jax

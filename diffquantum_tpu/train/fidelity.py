@@ -18,7 +18,7 @@ gradients of the batch-mean infidelity.
 """
 from __future__ import annotations
 
-import dataclasses
+
 import time
 from typing import Optional
 

@@ -1,6 +1,5 @@
 """Reference-API compatibility layer: diffqc module + SimulatorPlain."""
 import numpy as np
-import pytest
 
 from diffquantum_tpu.compat import diffqc
 from diffquantum_tpu.compat.sim_plain import SimulatorPlain

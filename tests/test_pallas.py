@@ -1,6 +1,5 @@
 """Fused Pallas Taylor-apply kernel vs the plain CP implementation
 (interpret mode on CPU; the real-TPU path is exercised by bench.py)."""
-import jax.numpy as jnp
 import numpy as np
 import scipy.linalg
 

@@ -2,11 +2,9 @@
 region, control reaches high fidelity (SURVEY.md §4 oracle #5)."""
 import jax.numpy as jnp
 import numpy as np
-import pytest
 
 from diffquantum_tpu.models import control, maxcut, vqe_h2
 from diffquantum_tpu.train import TrainConfig, train_energy, train_fidelity
-from diffquantum_tpu.ops import linalg
 
 
 def test_maxcut_demo_adjoint_converges():
