@@ -124,6 +124,28 @@ def main():
     except Exception as e:  # secondary metric must not kill the headline
         print(f"secondary bench failed: {e}", file=sys.stderr)
 
+    # stretch config (BASELINE.md): 16 qubits, 1000-step chain, adjoint grad
+    try:
+        from diffquantum_tpu.ops import cpx as _c
+        prob16 = maxcut.build_maxcut(16, maxcut.ring_graph(16), n_basis=6,
+                                     dense=False)
+
+        def loss16(c):
+            psi = evolve_product_fused(prob16.ham, prob16.envelope, c,
+                                       prob16.psi0, 0.0, prob16.T,
+                                       horizon=prob16.T, n_steps=1000)
+            return jnp.sum(_c.abs2(psi) * prob16.measurement.diag, axis=-1)
+
+        g16 = jax.jit(lambda c: jax.value_and_grad(loss16)(c)[1])
+        c16 = jnp.asarray(rng.standard_normal(
+            prob16.envelope.coeff_shape).astype(np.float32) * 1e-3)
+        lat16 = median_latency(g16, (c16,), n_warmup=2, n_runs=8)
+        print(json.dumps({"metric": "stretch_16q_1000step_adjoint_grad",
+                          "value": round(lat16 * 1e3, 1), "unit": "ms"}),
+              file=sys.stderr)
+    except Exception as e:
+        print(f"stretch bench failed: {e}", file=sys.stderr)
+
     print(json.dumps({
         "metric": "qaoa12_pulse_grad_step_latency",
         "value": round(ms, 3),

@@ -111,6 +111,11 @@ def evolve(
         return evolve_product(ham, envelope, coeff, psi0, T0, T,
                               horizon=horizon, n_steps=n_steps,
                               dt_bound=dt_bound)
+    if ham.is_structured_only:
+        raise ValueError(
+            f"backend {backend!r} needs dense operators, but this "
+            "ControlledHamiltonian is structure-only (create_structured); "
+            "use backend='product'/'product_fused' or build with dense=True")
 
     dt = (T - T0) / n_steps
     ts = T0 + dt * jnp.arange(n_steps, dtype=jnp.result_type(float))
