@@ -104,29 +104,49 @@ def train_energy_seeds(
         def batch_energies(cs):
             return jax.vmap(seed_energy)(cs, psi_batch)
 
-    def one_step(cs, opt_state):
+    use_mc = config.grad_mode == "mc"
+    if use_mc:
+        from ..gradients.mc import mc_energy_grad
+
+        def seed_mc_grad(c, p, k):
+            return mc_energy_grad(ham, envelope, measurement, c, p, T, k,
+                                  config.n_step, backend=config.backend,
+                                  chain=config.mc_chain,
+                                  sampling=config.sampling_measure,
+                                  noisy=config.is_noisy,
+                                  per_pauli=config.per_pauli)
+
+    def one_step(cs, opt_state, key):
         # sum over seeds decouples: the gradient retains per-seed blocks,
         # and adam is elementwise so one optimizer over [B, ...] equals
         # B independent optimizers.
-        def total(c):
-            e = batch_energies(c)
-            return e.sum(), e
+        if use_mc:
+            energies = batch_energies(cs)
+            keys = jax.random.split(key, n_seeds)
+            g = jax.vmap(seed_mc_grad)(cs, psi_batch, keys)
+            g = g.astype(cs.dtype)
+        else:
+            def total(c):
+                e = batch_energies(c)
+                return e.sum(), e
 
-        (_, energies), g = jax.value_and_grad(total, has_aux=True)(cs)
+            (_, energies), g = jax.value_and_grad(total, has_aux=True)(cs)
         updates, opt_state = opt.update(g, opt_state, cs)
         return optax.apply_updates(cs, updates), opt_state, energies
 
     @jax.jit
     def run(coeffs):
         opt_states = opt.init(coeffs)
+        key0 = jax.random.PRNGKey(config.seed + 1)
 
-        def epoch(carry, _):
+        def epoch(carry, k):
             cs, oss = carry
-            cs, oss, losses = one_step(cs, oss)
+            cs, oss, losses = one_step(cs, oss, k)
             return (cs, oss), losses
 
-        (cs, _), losses = jax.lax.scan(epoch, (coeffs, opt_states), None,
-                                       length=config.n_epoch)
+        (cs, _), losses = jax.lax.scan(
+            epoch, (coeffs, opt_states),
+            jax.random.split(key0, config.n_epoch))
         return cs, losses
 
     ctx = mesh if mesh is not None else _null_ctx()

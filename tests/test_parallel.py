@@ -110,6 +110,18 @@ def test_sharded_per_seed_coefficients():
                                atol=1e-10)
 
 
+def test_train_energy_seeds_mc_mode():
+    # hardware-realistic (MC) gradients, many seeds, one compiled scan
+    prob = maxcut.demo_problem(dtype=F64)
+    cfg = TrainConfig(n_basis=6, n_epoch=60, lr=5e-2, dtype="float64",
+                      seed=0, grad_mode="mc", n_step=20)
+    res = train_energy_seeds(prob.ham, prob.envelope, prob.measurement,
+                             prob.psi0, prob.T, cfg, n_seeds=4)
+    assert res.losses.shape == (60, 4)
+    lam_min = float(np.min(prob.cost_diag))
+    assert res.best_loss - lam_min < 1.0
+
+
 def test_train_energy_seeds_batched():
     prob = maxcut.demo_problem(dtype=F64)
     cfg = TrainConfig(n_basis=6, n_epoch=40, lr=5e-2, dtype="float64", seed=0)
