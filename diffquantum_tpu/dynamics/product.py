@@ -138,10 +138,12 @@ def apply_structured_terms(ham: ControlledHamiltonian, psi: CP):
 
 
 def fused_eligible(ham: ControlledHamiltonian) -> bool:
-    """Whether the fused Pallas whole-evolution kernel applies: >=10 qubits
-    (sublane-aligned [2^(n-7), 128] state block), diagonal H0, and every 1q
-    term a Pauli-X."""
-    if ham.structure is None or ham.n_qubits < 10:
+    """Whether the fused Pallas whole-evolution kernel applies: 10-17 qubits
+    (sublane-aligned [2^(n-7), 128] state block; beyond 17 the backward
+    kernel's ~14 state-sized VMEM buffers exceed the 16 MiB budget — use the
+    XLA product backend or the sharded engine there), diagonal H0, and every
+    1q term a Pauli-X."""
+    if ham.structure is None or not (10 <= ham.n_qubits <= 17):
         return False
     if ham.h0_structure is None or ham.h0_structure.kind != "diag":
         return False
