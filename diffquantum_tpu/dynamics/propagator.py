@@ -100,7 +100,10 @@ def evolve(
         psi(T) as CP with the same shape as psi0.
     """
     if backend == "auto" and ham.is_structured_only:
-        backend = "product"
+        from .product import fused_eligible
+        on_tpu = jax.default_backend() in ("tpu", "axon")
+        backend = "product_fused" if (on_tpu and ham.dtype == jnp.float32
+                                      and fused_eligible(ham)) else "product"
     if backend == "product_fused":
         from .product import evolve_product_fused
         return evolve_product_fused(ham, envelope, coeff, psi0, T0, T,
