@@ -47,9 +47,14 @@ def _taylor_apply_kernel(order: int, substeps: int, zs_ref, h_re_ref,
     """
     zr = zs_ref[0, 0]
     zi = zs_ref[0, 1]
-    h_re_t = h_re_ref[:].T
-    h_im_t = h_im_ref[:].T
-    h_sum_t = h_re_t + h_im_t
+
+    # y[b, i] = sum_j x[b, j] H[i, j]: contract dim 1 of x with dim 1 of H —
+    # no materialized transpose (a d x d transpose buffer blew the VMEM
+    # budget at d = 1024)
+    def mm_t(x, h):
+        return jax.lax.dot_general(
+            x, h, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
 
     a_re[:] = p_re_ref[:]
     a_im[:] = p_im_ref[:]
@@ -59,10 +64,9 @@ def _taylor_apply_kernel(order: int, substeps: int, zs_ref, h_re_ref,
         t_im[:] = a_im[:]
         for k in range(1, order + 1):
             # complex matvec (batched): y = term @ H^T via 3 Gauss products
-            t1 = jnp.dot(t_re[:], h_re_t, preferred_element_type=jnp.float32)
-            t2 = jnp.dot(t_im[:], h_im_t, preferred_element_type=jnp.float32)
-            t3 = jnp.dot(t_re[:] + t_im[:], h_sum_t,
-                         preferred_element_type=jnp.float32)
+            t1 = mm_t(t_re[:], h_re_ref[:])
+            t2 = mm_t(t_im[:], h_im_ref[:])
+            t3 = mm_t(t_re[:] + t_im[:], h_re_ref[:] + h_im_ref[:])
             y_re = t1 - t2
             y_im = t3 - t1 - t2
             # term = (z/(r k)) * y  (complex scale), acc += term
