@@ -35,6 +35,8 @@ from ..ops import cpx
 from ..ops.cpx import CP
 from .hamiltonian import ControlledHamiltonian, TermStructure
 
+_HP = jax.lax.Precision.HIGHEST  # TPU matmul default is bf16 — never ok here
+
 
 def split_structure(ham: ControlledHamiltonian):
     """Partition control terms into (diag_indices, diag_table) and
@@ -80,10 +82,10 @@ def apply_1q_pauli_rot(psi: CP, theta, qubit: int, n_qubits: int,
 
     # (G psi) on the length-2 axis: g[a, b] psi[..., b, ...]
     def gmul(xre, xim):
-        yre = jnp.einsum("ab,...lbr->...lar", local_re, xre) \
-            - jnp.einsum("ab,...lbr->...lar", local_im, xim)
-        yim = jnp.einsum("ab,...lbr->...lar", local_re, xim) \
-            + jnp.einsum("ab,...lbr->...lar", local_im, xre)
+        yre = jnp.einsum("ab,...lbr->...lar", local_re, xre, precision=_HP) \
+            - jnp.einsum("ab,...lbr->...lar", local_im, xim, precision=_HP)
+        yim = jnp.einsum("ab,...lbr->...lar", local_re, xim, precision=_HP) \
+            + jnp.einsum("ab,...lbr->...lar", local_im, xre, precision=_HP)
         return yre, yim
 
     gre, gim = gmul(pre, pim)
@@ -103,10 +105,10 @@ def apply_1q_operator(psi: CP, qubit: int, n_qubits: int,
     right = 2 ** (n_qubits - qubit - 1)
     shape = lead + (left, 2, right)
     pre, pim = psi.re.reshape(shape), psi.im.reshape(shape)
-    gre = jnp.einsum("ab,...lbr->...lar", local_re, pre) \
-        - jnp.einsum("ab,...lbr->...lar", local_im, pim)
-    gim = jnp.einsum("ab,...lbr->...lar", local_re, pim) \
-        + jnp.einsum("ab,...lbr->...lar", local_im, pre)
+    gre = jnp.einsum("ab,...lbr->...lar", local_re, pre, precision=_HP) \
+        - jnp.einsum("ab,...lbr->...lar", local_im, pim, precision=_HP)
+    gim = jnp.einsum("ab,...lbr->...lar", local_re, pim, precision=_HP) \
+        + jnp.einsum("ab,...lbr->...lar", local_im, pre, precision=_HP)
     flat = lead + (left * 2 * right,)
     return CP(gre.reshape(flat), gim.reshape(flat))
 
@@ -206,7 +208,7 @@ def evolve_product_fused(
         u_oneq = jnp.take(u, qi, axis=1).astype(rdt)   # [B, n_x, T]
         theta_half = 0.5 * dtc * (h0_vec[None, None, :]
                                   + jnp.einsum("bkt,kd->tbd", u_diag,
-                                               diag_table))
+                                               diag_table, precision=_HP))
         theta_x = dtc * jnp.moveaxis(u_oneq, 2, 0)     # [T, B, n_x]
 
         # chunk the batch so the backward kernel's VMEM footprint
@@ -237,7 +239,7 @@ def evolve_product_fused(
               jnp.zeros((0, n_steps), dtype=u.dtype)).astype(rdt)
 
     # per-step angle tables for the kernel
-    theta_half = 0.5 * dtc * (h0_vec[None, :] + u_diag.T @ diag_table)
+    theta_half = 0.5 * dtc * (h0_vec[None, :] + jnp.matmul(u_diag.T, diag_table, precision=_HP))
     theta_x = dtc * u_oneq.T  # [n_steps, n_x]
 
     out = fused_product_evolve(psi0.astype(rdt), theta_half, theta_x,
@@ -295,7 +297,7 @@ def evolve_product(
     def step(psi, xs):
         ud, uq = xs  # [n_diag], [n_oneq]
         # total diagonal this step: h0 + sum_k ud[k] diag_k → [d]
-        theta_half = (0.5 * dt) * (h0_vec + ud @ diag_table)
+        theta_half = (0.5 * dt) * (h0_vec + jnp.matmul(ud, diag_table, precision=_HP))
         ph = _phase(theta_half)
         psi = cpx.mul(CP(jnp.broadcast_to(ph.re, psi.re.shape),
                          jnp.broadcast_to(ph.im, psi.im.shape)), psi)

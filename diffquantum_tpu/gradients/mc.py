@@ -136,10 +136,10 @@ def mc_energy_grad(
         from ..dynamics.product import apply_structured_terms
         hphi_re, hphi_im = apply_structured_terms(ham, phi)
     else:
-        hphi_re = jnp.einsum("kij,j->ki", ham.Hs.re, phi.re) \
-            - jnp.einsum("kij,j->ki", ham.Hs.im, phi.im)
-        hphi_im = jnp.einsum("kij,j->ki", ham.Hs.re, phi.im) \
-            + jnp.einsum("kij,j->ki", ham.Hs.im, phi.re)
+        hphi_re = jnp.einsum("kij,j->ki", ham.Hs.re, phi.re, precision=jax.lax.Precision.HIGHEST) \
+            - jnp.einsum("kij,j->ki", ham.Hs.im, phi.im, precision=jax.lax.Precision.HIGHEST)
+        hphi_im = jnp.einsum("kij,j->ki", ham.Hs.re, phi.im, precision=jax.lax.Precision.HIGHEST) \
+            + jnp.einsum("kij,j->ki", ham.Hs.im, phi.re, precision=jax.lax.Precision.HIGHEST)
     scale = 1.0 / jnp.sqrt(1.0 + r * r)
     # phi ± r * i * (H_k phi); i*(a+ib) = -b + ia
     branch_p = CP((phi.re[None, :] - r * hphi_im) * scale,

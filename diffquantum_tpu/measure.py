@@ -91,10 +91,10 @@ def stochastic_measure(terms: PauliTermSet, psi: CP, key: jax.Array,
     # estates[t, :, j] as columns → contract the middle (d) axis.
     er = jnp.swapaxes(terms.estates.re, -1, -2)  # [t, j, d]
     ei = jnp.swapaxes(terms.estates.im, -1, -2)
-    amp_re = jnp.einsum("tjd,d->tj", er, psi.re) \
-        + jnp.einsum("tjd,d->tj", ei, psi.im)
-    amp_im = jnp.einsum("tjd,d->tj", er, psi.im) \
-        - jnp.einsum("tjd,d->tj", ei, psi.re)
+    amp_re = jnp.einsum("tjd,d->tj", er, psi.re, precision=jax.lax.Precision.HIGHEST) \
+        + jnp.einsum("tjd,d->tj", ei, psi.im, precision=jax.lax.Precision.HIGHEST)
+    amp_im = jnp.einsum("tjd,d->tj", er, psi.im, precision=jax.lax.Precision.HIGHEST) \
+        - jnp.einsum("tjd,d->tj", ei, psi.re, precision=jax.lax.Precision.HIGHEST)
     probs = amp_re**2 + amp_im**2  # [n_terms, d]
     logp = jnp.log(jnp.maximum(probs, 1e-30))
     draws = jax.random.categorical(

@@ -22,8 +22,14 @@ from __future__ import annotations
 
 from typing import NamedTuple
 
+import jax
 import jax.numpy as jnp
 import numpy as np
+
+# TPU matmuls default to bfloat16 passes (eps ~ 8e-3) — catastrophic for
+# quantum amplitudes. All CP contractions default to full-f32 precision
+# (3-pass bf16 on the MXU); callers may override for throughput.
+DEFAULT_PRECISION = jax.lax.Precision.HIGHEST
 
 
 class CP(NamedTuple):
@@ -131,7 +137,7 @@ def abs2(a: CP) -> jnp.ndarray:
 # contractions (MXU path)
 # ---------------------------------------------------------------------------
 
-def matmul(a: CP, b: CP, precision=None) -> CP:
+def matmul(a: CP, b: CP, precision=DEFAULT_PRECISION) -> CP:
     """Complex matrix product via 3 real matmuls (Karatsuba/Gauss)."""
     t1 = jnp.matmul(a.re, b.re, precision=precision)
     t2 = jnp.matmul(a.im, b.im, precision=precision)
@@ -139,7 +145,7 @@ def matmul(a: CP, b: CP, precision=None) -> CP:
     return CP(t1 - t2, t3 - t1 - t2)
 
 
-def matvec(m: CP, psi: CP, precision=None) -> CP:
+def matvec(m: CP, psi: CP, precision=DEFAULT_PRECISION) -> CP:
     """Apply matrix [d, d] to row-stacked kets [..., d]: (M psi)."""
     # (psi @ M^T) for each of the 3 Gauss products
     t1 = jnp.matmul(psi.re, m.re.T, precision=precision)
@@ -165,6 +171,8 @@ def norm2(a: CP) -> jnp.ndarray:
     return jnp.sum(abs2(a), axis=-1)
 
 
-def tensordot_weights(w: jnp.ndarray, m: CP) -> CP:
+def tensordot_weights(w: jnp.ndarray, m: CP,
+                      precision=DEFAULT_PRECISION) -> CP:
     """sum_k w[k] * m[k] for real weights w [k] and matrix stack [k, d, d]."""
-    return CP(jnp.tensordot(w, m.re, axes=1), jnp.tensordot(w, m.im, axes=1))
+    return CP(jnp.tensordot(w, m.re, axes=1, precision=precision),
+              jnp.tensordot(w, m.im, axes=1, precision=precision))

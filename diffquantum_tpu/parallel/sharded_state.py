@@ -69,10 +69,10 @@ def _local_1q_rot(psi: CP, theta, qubit_local: int, n_local: int,
     right = 2 ** (n_local - qubit_local - 1)
     shape = lead + (left, 2, right)
     pre, pim = psi.re.reshape(shape), psi.im.reshape(shape)
-    gre = jnp.einsum("ab,...lbr->...lar", local_re, pre) \
-        - jnp.einsum("ab,...lbr->...lar", local_im, pim)
-    gim = jnp.einsum("ab,...lbr->...lar", local_re, pim) \
-        + jnp.einsum("ab,...lbr->...lar", local_im, pre)
+    gre = jnp.einsum("ab,...lbr->...lar", local_re, pre, precision=jax.lax.Precision.HIGHEST) \
+        - jnp.einsum("ab,...lbr->...lar", local_im, pim, precision=jax.lax.Precision.HIGHEST)
+    gim = jnp.einsum("ab,...lbr->...lar", local_re, pim, precision=jax.lax.Precision.HIGHEST) \
+        + jnp.einsum("ab,...lbr->...lar", local_im, pre, precision=jax.lax.Precision.HIGHEST)
     th = _bcast_theta(theta, 3)
     c, s = jnp.cos(th), jnp.sin(th)
     out_re = c * pre + s * gim
@@ -186,7 +186,7 @@ def evolve_product_sharded(
         def step(p, xs):
             ud, uq = xs  # [(S,) n_diag], [(S,) n_oneq]
             # local diagonal phase: [(S,) d_local]
-            theta_half = (0.5 * dt) * (h0v + ud @ dtab)
+            theta_half = (0.5 * dt) * (h0v + jnp.matmul(ud, dtab, precision=jax.lax.Precision.HIGHEST))
             ph = _phase_cp(theta_half)
             p = cpx.mul(CP(jnp.broadcast_to(ph.re, p.re.shape),
                            jnp.broadcast_to(ph.im, p.im.shape)), p)

@@ -86,7 +86,7 @@ class SimpleEnvelope:
         # on the TPU backend the fused kernel is ~1000x slower (30 ms vs
         # 0.03 ms for this shape). The barrier forces materialization.
         phi = jax.lax.optimization_barrier(phi)
-        return coeff @ phi.T
+        return jnp.matmul(coeff, phi.T, precision=jax.lax.Precision.HIGHEST)
 
     def amplitudes(self, coeff: jnp.ndarray, ts: jnp.ndarray, T) -> jnp.ndarray:
         """u[n_controls, n_t] drive amplitude table (`sim_plain.py:96-98`)."""
@@ -167,8 +167,9 @@ class ChannelEnvelope:
         w = jnp.array([c.w for c in self.channels], dtype=phi.dtype)
         idx = np.array([c.idx for c in self.channels], dtype=np.int32)
 
-        A = vv[0][idx] @ phi.T  # [n_chan, n_t]
-        B = vv[1][idx] @ phi.T
+        hp = jax.lax.Precision.HIGHEST
+        A = jnp.matmul(vv[0][idx], phi.T, precision=hp)  # [n_chan, n_t]
+        B = jnp.matmul(vv[1][idx], phi.T, precision=hp)
         N = jnp.sqrt(A * A + B * B)
         small = N < 1e-6  # diffqc.cc:128
         safe_N = jnp.where(small, 1.0, N)
