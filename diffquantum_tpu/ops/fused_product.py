@@ -48,6 +48,14 @@ _LANES = 128
 _LANE_QUBITS = 7  # log2(_LANES)
 
 
+def _pdot(x: jnp.ndarray, p: jnp.ndarray) -> jnp.ndarray:
+    """x @ P at full f32 precision (default MXU passes truncate inputs to
+    bf16 — measurable amplitude drift over long chains)."""
+    return jax.lax.dot_general(x, p, (((1,), (0,)), ((), ())),
+                               precision=jax.lax.Precision.HIGHEST,
+                               preferred_element_type=jnp.float32)
+
+
 def _xor_perm_matrix(mask: int) -> np.ndarray:
     p = np.zeros((_LANES, _LANES), dtype=np.float32)
     for l in range(_LANES):
@@ -119,8 +127,8 @@ def _make_forward_kernel(n_steps, row_rots, lane_rots, n_row_bits):
             th = tx_ref[0, 0, j]
             c, s = jnp.cos(th), jnp.sin(th)
             p = perms_ref[li]
-            g_re = jnp.dot(s_re[:], p, preferred_element_type=jnp.float32)
-            g_im = jnp.dot(s_im[:], p, preferred_element_type=jnp.float32)
+            g_re = _pdot(s_re[:], p)
+            g_im = _pdot(s_im[:], p)
             re = c * s_re[:] + s * g_im
             im = c * s_im[:] - s * g_re
             s_re[:] = re
@@ -195,8 +203,7 @@ def _make_backward_kernel(n_steps, row_rots, lane_rots, n_row_bits):
         for li in range(len(lane_rots) - 1, -1, -1):
             j, q = lane_rots[li]
             p = perms_ref[li]
-            undo_rot(j, lambda v, p=p: jnp.dot(
-                v, p, preferred_element_type=jnp.float32))
+            undo_rot(j, lambda v, p=p: _pdot(v, p))
         for (j, q) in reversed(row_rots):
             undo_rot(j, lambda v, q=q: _flip_row(v, q, n_row_bits))
 
@@ -368,8 +375,7 @@ def _bflip_row(x: jnp.ndarray, bit: int) -> jnp.ndarray:
 def _blane_dot(x: jnp.ndarray, p: jnp.ndarray) -> jnp.ndarray:
     """[B, R, 128] @ [128, 128] via a flattened MXU matmul."""
     b, r, _ = x.shape
-    return jnp.dot(x.reshape(b * r, _LANES), p,
-                   preferred_element_type=jnp.float32).reshape(b, r, _LANES)
+    return _pdot(x.reshape(b * r, _LANES), p).reshape(b, r, _LANES)
 
 
 def _make_forward_kernel_b(n_steps, row_rots, lane_rots):
