@@ -21,8 +21,11 @@ from .ops.expm import (cexpm_apply_taylor, cexpm_pade13, cexpm_taylor,
 from .pulses.basis import basis_matrix
 from .pulses.envelope import Channel, ChannelEnvelope, SimpleEnvelope
 from .dynamics.hamiltonian import ControlledHamiltonian, TermStructure
-from .dynamics.propagator import evolve, reference_n_steps, trotter
-from .measure import Measurement, PauliTermSet
+from .dynamics.propagator import (evolve, evolve_trajectory,
+                                  reference_n_steps, trotter)
+from .dynamics.product import evolve_product, evolve_product_fused
+from .measure import DiagonalTermSet, Measurement, PauliTermSet
+from . import models, parallel, train, utils  # noqa: F401 (convenience)
 
 __all__ = [
     "__version__",

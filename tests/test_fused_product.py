@@ -22,6 +22,18 @@ def make(n=10, n_basis=4, seed=0):
     return prob, coeff
 
 
+def test_fused_forward_odd_sizes():
+    # 11 qubits: R = 16 rows, 4 row-qubits + 7 lane-qubits
+    prob, coeff = make(11, n_basis=4, seed=2)
+    n_steps = 6
+    want = evolve_product(prob.ham, prob.envelope, coeff, prob.psi0, 0.0,
+                          prob.T, horizon=prob.T, n_steps=n_steps)
+    got = evolve_product_fused(prob.ham, prob.envelope, coeff, prob.psi0,
+                               0.0, prob.T, horizon=prob.T, n_steps=n_steps)
+    np.testing.assert_allclose(cpx.to_complex(got), cpx.to_complex(want),
+                               atol=5e-5)
+
+
 def test_fused_eligibility():
     prob, _ = make(10)
     assert fused_eligible(prob.ham)
