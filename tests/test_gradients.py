@@ -113,3 +113,24 @@ def test_mc_noisy_sampling_paths_run():
     g = mc_energy_grad(ham, env, meas2, coeff, psi0, T,
                        jax.random.PRNGKey(7), 20, sampling=True, noisy=True)
     assert np.all(np.isfinite(np.asarray(g)))
+
+
+def test_second_order_differentiable():
+    """jax.hessian flows through the propagator (beyond the reference's
+    first-order-only estimators)."""
+    ham, env, coeff, psi0, meas, T = small_problem(6)
+    n_steps = 10
+
+    from diffquantum_tpu.dynamics.propagator import evolve
+    from diffquantum_tpu.measure import exact_expectation
+
+    def loss(c):
+        psi = evolve(ham, env, c, psi0, 0.0, T, horizon=T, n_steps=n_steps)
+        return exact_expectation(meas.matrix, psi)
+
+    h = jax.hessian(loss)(coeff)
+    assert h.shape == coeff.shape + coeff.shape
+    hm = np.asarray(h).reshape(coeff.size, coeff.size)
+    # Hessian of a smooth scalar loss is symmetric
+    np.testing.assert_allclose(hm, hm.T, atol=1e-8)
+    assert np.any(np.abs(hm) > 1e-6)
