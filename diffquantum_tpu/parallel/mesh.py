@@ -5,13 +5,16 @@ the natural TPU scale-out axis is *embarrassingly parallel seeds*: many
 independent pulse initializations training simultaneously as one batched
 program (BASELINE.md target: 64 parallel seeds for 12-qubit maxcut).
 
-`train_energy_seeds` vmaps the full optimizer step over a leading seed axis
-and shards that axis over a mesh ("data" parallelism over ICI); the whole
-n-epoch loop runs as one `lax.scan` inside a single jit — zero host
-round-trips during training.
+`train_energy_seeds` batches the full optimizer step over a leading seed
+axis and shards that axis over a mesh ("data" parallelism over ICI); epochs
+run as fixed-size compiled scan blocks — dispatch cost is amortized and the
+compiled HLO is independent of n_epoch, so the persistent compile cache
+hits across runs (whole-training scans paid a minutes-long remote compile
+for every distinct epoch count).
 """
 from __future__ import annotations
 
+import functools
 import dataclasses
 from typing import Optional
 
@@ -62,8 +65,8 @@ def train_energy_seeds(
     data_axis: str = "data",
 ) -> SeedsResult:
     """Train ``n_seeds`` independent pulse initializations in one batched,
-    mesh-sharded program. Adjoint gradients (exact); the whole training loop
-    is a single compiled scan."""
+    mesh-sharded program (adjoint gradients by default, ``grad_mode='mc'``
+    for the hardware-realistic estimator)."""
     T = float(T)
     n_steps = reference_n_steps(config.per_step, 0.0, T)
     opt = make_optimizer(config)
@@ -134,24 +137,35 @@ def train_energy_seeds(
         updates, opt_state = opt.update(g, opt_state, cs)
         return optax.apply_updates(cs, updates), opt_state, energies
 
-    @jax.jit
-    def run(coeffs):
-        opt_states = opt.init(coeffs)
-        key0 = jax.random.PRNGKey(config.seed + 1)
+    # Fixed-size compiled blocks: a whole-training scan would need a fresh
+    # (minutes-long, remote) compile for every distinct n_epoch; scanning
+    # EPOCH_BLOCK epochs per dispatch keeps the HLO epoch-count-independent
+    # (compile cache hits across runs) while still amortizing dispatch.
+    EPOCH_BLOCK = 10
 
-        def epoch(carry, k):
-            cs, oss = carry
-            cs, oss, losses = one_step(cs, oss, k)
-            return (cs, oss), losses
+    def epoch(carry, k):
+        cs, oss = carry
+        cs, oss, losses = one_step(cs, oss, k)
+        return (cs, oss), losses
 
-        (cs, _), losses = jax.lax.scan(
-            epoch, (coeffs, opt_states),
-            jax.random.split(key0, config.n_epoch))
-        return cs, losses
+    @functools.partial(jax.jit, static_argnums=(2,))
+    def run_block(carry, keys, length):
+        return jax.lax.scan(epoch, carry, keys, length=length)
 
+    key0 = jax.random.PRNGKey(config.seed + 1)
+    all_keys = jax.random.split(key0, config.n_epoch)
     ctx = mesh if mesh is not None else _null_ctx()
     with ctx:
-        coeffs_out, losses = run(coeffs)
+        carry = (coeffs, opt.init(coeffs))
+        loss_blocks = []
+        done = 0
+        while done < config.n_epoch:
+            blk = min(EPOCH_BLOCK, config.n_epoch - done)
+            carry, losses_b = run_block(carry, all_keys[done:done + blk], blk)
+            loss_blocks.append(losses_b)
+            done += blk
+        coeffs_out = carry[0]
+        losses = jnp.concatenate(loss_blocks, axis=0)
 
     losses_np = np.asarray(losses)
     final = losses_np[-1]
