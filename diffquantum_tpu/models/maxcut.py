@@ -76,14 +76,17 @@ def build_maxcut(n_qubits: int, graph: Sequence[Sequence[int]],
                  n_layers: int = 1, dtype=jnp.float32,
                  sampling: bool = False, noisy: bool = False,
                  dense: bool | None = None) -> MaxCutProblem:
-    """``dense=None`` auto-selects: dense operators up to 12 qubits (enables
-    all three gradient modes + both dense propagator backends), matrix-free
-    structured construction beyond (product backend + adjoint gradients —
-    no 2^n x 2^n arrays anywhere)."""
+    """``dense=None`` auto-selects: dense operators up to 8 qubits (enables
+    the dense propagator backends and dense-eigensystem sampled
+    measurement), matrix-free structured construction beyond — the dense
+    operator stack is O(n_edges * 4^n) (3.2 GB at 12 qubits!) while every
+    gradient mode and the sampled/diagonal measurement also work
+    structured. Pass ``dense=True`` explicitly if you need dense operators
+    at larger sizes."""
     graph = [tuple(e) for e in graph]
     d = 2**n_qubits
     if dense is None:
-        dense = n_qubits <= 12
+        dense = n_qubits <= 8
 
     # cost observable: M = -1/2 sum_e (I - Z_i Z_j); diagonal
     cost_diag = np.zeros(d)

@@ -86,14 +86,25 @@ def train_energy_seeds(
     # SPMD-shardable, so the mesh path keeps the vmapped XLA evolution)
     from ..dynamics.product import evolve_product_fused, fused_eligible
     use_fused = (mesh is None and config.backend in ("auto", "product_fused")
-                 and fused_eligible(ham) and measurement.diag is not None)
+                 and fused_eligible(ham) and measurement.diag is not None
+                 and jax.default_backend() in ("tpu", "axon"))
     psi_batch = jax.tree_util.tree_map(
         lambda x: jnp.broadcast_to(x, (n_seeds,) + x.shape), psi0)
 
     if use_fused:
+        # slim away any dense operator payload: the fused kernel only needs
+        # the structure metadata, and a closed-over dense stack would be
+        # captured as jit constants (3.2 GB at 12 qubits — observed to make
+        # remote compiles take ~40 minutes)
+        from ..dynamics.hamiltonian import ControlledHamiltonian
+        ham_f = ham if ham.is_structured_only else \
+            ControlledHamiltonian.create_structured(
+                ham.dim, ham.structure, h0_structure=ham.h0_structure,
+                dtype=jnp.float32)
+
         def batch_energies(cs):
-            psi = evolve_product_fused(ham, envelope, cs, psi_batch, 0.0, T,
-                                       horizon=T, n_steps=n_steps)
+            psi = evolve_product_fused(ham_f, envelope, cs, psi_batch, 0.0,
+                                       T, horizon=T, n_steps=n_steps)
             return jnp.sum(cpx.abs2(psi) * measurement.diag, axis=-1)
     else:
         def seed_energy(c, p):
