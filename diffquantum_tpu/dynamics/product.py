@@ -139,19 +139,27 @@ def apply_structured_terms(ham: ControlledHamiltonian, psi: CP):
     return jnp.stack(res_re), jnp.stack(res_im)
 
 
+def _pauli_kind(local) -> str | None:
+    g = np.asarray(local)
+    if np.allclose(g, np.array([[0, 1], [1, 0]])):
+        return "x"
+    if np.allclose(g, np.array([[0, -1j], [1j, 0]])):
+        return "y"
+    return None
+
+
 def fused_eligible(ham: ControlledHamiltonian) -> bool:
     """Whether the fused Pallas whole-evolution kernel applies: 10-17 qubits
     (sublane-aligned [2^(n-7), 128] state block; beyond 17 the backward
     kernel's ~14 state-sized VMEM buffers exceed the 16 MiB budget — use the
     XLA product backend or the sharded engine there), diagonal H0, and every
-    1q term a Pauli-X."""
+    1q term a Pauli X or Y."""
     if ham.structure is None or not (10 <= ham.n_qubits <= 17):
         return False
     if ham.h0_structure is None or ham.h0_structure.kind != "diag":
         return False
     for st in ham.structure:
-        if st.kind == "1q" and not np.allclose(
-                np.asarray(st.local), np.array([[0, 1], [1, 0]])):
+        if st.kind == "1q" and _pauli_kind(st.local) is None:
             return False
         if st.kind not in ("diag", "1q"):
             return False
@@ -210,6 +218,7 @@ def evolve_product_fused(
                                   + jnp.einsum("bkt,kd->tbd", u_diag,
                                                diag_table, precision=_HP))
         theta_x = dtc * jnp.moveaxis(u_oneq, 2, 0)     # [T, B, n_x]
+        kinds = tuple(_pauli_kind(g) for g in oneq_locals)
 
         # chunk the batch so the backward kernel's VMEM footprint
         # (~14 state-sized buffers) stays under the ~16 MiB budget
@@ -221,14 +230,15 @@ def evolve_product_fused(
             chunk *= 2
         if chunk >= b:
             return fused_product_evolve_batched(
-                psi0.astype(rdt), theta_half, theta_x, tuple(oneq_qubits), n)
+                psi0.astype(rdt), theta_half, theta_x, tuple(oneq_qubits),
+                n, kinds)
         outs = []
         psi32 = psi0.astype(rdt)
         for s0 in range(0, b, chunk):
             sl = slice(s0, min(s0 + chunk, b))
             outs.append(fused_product_evolve_batched(
                 psi32[sl], theta_half[:, sl], theta_x[:, sl],
-                tuple(oneq_qubits), n))
+                tuple(oneq_qubits), n, kinds))
         return CP(jnp.concatenate([o.re for o in outs], axis=0),
                   jnp.concatenate([o.im for o in outs], axis=0))
 
@@ -242,8 +252,9 @@ def evolve_product_fused(
     theta_half = 0.5 * dtc * (h0_vec[None, :] + jnp.matmul(u_diag.T, diag_table, precision=_HP))
     theta_x = dtc * u_oneq.T  # [n_steps, n_x]
 
+    kinds = tuple(_pauli_kind(g) for g in oneq_locals)
     out = fused_product_evolve(psi0.astype(rdt), theta_half, theta_x,
-                               tuple(oneq_qubits), n)
+                               tuple(oneq_qubits), n, kinds)
     return out
 
 

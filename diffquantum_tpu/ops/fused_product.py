@@ -57,21 +57,46 @@ def _pdot(x: jnp.ndarray, p: jnp.ndarray) -> jnp.ndarray:
 
 
 def _xor_perm_matrix(mask: int) -> np.ndarray:
+    """X on a lane qubit: (x @ P)_c = x_{c^mask}."""
     p = np.zeros((_LANES, _LANES), dtype=np.float32)
     for l in range(_LANES):
         p[l, l ^ mask] = 1.0
     return p
 
 
-def _split_qubits(x_qubits: Sequence[int], n: int):
-    """(row_rotations, lane_rotations): row → sublane flip mask exponent,
-    lane → index into the stacked permutation matrices."""
+def _xor_signed_matrix(mask: int) -> np.ndarray:
+    """K for Y on a lane qubit: (x @ K)_c = (2 bit_c - 1) x_{c^mask},
+    where bit_c is the qubit's bit in lane index c. exp(-i th Y) =
+    cos th I + sin th K with K real, antisymmetric, orthogonal."""
+    k = np.zeros((_LANES, _LANES), dtype=np.float32)
+    for c in range(_LANES):
+        bit = 1.0 if (c & mask) else -1.0
+        k[c ^ mask, c] = bit
+    return k
+
+
+def _perm_stack(lane_rots, n_qubits) -> np.ndarray:
+    """One (possibly signed) permutation matrix per lane rotation."""
+    if not lane_rots:
+        return np.zeros((1, _LANES, _LANES), np.float32)
+    mats = []
+    for (_, q, kind) in lane_rots:
+        mask = 1 << (n_qubits - 1 - q)
+        mats.append(_xor_perm_matrix(mask) if kind == "x"
+                    else _xor_signed_matrix(mask))
+    return np.stack(mats)
+
+
+def _split_qubits(x_qubits: Sequence[int], kinds: Sequence[str], n: int):
+    """(row_rotations, lane_rotations) as (j, q, kind) triples: row →
+    sublane flip, lane → index into the stacked (signed) permutation
+    matrices."""
     rows, lanes = [], []
-    for j, q in enumerate(x_qubits):
+    for j, (q, kind) in enumerate(zip(x_qubits, kinds)):
         if q < n - _LANE_QUBITS:
-            rows.append((j, q))
+            rows.append((j, q, kind))
         else:
-            lanes.append((j, q))
+            lanes.append((j, q, kind))
     return rows, lanes
 
 
@@ -85,6 +110,17 @@ def _flip_row(x: jnp.ndarray, bit: int, n_row_bits: int) -> jnp.ndarray:
     # swap the two halves of the size-2 axis (jnp.flip/`rev` has no Mosaic
     # lowering; static slice + concat does)
     y = jnp.concatenate([y[:, 1:2], y[:, 0:1]], axis=1)
+    return y.reshape(r, _LANES)
+
+
+def _sflip_row(x: jnp.ndarray, bit: int, n_row_bits: int) -> jnp.ndarray:
+    """Signed pair-swap (the Y 'K' operator on a row qubit):
+    (Kx)_{b=0 half} = -x_{b=1 half}; (Kx)_{b=1 half} = +x_{b=0 half}."""
+    r = x.shape[0]
+    hi = 2**bit
+    lo = r // (hi * 2)
+    y = x.reshape(hi, 2, lo, _LANES)
+    y = jnp.concatenate([-y[:, 1:2], y[:, 0:1]], axis=1)
     return y.reshape(r, _LANES)
 
 
@@ -113,26 +149,27 @@ def _make_forward_kernel(n_steps, row_rots, lane_rots, n_row_bits):
             s_re[:] = re
             s_im[:] = im
 
+        def rot(j, kind, g_of):
+            th = tx_ref[0, 0, j]
+            c, s = jnp.cos(th), jnp.sin(th)
+            if kind == "x":
+                # y = c x - i s Gx (G real symmetric): planes cross
+                re = c * s_re[:] + s * g_of(s_im[:])
+                im = c * s_im[:] - s * g_of(s_re[:])
+            else:
+                # Y: exp(-i th Y) = c I + s K (K real): planes independent
+                re = c * s_re[:] + s * g_of(s_re[:])
+                im = c * s_im[:] + s * g_of(s_im[:])
+            s_re[:] = re
+            s_im[:] = im
+
         phase()
-        for (j, q) in row_rots:
-            th = tx_ref[0, 0, j]
-            c, s = jnp.cos(th), jnp.sin(th)
-            g_re = _flip_row(s_re[:], q, n_row_bits)
-            g_im = _flip_row(s_im[:], q, n_row_bits)
-            re = c * s_re[:] + s * g_im
-            im = c * s_im[:] - s * g_re
-            s_re[:] = re
-            s_im[:] = im
-        for li, (j, q) in enumerate(lane_rots):
-            th = tx_ref[0, 0, j]
-            c, s = jnp.cos(th), jnp.sin(th)
+        for (j, q, kind) in row_rots:
+            flip = _flip_row if kind == "x" else _sflip_row
+            rot(j, kind, lambda v, q=q, f=flip: f(v, q, n_row_bits))
+        for li, (j, q, kind) in enumerate(lane_rots):
             p = perms_ref[li]
-            g_re = _pdot(s_re[:], p)
-            g_im = _pdot(s_im[:], p)
-            re = c * s_re[:] + s * g_im
-            im = c * s_im[:] - s * g_re
-            s_re[:] = re
-            s_im[:] = im
+            rot(j, kind, lambda v, p=p: _pdot(v, p))
         phase()
 
         @pl.when(i == n_steps - 1)
@@ -177,35 +214,48 @@ def _make_backward_kernel(n_steps, row_rots, lane_rots, n_row_bits):
         l_im[:] = im
 
         # --- undo rotations in reverse order ------------------------------
-        def undo_rot(j, g_of):
+        def undo_rot(j, kind, g_of):
             thx = tx_ref[0, 0, j]
             cx, sx = jnp.cos(thx), jnp.sin(thx)
-            # reconstruct x = c y + i s G y
-            gy_re = g_of(y_re[:])
-            gy_im = g_of(y_im[:])
-            x_re = cx * y_re[:] - sx * gy_im
-            x_im = cx * y_im[:] + sx * gy_re
-            # grad dL/dth with x and Gx
-            gx_re = g_of(x_re)
-            gx_im = g_of(x_im)
-            g_rot[j] = jnp.sum(l_re[:] * (-sx * x_re + cx * gx_im)
-                               + l_im[:] * (-sx * x_im - cx * gx_re))
-            # lam_x = c lam + i s G lam
-            gl_re = g_of(l_re[:])
-            gl_im = g_of(l_im[:])
-            nl_re = cx * l_re[:] - sx * gl_im
-            nl_im = cx * l_im[:] + sx * gl_re
+            if kind == "x":
+                # reconstruct x = c y + i s G y; lam_x = c lam + i s G lam;
+                # dL/dth = sum lam . (-s x - i c Gx)
+                gy_re = g_of(y_re[:])
+                gy_im = g_of(y_im[:])
+                x_re = cx * y_re[:] - sx * gy_im
+                x_im = cx * y_im[:] + sx * gy_re
+                gx_re = g_of(x_re)
+                gx_im = g_of(x_im)
+                g_rot[j] = jnp.sum(l_re[:] * (-sx * x_re + cx * gx_im)
+                                   + l_im[:] * (-sx * x_im - cx * gx_re))
+                gl_re = g_of(l_re[:])
+                gl_im = g_of(l_im[:])
+                nl_re = cx * l_re[:] - sx * gl_im
+                nl_im = cx * l_im[:] + sx * gl_re
+            else:
+                # Y: M = c I + s K orthogonal (K^T = -K) → inverse =
+                # transpose = c I - s K, same map for x and lam;
+                # dy/dth = -s x + c K x (per plane)
+                x_re = cx * y_re[:] - sx * g_of(y_re[:])
+                x_im = cx * y_im[:] - sx * g_of(y_im[:])
+                gx_re = g_of(x_re)
+                gx_im = g_of(x_im)
+                g_rot[j] = jnp.sum(l_re[:] * (-sx * x_re + cx * gx_re)
+                                   + l_im[:] * (-sx * x_im + cx * gx_im))
+                nl_re = cx * l_re[:] - sx * g_of(l_re[:])
+                nl_im = cx * l_im[:] - sx * g_of(l_im[:])
             y_re[:] = x_re
             y_im[:] = x_im
             l_re[:] = nl_re
             l_im[:] = nl_im
 
         for li in range(len(lane_rots) - 1, -1, -1):
-            j, q = lane_rots[li]
+            j, q, kind = lane_rots[li]
             p = perms_ref[li]
-            undo_rot(j, lambda v, p=p: _pdot(v, p))
-        for (j, q) in reversed(row_rots):
-            undo_rot(j, lambda v, q=q: _flip_row(v, q, n_row_bits))
+            undo_rot(j, kind, lambda v, p=p: _pdot(v, p))
+        for (j, q, kind) in reversed(row_rots):
+            flip = _flip_row if kind == "x" else _sflip_row
+            undo_rot(j, kind, lambda v, q=q, f=flip: f(v, q, n_row_bits))
 
         # --- undo leading phase -------------------------------------------
         gth += l_re[:] * y_im[:] - l_im[:] * y_re[:]
@@ -234,26 +284,26 @@ def _make_backward_kernel(n_steps, row_rots, lane_rots, n_row_bits):
     return kernel
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
 def fused_product_evolve(psi0: CP, theta_half: jnp.ndarray,
                          theta_x: jnp.ndarray, x_qubits: tuple,
-                         n_qubits: int) -> CP:
+                         n_qubits: int, kinds: tuple = None) -> CP:
     """psi(T) = prod_t [Phi_t Rot_t Phi_t] psi0, fully fused on TPU.
 
     psi0: CP [2^n]; theta_half: [n_steps, 2^n] diagonal half-step phase
-    angles; theta_x: [n_steps, n_x] X-rotation angles (order = x_qubits).
+    angles; theta_x: [n_steps, n_x] rotation angles (order = x_qubits);
+    kinds: per-rotation generator kind ('x' | 'y'), default all-X.
     """
-    return _forward(psi0, theta_half, theta_x, x_qubits, n_qubits)
+    return _forward(psi0, theta_half, theta_x, x_qubits, n_qubits, kinds)
 
 
-def _forward(psi0, theta_half, theta_x, x_qubits, n_qubits):
+def _forward(psi0, theta_half, theta_x, x_qubits, n_qubits, kinds=None):
+    kinds = kinds or ("x",) * len(x_qubits)
     n_steps, d = theta_half.shape
     r = d // _LANES
     n_row_bits = n_qubits - _LANE_QUBITS
-    row_rots, lane_rots = _split_qubits(x_qubits, n_qubits)
-    perms = np.stack([_xor_perm_matrix(1 << (n_qubits - 1 - q))
-                      for (_, q) in lane_rots]) if lane_rots else \
-        np.zeros((1, _LANES, _LANES), np.float32)
+    row_rots, lane_rots = _split_qubits(x_qubits, kinds, n_qubits)
+    perms = _perm_stack(lane_rots, n_qubits)
 
     kernel = _make_forward_kernel(n_steps, row_rots, lane_rots, n_row_bits)
     out_re, out_im = pl.pallas_call(
@@ -288,20 +338,19 @@ def _forward(psi0, theta_half, theta_x, x_qubits, n_qubits):
     return CP(out_re.reshape(d), out_im.reshape(d))
 
 
-def _fwd(psi0, theta_half, theta_x, x_qubits, n_qubits):
-    out = _forward(psi0, theta_half, theta_x, x_qubits, n_qubits)
+def _fwd(psi0, theta_half, theta_x, x_qubits, n_qubits, kinds=None):
+    out = _forward(psi0, theta_half, theta_x, x_qubits, n_qubits, kinds)
     return out, (out, theta_half, theta_x)
 
 
-def _bwd(x_qubits, n_qubits, residuals, lam):
+def _bwd(x_qubits, n_qubits, kinds, residuals, lam):
+    kinds = kinds or ("x",) * len(x_qubits)
     psi_T, theta_half, theta_x = residuals
     n_steps, d = theta_half.shape
     r = d // _LANES
     n_row_bits = n_qubits - _LANE_QUBITS
-    row_rots, lane_rots = _split_qubits(x_qubits, n_qubits)
-    perms = np.stack([_xor_perm_matrix(1 << (n_qubits - 1 - q))
-                      for (_, q) in lane_rots]) if lane_rots else \
-        np.zeros((1, _LANES, _LANES), np.float32)
+    row_rots, lane_rots = _split_qubits(x_qubits, kinds, n_qubits)
+    perms = _perm_stack(lane_rots, n_qubits)
 
     kernel = _make_backward_kernel(n_steps, row_rots, lane_rots, n_row_bits)
     rev = lambda i: (n_steps - 1 - i, 0, 0)  # noqa: E731
@@ -396,22 +445,25 @@ def _make_forward_kernel_b(n_steps, row_rots, lane_rots):
             s_re[:] = re
             s_im[:] = im
 
-        def rot(j, g_of):
+        def rot(j, kind, g_of):
             th = tx_ref[0, j]  # [B, 1, 128] (angle replicated along lanes)
             c, s = jnp.cos(th), jnp.sin(th)
-            g_re = g_of(s_re[:])
-            g_im = g_of(s_im[:])
-            re = c * s_re[:] + s * g_im
-            im = c * s_im[:] - s * g_re
+            if kind == "x":
+                re = c * s_re[:] + s * g_of(s_im[:])
+                im = c * s_im[:] - s * g_of(s_re[:])
+            else:  # Y: c I + s K, planes independent
+                re = c * s_re[:] + s * g_of(s_re[:])
+                im = c * s_im[:] + s * g_of(s_im[:])
             s_re[:] = re
             s_im[:] = im
 
         phase()
-        for (j, q) in row_rots:
-            rot(j, lambda v, q=q: _bflip_row(v, q))
-        for li, (j, q) in enumerate(lane_rots):
+        for (j, q, kind) in row_rots:
+            flip = _bflip_row if kind == "x" else _bsflip_row
+            rot(j, kind, lambda v, q=q, f=flip: f(v, q))
+        for li, (j, q, kind) in enumerate(lane_rots):
             p = perms_ref[li]
-            rot(j, lambda v, p=p: _blane_dot(v, p))
+            rot(j, kind, lambda v, p=p: _blane_dot(v, p))
         phase()
 
         @pl.when(i == n_steps - 1)
@@ -452,35 +504,44 @@ def _make_backward_kernel_b(n_steps, row_rots, lane_rots):
 
         gth = undo_phase(jnp.zeros_like(th))
 
-        def undo_rot(j, g_of):
+        def undo_rot(j, kind, g_of):
             thx = tx_ref[0, j]  # [B, 1, 128]
             cx, sx = jnp.cos(thx), jnp.sin(thx)
-            gy_re = g_of(y_re[:])
-            gy_im = g_of(y_im[:])
-            x_re = cx * y_re[:] - sx * gy_im
-            x_im = cx * y_im[:] + sx * gy_re
-            gx_re = g_of(x_re)
-            gx_im = g_of(x_im)
-            contrib = (l_re[:] * (-sx * x_re + cx * gx_im)
-                       + l_im[:] * (-sx * x_im - cx * gx_re))  # [B, R, 128]
+            if kind == "x":
+                gy_re = g_of(y_re[:])
+                gy_im = g_of(y_im[:])
+                x_re = cx * y_re[:] - sx * gy_im
+                x_im = cx * y_im[:] + sx * gy_re
+                gx_re = g_of(x_re)
+                gx_im = g_of(x_im)
+                contrib = (l_re[:] * (-sx * x_re + cx * gx_im)
+                           + l_im[:] * (-sx * x_im - cx * gx_re))
+                nl_re = cx * l_re[:] - sx * g_of(l_im[:])
+                nl_im = cx * l_im[:] + sx * g_of(l_re[:])
+            else:  # Y: inverse = transpose = c I - s K (same for x and lam)
+                x_re = cx * y_re[:] - sx * g_of(y_re[:])
+                x_im = cx * y_im[:] - sx * g_of(y_im[:])
+                gx_re = g_of(x_re)
+                gx_im = g_of(x_im)
+                contrib = (l_re[:] * (-sx * x_re + cx * gx_re)
+                           + l_im[:] * (-sx * x_im + cx * gx_im))
+                nl_re = cx * l_re[:] - sx * g_of(l_re[:])
+                nl_im = cx * l_im[:] - sx * g_of(l_im[:])
             # rank-2 all the way (Mosaic dislikes rank-1 intermediates)
             g_rot[j] = jnp.sum(jnp.sum(contrib, axis=2), axis=1,
                                keepdims=True)  # [B, 1]
-            gl_re = g_of(l_re[:])
-            gl_im = g_of(l_im[:])
-            nl_re = cx * l_re[:] - sx * gl_im
-            nl_im = cx * l_im[:] + sx * gl_re
             y_re[:] = x_re
             y_im[:] = x_im
             l_re[:] = nl_re
             l_im[:] = nl_im
 
         for li in range(len(lane_rots) - 1, -1, -1):
-            j, q = lane_rots[li]
+            j, q, kind = lane_rots[li]
             p = perms_ref[li]
-            undo_rot(j, lambda v, p=p: _blane_dot(v, p))
-        for (j, q) in reversed(row_rots):
-            undo_rot(j, lambda v, q=q: _bflip_row(v, q))
+            undo_rot(j, kind, lambda v, p=p: _blane_dot(v, p))
+        for (j, q, kind) in reversed(row_rots):
+            flip = _bflip_row if kind == "x" else _bsflip_row
+            undo_rot(j, kind, lambda v, q=q, f=flip: f(v, q))
 
         gth = undo_phase(gth)
         gth_ref[0] = gth
@@ -510,28 +571,38 @@ def _pad_tx_b(theta_x: jnp.ndarray) -> jnp.ndarray:
                             (n_steps, n_x, b, 1, _LANES))
 
 
-def _common_b(theta_half, x_qubits, n_qubits):
+def _bsflip_row(x: jnp.ndarray, bit: int) -> jnp.ndarray:
+    """Signed pair-swap on [B, R, 128] (the Y 'K' operator, row qubit)."""
+    nb, r, _ = x.shape
+    hi = 2**bit
+    lo = r // (hi * 2)
+    y = x.reshape(nb, hi, 2, lo, _LANES)
+    y = jnp.concatenate([-y[:, :, 1:2], y[:, :, 0:1]], axis=2)
+    return y.reshape(nb, r, _LANES)
+
+
+def _common_b(theta_half, x_qubits, kinds, n_qubits):
+    kinds = kinds or ("x",) * len(x_qubits)
     n_steps, b, d = theta_half.shape
     r = d // _LANES
-    row_rots, lane_rots = _split_qubits(x_qubits, n_qubits)
-    perms = np.stack([_xor_perm_matrix(1 << (n_qubits - 1 - q))
-                      for (_, q) in lane_rots]) if lane_rots else \
-        np.zeros((1, _LANES, _LANES), np.float32)
+    row_rots, lane_rots = _split_qubits(x_qubits, kinds, n_qubits)
+    perms = _perm_stack(lane_rots, n_qubits)
     return n_steps, b, d, r, row_rots, lane_rots, perms
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
 def fused_product_evolve_batched(psi0: CP, theta_half: jnp.ndarray,
                                  theta_x: jnp.ndarray, x_qubits: tuple,
-                                 n_qubits: int) -> CP:
+                                 n_qubits: int, kinds: tuple = None) -> CP:
     """Batched fused evolution: psi0 CP [B, 2^n], theta_half
-    [n_steps, B, 2^n], theta_x [n_steps, B, n_x] — per-seed pulses."""
-    return _forward_b(psi0, theta_half, theta_x, x_qubits, n_qubits)
+    [n_steps, B, 2^n], theta_x [n_steps, B, n_x] — per-seed pulses;
+    kinds: per-rotation generator kind ('x' | 'y'), default all-X."""
+    return _forward_b(psi0, theta_half, theta_x, x_qubits, n_qubits, kinds)
 
 
-def _forward_b(psi0, theta_half, theta_x, x_qubits, n_qubits):
+def _forward_b(psi0, theta_half, theta_x, x_qubits, n_qubits, kinds=None):
     n_steps, b, d, r, row_rots, lane_rots, perms = _common_b(
-        theta_half, x_qubits, n_qubits)
+        theta_half, x_qubits, kinds, n_qubits)
     kernel = _make_forward_kernel_b(n_steps, row_rots, lane_rots)
     n_x = max(theta_x.shape[2], 1)
     state_spec = pl.BlockSpec((b, r, _LANES), lambda i: (0, 0, 0),
@@ -563,15 +634,15 @@ def _forward_b(psi0, theta_half, theta_x, x_qubits, n_qubits):
     return CP(out_re.reshape(b, d), out_im.reshape(b, d))
 
 
-def _fwd_b(psi0, theta_half, theta_x, x_qubits, n_qubits):
-    out = _forward_b(psi0, theta_half, theta_x, x_qubits, n_qubits)
+def _fwd_b(psi0, theta_half, theta_x, x_qubits, n_qubits, kinds=None):
+    out = _forward_b(psi0, theta_half, theta_x, x_qubits, n_qubits, kinds)
     return out, (out, theta_half, theta_x)
 
 
-def _bwd_b(x_qubits, n_qubits, residuals, lam):
+def _bwd_b(x_qubits, n_qubits, kinds, residuals, lam):
     psi_T, theta_half, theta_x = residuals
     n_steps, b, d, r, row_rots, lane_rots, perms = _common_b(
-        theta_half, x_qubits, n_qubits)
+        theta_half, x_qubits, kinds, n_qubits)
     kernel = _make_backward_kernel_b(n_steps, row_rots, lane_rots)
     n_x = max(theta_x.shape[2], 1)
     rev4 = lambda i: (n_steps - 1 - i, 0, 0, 0)  # noqa: E731

@@ -110,3 +110,49 @@ def test_fused_gradient_matches_xla_adjoint():
     assert abs(float(v1) - float(v2)) < 1e-5
     np.testing.assert_allclose(np.asarray(g1), np.asarray(g2),
                                rtol=2e-3, atol=2e-5)
+
+
+def test_fused_xy_drives_match_xla():
+    """Mixed X+Y single-qubit drives through the fused kernel (Y uses
+    signed-permutation real mixes) vs the XLA product backend, values and
+    gradients."""
+    from diffquantum_tpu.dynamics.hamiltonian import (ControlledHamiltonian,
+                                                      TermStructure)
+    from diffquantum_tpu.models.maxcut import ring_graph
+    from diffquantum_tpu.ops import linalg
+
+    n = 10
+    rng = np.random.default_rng(9)
+    structure, omegas = [], []
+    for (i, j) in ring_graph(n):
+        structure.append(TermStructure(
+            kind="diag", diag=linalg.zz_diagonal(n, i, j)))
+        omegas.append(np.pi)
+    for q in range(n):  # alternate X / Y drives, covering rows and lanes
+        local = linalg.X if q % 2 == 0 else linalg.Y
+        structure.append(TermStructure(kind="1q", qubit=q, local=local))
+        omegas.append(np.pi)
+    ham = ControlledHamiltonian.create_structured(2**n, structure)
+    assert fused_eligible(ham)
+    from diffquantum_tpu.pulses.envelope import SimpleEnvelope
+    env = SimpleEnvelope(basis="bspline", n_basis=4, omegas=tuple(omegas))
+    coeff = jnp.asarray(
+        rng.standard_normal(env.coeff_shape).astype(np.float32) * 0.4)
+    psi0 = cpx.from_complex(linalg.uniform_superposition(n))
+    T, n_steps = 2.0, 8
+    diag = jnp.asarray(
+        sum(-0.5 * (1.0 - linalg.zz_diagonal(n, i, j))
+            for (i, j) in ring_graph(n)), jnp.float32)
+
+    def loss(evolver):
+        def f(c):
+            psi = evolver(ham, env, c, psi0, 0.0, T, horizon=T,
+                          n_steps=n_steps)
+            return jnp.sum(cpx.abs2(psi) * diag, axis=-1)
+        return f
+
+    v_f, g_f = jax.value_and_grad(loss(evolve_product_fused))(coeff)
+    v_x, g_x = jax.value_and_grad(loss(evolve_product))(coeff)
+    assert abs(float(v_f) - float(v_x)) < 1e-5
+    np.testing.assert_allclose(np.asarray(g_f), np.asarray(g_x),
+                               rtol=2e-3, atol=2e-5)
