@@ -22,11 +22,14 @@ def test_dense_backend_on_structured_ham_raises():
                horizon=prob.T, n_steps=5, backend="expm")
 
 
-def test_fused_rejects_y_terms():
-    st = [TermStructure(kind="1q", qubit=q, local=linalg.Y)
-          for q in range(10)]
-    ham = ControlledHamiltonian.create_structured(2**10, st)
-    assert not fused_eligible(ham)
+def test_fused_accepts_xy_rejects_other_generators():
+    st_y = [TermStructure(kind="1q", qubit=q, local=linalg.Y)
+            for q in range(10)]
+    assert fused_eligible(ControlledHamiltonian.create_structured(2**10, st_y))
+    h = (linalg.X + linalg.Z) / np.sqrt(2)  # Hadamard-like: not X or Y
+    st_h = [TermStructure(kind="1q", qubit=q, local=h) for q in range(10)]
+    assert not fused_eligible(
+        ControlledHamiltonian.create_structured(2**10, st_h))
 
 
 def test_unknown_backend_raises():
