@@ -16,7 +16,10 @@ qubits commute with each other. A second-order Strang splitting
 has O(dt^3) local error per step (one extra order beyond the O(dt^2)
 piecewise-constant envelope error the dense reference semantics already
 carry) and costs O(2^n) memory and O(n 2^n) FLOPs per step — no dense
-matrices anywhere. This scales the propagator to 16+ qubits (BASELINE.md
+matrices anywhere. When two 1q drives share a qubit (the non-commuting X+Y
+two-quadrature pair), the 1q block is applied palindromically (half-angle
+forward, half-angle reversed) so the split stays second order; see
+:func:`_symmetrize_rots` and tests/test_strang_order.py. This scales the propagator to 16+ qubits (BASELINE.md
 stretch config) and is the layout the multi-chip state-sharded engine uses
 (:mod:`diffquantum_tpu.parallel.sharded_state`).
 
@@ -50,9 +53,18 @@ def split_structure(ham: ControlledHamiltonian):
             diag_idx.append(k)
             diag_rows.append(np.asarray(st.diag, dtype=np.float64))
         elif st.kind == "1q":
+            g = np.asarray(st.local, dtype=np.complex128)
+            # apply_1q_pauli_rot uses exp(-i th G) = cos(th) I - i sin(th) G,
+            # exact ONLY for involutory G; anything else (sigma+, projectors)
+            # would silently produce a non-unitary propagator.
+            if not np.allclose(g @ g, np.eye(2), atol=1e-9):
+                raise ValueError(
+                    f"term {k}: 1q generator must be involutory (G @ G = I, "
+                    "e.g. a Pauli); got\n" + repr(g) +
+                    "\nUse a dense backend for general 2x2 generators.")
             oneq_idx.append(k)
             oneq_qubits.append(st.qubit)
-            oneq_locals.append(np.asarray(st.local, dtype=np.complex128))
+            oneq_locals.append(g)
         else:
             raise ValueError(f"term {k} has no product structure ({st.kind})")
     h0 = ham.h0_structure
@@ -148,6 +160,22 @@ def _pauli_kind(local) -> str | None:
     return None
 
 
+def _symmetrize_rots(qubits, kinds, theta_x, axis: int):
+    """Palindromic 1q sub-step ordering when two drives share a qubit (the
+    non-commuting X+Y two-quadrature case): half angles forward, then half
+    angles in reversed order — restores the Strang split's O(dt^2) global
+    error. The fused kernel's internal row/lane partitioning only reorders
+    rotations on DISTINCT qubits (which commute), so the palindrome of
+    same-qubit pairs survives the partition. No-op for distinct qubits."""
+    if len(set(qubits)) == len(qubits):
+        return tuple(qubits), tuple(kinds), theta_x
+    half = 0.5 * theta_x
+    rev = jnp.flip(half, axis=axis)
+    return (tuple(qubits) + tuple(reversed(tuple(qubits))),
+            tuple(kinds) + tuple(reversed(tuple(kinds))),
+            jnp.concatenate([half, rev], axis=axis))
+
+
 def fused_eligible(ham: ControlledHamiltonian) -> bool:
     """Whether the fused Pallas whole-evolution kernel applies: 10-17 qubits
     (sublane-aligned [2^(n-7), 128] state block; beyond 17 the backward
@@ -219,6 +247,8 @@ def evolve_product_fused(
                                                diag_table, precision=_HP))
         theta_x = dtc * jnp.moveaxis(u_oneq, 2, 0)     # [T, B, n_x]
         kinds = tuple(_pauli_kind(g) for g in oneq_locals)
+        oneq_qubits, kinds, theta_x = _symmetrize_rots(
+            oneq_qubits, kinds, theta_x, axis=2)
 
         # chunk the batch so the backward kernel's VMEM footprint
         # (~14 state-sized buffers) stays under the ~16 MiB budget
@@ -253,6 +283,8 @@ def evolve_product_fused(
     theta_x = dtc * u_oneq.T  # [n_steps, n_x]
 
     kinds = tuple(_pauli_kind(g) for g in oneq_locals)
+    oneq_qubits, kinds, theta_x = _symmetrize_rots(
+        oneq_qubits, kinds, theta_x, axis=1)
     out = fused_product_evolve(psi0.astype(rdt), theta_half, theta_x,
                                tuple(oneq_qubits), n, kinds)
     return out
@@ -304,6 +336,14 @@ def evolve_product(
     u_oneq = u_oneq.astype(rdt)
     dt = jnp.asarray(dt, dtype=rdt)
 
+    # Two non-commuting 1q drives on the SAME qubit (e.g. the X+Y
+    # two-quadrature pair) break the naive sequential sub-step product's
+    # palindrome and silently degrade the splitting to first order; a
+    # half-angle forward + half-angle reversed sweep restores O(dt^2)
+    # global error. Distinct-qubit terms commute, so the cheap single
+    # sweep is kept for them (static decision at trace time).
+    palindromic = len(set(oneq_qubits)) < len(oneq_qubits)
+
     @jax.checkpoint
     def step(psi, xs):
         ud, uq = xs  # [n_diag], [n_oneq]
@@ -312,8 +352,12 @@ def evolve_product(
         ph = _phase(theta_half)
         psi = cpx.mul(CP(jnp.broadcast_to(ph.re, psi.re.shape),
                          jnp.broadcast_to(ph.im, psi.im.shape)), psi)
-        for i in range(len(oneq_qubits)):
-            psi = apply_1q_pauli_rot(psi, dt * uq[i], oneq_qubits[i], n,
+        m = len(oneq_qubits)
+        order = list(range(m)) + list(reversed(range(m))) if palindromic \
+            else list(range(m))
+        frac = 0.5 * dt if palindromic else dt
+        for i in order:
+            psi = apply_1q_pauli_rot(psi, frac * uq[i], oneq_qubits[i], n,
                                      locals_re[i], locals_im[i])
         psi = cpx.mul(CP(jnp.broadcast_to(ph.re, psi.re.shape),
                          jnp.broadcast_to(ph.im, psi.im.shape)), psi)

@@ -179,9 +179,24 @@ def evolve_product_sharded(
     diag_spec = P(state_axis)
     u_spec = P(None, batch_axis, None) if per_seed else P()
 
+    # same-qubit non-commuting drives (X+Y two-quadrature) need palindromic
+    # sub-step ordering to keep the Strang split second-order — see
+    # ..dynamics.product._symmetrize_rots
+    palindromic = len(set(oneq_qubits)) < len(oneq_qubits)
+
     def inner(psi_re, psi_im, dtab, h0v, ud_t, uq_t):
         psi = CP(psi_re, psi_im)
         me = jax.lax.axis_index(state_axis)
+
+        def apply_rot(p, i, th):
+            q = oneq_qubits[i]
+            if q >= k:
+                return _local_1q_rot(p, th, q - k, n_local,
+                                     locals_re[i], locals_im[i])
+            mask = 1 << (k - 1 - q)
+            bit = ((me >> (k - 1 - q)) & 1).astype(p.re.dtype)
+            return _distributed_1q_rot(p, th, kinds[i], bit, mask,
+                                       state_axis, axis_size)
 
         def step(p, xs):
             ud, uq = xs  # [(S,) n_diag], [(S,) n_oneq]
@@ -190,17 +205,12 @@ def evolve_product_sharded(
             ph = _phase_cp(theta_half)
             p = cpx.mul(CP(jnp.broadcast_to(ph.re, p.re.shape),
                            jnp.broadcast_to(ph.im, p.im.shape)), p)
-            for i in range(len(oneq_qubits)):
-                q = oneq_qubits[i]
-                th = dt * uq[..., i]
-                if q >= k:
-                    p = _local_1q_rot(p, th, q - k, n_local,
-                                      locals_re[i], locals_im[i])
-                else:
-                    mask = 1 << (k - 1 - q)
-                    bit = ((me >> (k - 1 - q)) & 1).astype(p.re.dtype)
-                    p = _distributed_1q_rot(p, th, kinds[i], bit, mask,
-                                            state_axis, axis_size)
+            m = len(oneq_qubits)
+            order = list(range(m)) + list(reversed(range(m))) \
+                if palindromic else list(range(m))
+            frac = 0.5 * dt if palindromic else dt
+            for i in order:
+                p = apply_rot(p, i, frac * uq[..., i])
             p = cpx.mul(CP(jnp.broadcast_to(ph.re, p.re.shape),
                            jnp.broadcast_to(ph.im, p.im.shape)), p)
             return p, None
