@@ -60,8 +60,18 @@ def fd_energy_grad(
         psi = evolve(ham, envelope, c, psi0, 0.0, T, horizon=T,
                      n_steps=n_steps, backend=backend)
         if sampling:
+            from ..measure import DiagonalTermSet, stochastic_measure_diag
             k1, k2 = jax.random.split(k)
-            e = stochastic_measure(measurement.terms, psi, k1, per_pauli)
+            sampler = stochastic_measure_diag \
+                if isinstance(measurement.terms, DiagonalTermSet) \
+                else stochastic_measure
+            e = sampler(measurement.terms, psi, k1, per_pauli)
+        elif measurement.diag is not None:
+            # matrix-free diagonal observable (structured problems build
+            # Measurement.create_diagonal — no dense M exists >13 qubits)
+            from ..ops import cpx
+            e = jnp.sum(cpx.abs2(psi) * measurement.diag, axis=-1)
+            k2 = k
         else:
             e = exact_expectation(measurement.matrix, psi)
             k2 = k

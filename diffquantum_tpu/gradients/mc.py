@@ -91,7 +91,8 @@ def envelope_jacobian(envelope, coeff: jnp.ndarray, s, T) -> jnp.ndarray:
 @functools.partial(
     jax.jit,
     static_argnames=("envelope", "T", "n_steps", "backend", "r",
-                     "coeff_sign", "chain", "sampling", "noisy", "per_pauli"))
+                     "coeff_sign", "chain", "sampling", "noisy", "per_pauli",
+                     "t_jacobian"))
 def mc_energy_grad(
     ham,
     envelope,
@@ -108,15 +109,23 @@ def mc_energy_grad(
     sampling: bool = False,
     noisy: bool = False,
     per_pauli: int = 100,
+    t_jacobian: bool = False,
+    s: jnp.ndarray | None = None,
 ) -> jnp.ndarray:
     """One MC sample of the stochastic gradient (matches the reference's
     one-sample-per-step usage, `sim_plain.py:290`).
 
     ``coeff_sign=-1.0`` is the fidelity-training mode (`sim_plain.py:461`).
+    ``t_jacobian=True`` multiplies by the U(0,T) sampling Jacobian T, making
+    the estimator the true gradient in expectation (the reference absorbs
+    the 1/T into the learning rate, `sim_plain.py:167,220`). ``s`` overrides
+    the internal uniform split-time draw (a traced scalar in [0, T]) — the
+    hook for antithetic/stratified sampling (:func:`mc_energy_grad_batch`).
     Returns grad with ``coeff``'s shape.
     """
     k_s, k_meas = jax.random.split(key)
-    s = jax.random.uniform(k_s, dtype=jnp.result_type(float)) * T
+    if s is None:
+        s = jax.random.uniform(k_s, dtype=jnp.result_type(float)) * T
 
     simple_model = hasattr(envelope, "omegas")
     if simple_model:
@@ -155,17 +164,27 @@ def mc_energy_grad(
 
     # --- measurement -----------------------------------------------------
     if sampling:
-        from ..measure import DiagonalTermSet, stochastic_measure_diag
-        sampler = stochastic_measure_diag \
-            if isinstance(measurement.terms, DiagonalTermSet) \
-            else stochastic_measure
-        keys = jax.random.split(k_meas, branches.shape[0] + 1)
-        ps = jax.vmap(lambda psi, kk: sampler(
-            measurement.terms, psi, kk, per_pauli))(kets, keys[:-1])
-        k_noise = keys[-1]
+        from ..measure import (DiagonalTermSet, sampled_target_prob,
+                               stochastic_measure_diag)
+        if measurement.target is not None:
+            k_shot, k_noise = jax.random.split(k_meas)
+            ps = sampled_target_prob(measurement.target, kets, k_shot,
+                                     per_pauli)
+        else:
+            sampler = stochastic_measure_diag \
+                if isinstance(measurement.terms, DiagonalTermSet) \
+                else stochastic_measure
+            keys = jax.random.split(k_meas, branches.shape[0] + 1)
+            ps = jax.vmap(lambda psi, kk: sampler(
+                measurement.terms, psi, kk, per_pauli))(kets, keys[:-1])
+            k_noise = keys[-1]
     elif measurement.diag is not None:
         from ..ops import cpx as _cpx
         ps = jnp.sum(_cpx.abs2(kets) * measurement.diag, axis=-1)
+        k_noise = k_meas
+    elif measurement.target is not None:
+        from ..measure import target_overlap_prob
+        ps = target_overlap_prob(measurement.target, kets)
         k_noise = k_meas
     else:
         ps = exact_expectation(measurement.matrix, kets)  # [2 n_Hs]
@@ -177,6 +196,8 @@ def mc_energy_grad(
     n_hs = ham.n_controls
     ps_p, ps_m = ps[:n_hs], ps[n_hs:]
     factor = coeff_sign * (1.0 + r * r) / (2.0 * r)
+    if t_jacobian:
+        factor = factor * T
     ps_k = factor * (ps_m - ps_p)  # [n_Hs] real
 
     if simple_model:
@@ -186,10 +207,38 @@ def mc_energy_grad(
 
 
 def mc_energy_grad_batch(ham, envelope, measurement, coeff, psi0, T, key,
-                         n_steps, n_samples: int, **kw) -> jnp.ndarray:
-    """Average of ``n_samples`` independent MC gradient samples (vmapped —
-    the variance-reduction scale-out the reference lacks)."""
+                         n_steps, n_samples: int, strategy: str = "iid",
+                         **kw) -> jnp.ndarray:
+    """Average of ``n_samples`` MC gradient samples (vmapped — the
+    variance-reduction scale-out the reference lacks).
+
+    The only randomness in the noiseless estimator is the split time
+    ``s ~ U(0, T)``; its sampling ``strategy`` controls the variance at
+    FIXED cost (same number of evolutions):
+
+    - ``'iid'``: independent uniforms (reference semantics);
+    - ``'antithetic'``: pairs (s, T - s) — exact cancellation of the
+      odd-about-T/2 component of the integrand;
+    - ``'stratified'``: one uniform per equal sub-interval
+      (s_i = (i + u_i) T / N) — kills the between-strata variance, leaving
+      only the within-stratum wiggle. Unbiased in all three cases.
+    """
     keys = jax.random.split(key, n_samples)
-    grads = jax.vmap(lambda k: mc_energy_grad(
-        ham, envelope, measurement, coeff, psi0, T, k, n_steps, **kw))(keys)
+    one = lambda k, s: mc_energy_grad(  # noqa: E731
+        ham, envelope, measurement, coeff, psi0, T, k, n_steps, s=s, **kw)
+    ftype = jnp.result_type(float)
+    if strategy == "iid":
+        grads = jax.vmap(lambda k: one(k, None))(keys)
+    elif strategy == "antithetic":
+        if n_samples % 2:
+            raise ValueError("antithetic sampling needs even n_samples")
+        u = jax.random.uniform(key, (n_samples // 2,), dtype=ftype)
+        ss = jnp.concatenate([u, 1.0 - u]) * T
+        grads = jax.vmap(one)(keys, ss)
+    elif strategy == "stratified":
+        u = jax.random.uniform(key, (n_samples,), dtype=ftype)
+        ss = (jnp.arange(n_samples, dtype=ftype) + u) * (T / n_samples)
+        grads = jax.vmap(one)(keys, ss)
+    else:
+        raise ValueError(f"unknown sampling strategy {strategy!r}")
     return grads.mean(axis=0)

@@ -154,6 +154,25 @@ def stochastic_measure_diag(terms: DiagonalTermSet, psi: CP, key: jax.Array,
     return jnp.sum(terms.weights * vals.mean(axis=-1))
 
 
+def target_overlap_prob(target: CP, psi: CP) -> jnp.ndarray:
+    """|<t|psi>|^2 (psi may carry leading batch dims) — the matrix-free
+    rank-1 projector expectation."""
+    o = cpx.vdot(target, psi)
+    return o.re * o.re + o.im * o.im
+
+
+def sampled_target_prob(target: CP, psi: CP, key: jax.Array,
+                        shots: int = 100) -> jnp.ndarray:
+    """Finite-shot estimate of |<t|psi>|^2: measuring the projector
+    |t><t| is a Bernoulli trial with success probability p — ``shots``
+    draws, frequency estimate (the projector analog of
+    `sim_plain.py:101-117`'s per-term Born sampling)."""
+    p = target_overlap_prob(target, psi)
+    draws = jax.random.bernoulli(key, jnp.clip(p, 0.0, 1.0),
+                                 (shots,) + jnp.shape(p))
+    return jnp.mean(draws.astype(p.dtype), axis=0)
+
+
 def measurement_noise(value: jnp.ndarray, key: jax.Array,
                       rel_scale: float = NOISE_REL_SCALE) -> jnp.ndarray:
     """value + N(0, |value| * rel_scale) — `sim_plain.py:283-284`."""
@@ -172,20 +191,21 @@ class Measurement:
     matrix: CP | None                   # [d, d] Hermitian (None if diagonal)
     terms: PauliTermSet | DiagonalTermSet | None = None
     diag: jnp.ndarray | None = None     # [d] real diagonal (matrix-free M)
+    target: CP | None = None            # [d] state (matrix-free |t><t|)
     sampling: bool = False
     noisy: bool = False
     per_pauli: int = 100
 
     def tree_flatten(self):
-        return (self.matrix, self.terms, self.diag), (
+        return (self.matrix, self.terms, self.diag, self.target), (
             self.sampling, self.noisy, self.per_pauli)
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        matrix, terms, diag = children
+        matrix, terms, diag, target = children
         sampling, noisy, per_pauli = aux
-        return cls(matrix=matrix, terms=terms, diag=diag, sampling=sampling,
-                   noisy=noisy, per_pauli=per_pauli)
+        return cls(matrix=matrix, terms=terms, diag=diag, target=target,
+                   sampling=sampling, noisy=noisy, per_pauli=per_pauli)
 
     @classmethod
     def create(cls, matrix, terms=None, dtype=jnp.float32, **kw) -> "Measurement":
@@ -194,6 +214,18 @@ class Measurement:
         term_set = PauliTermSet.create(terms, dtype=dtype) if terms else None
         return cls(matrix=cpx.from_complex(matrix, dtype=dtype),
                    terms=term_set, **kw)
+
+    @classmethod
+    def create_target(cls, target, dtype=jnp.float32, **kw) -> "Measurement":
+        """Matrix-free rank-1 projector M = |t><t| from a target state: the
+        fidelity objective of the control trainer (the reference builds the
+        dense projector, `/root/reference/sim_plain.py:447` — impossible
+        beyond ~13 qubits; here <psi|M|psi> = |<t|psi>|^2 is one vdot).
+
+        ``target``: complex [d] array, or an existing CP pair."""
+        t = target if isinstance(target, CP) \
+            else cpx.from_complex(np.asarray(target), dtype=dtype)
+        return cls(matrix=None, target=t, **kw)
 
     @classmethod
     def create_diagonal(cls, diag, diag_terms=None, dtype=jnp.float32,
@@ -214,13 +246,18 @@ class Measurement:
             if key is None:
                 raise ValueError("sampling measurement needs a PRNG key")
             key, sub = jax.random.split(key)
-            if isinstance(self.terms, DiagonalTermSet):
+            if self.target is not None:
+                val = sampled_target_prob(self.target, psi, sub,
+                                          self.per_pauli)
+            elif isinstance(self.terms, DiagonalTermSet):
                 val = stochastic_measure_diag(self.terms, psi, sub,
                                               self.per_pauli)
             else:
                 val = stochastic_measure(self.terms, psi, sub, self.per_pauli)
         elif self.diag is not None:
             val = jnp.sum(cpx.abs2(psi) * self.diag, axis=-1)
+        elif self.target is not None:
+            val = target_overlap_prob(self.target, psi)
         else:
             val = exact_expectation(self.matrix, psi)
         if self.noisy:

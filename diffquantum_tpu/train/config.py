@@ -35,6 +35,10 @@ class TrainConfig:
     backend: str = "auto"        # propagator backend
     mc_samples: int = 1          # MC samples per optimizer step (ref: 1)
     mc_chain: str = "exact"      # 'exact' | 'reference' (sim_plain.py:224-230)
+    mc_strategy: str = "iid"     # split-time sampling: 'iid' | 'antithetic'
+                                 # | 'stratified' (variance at fixed cost)
+    mc_t_jacobian: bool = False  # multiply by the U(0,T) Jacobian T (the
+                                 # reference absorbs 1/T into the lr)
     fd_delta: float = 1e-3       # FD probe size (sim_plain.py:308)
     w_l2: float = 0.0            # j^2-weighted L2 (ref sets 0, sim_plain.py:263)
     per_pauli: int = 100         # shots per Pauli term (sim_plain.py:101)
@@ -45,6 +49,10 @@ class TrainConfig:
     log_every: int = 1
     checkpoint_dir: Optional[str] = None
     checkpoint_every: int = 0    # 0 = off
+    epoch_block: Optional[int] = None  # epochs per compiled scan block in
+                                 # train_energy; None = auto (10 on TPU where
+                                 # dispatch latency dominates, 1 on CPU where
+                                 # the block compile isn't worth it)
 
     @property
     def rdtype(self):

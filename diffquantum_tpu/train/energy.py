@@ -29,6 +29,7 @@ effective behavior.
 from __future__ import annotations
 
 import dataclasses
+import functools
 import time
 from typing import Callable, Optional
 
@@ -75,12 +76,15 @@ def serialization_to_optstate(restored, template):
 
 def l2_grad(coeff: jnp.ndarray, w_l2: float) -> jnp.ndarray:
     """Gradient of the reference's j^2-weighted L2 term
-    ``mean_j(mean_k c_kj^2 * j^2) * w_l2`` (`sim_plain.py:285-287`)."""
+    ``mean_j(mean_k c_kj^2 * j^2) * w_l2`` (`sim_plain.py:285-287`).
+
+    The basis index is the LAST axis, so this also covers the 3-D channel
+    coefficient tensor [2, n_idx, n_basis] (mean over all leading dims)."""
     if w_l2 == 0.0:
         return jnp.zeros_like(coeff)
-    n_hs, n_basis = coeff.shape
+    n_basis = coeff.shape[-1]
     j2 = jnp.arange(n_basis, dtype=coeff.dtype) ** 2
-    return 2.0 * w_l2 * coeff * j2[None, :] / (n_hs * n_basis)
+    return 2.0 * w_l2 * coeff * j2 / coeff.size
 
 
 def train_energy(
@@ -179,12 +183,35 @@ def train_energy(
     losses_gap, losses_raw = [], []
     final_state = None
     t0 = time.time()
-    for epoch in range(start_epoch, config.n_epoch + 1):
-        key, k_loss, k_grad = jax.random.split(key, 3)
-        loss, final_state = measured_loss(coeff, k_loss)
-        grad = grad_fn(coeff, k_grad)
-        coeff, opt_state = apply_update(coeff, grad, opt_state)
 
+    # --- hot loop: fixed-size compiled epoch blocks ---------------------
+    # The reference's epoch loop (`sim_plain.py:269`) dispatches per epoch;
+    # on the remote-TPU tunnel each dispatch costs 0.05-30 ms, so epochs run
+    # as lax.scan blocks of EPOCH_BLOCK — one dispatch per block, HLO
+    # independent of n_epoch (compile cache hits across runs). The RNG key
+    # rides in the scan carry with the SAME split pattern as the per-epoch
+    # path, so both modes produce bit-identical training runs. Logging and
+    # checkpointing happen at block boundaries (losses are replayed
+    # per-epoch from the scanned history; blocks are split so every
+    # checkpoint_every multiple is a boundary). A per-epoch host callback
+    # forces the legacy per-epoch loop; on CPU the default is per-epoch too
+    # (no dispatch tax to amortize, and the block compile isn't free).
+    EPOCH_BLOCK = config.epoch_block if config.epoch_block is not None \
+        else (10 if jax.default_backend() in ("tpu", "axon") else 1)
+
+    def epoch_fn(carry, _):
+        c, ost, k = carry
+        k, k_loss, k_grad = jax.random.split(k, 3)
+        loss, _ = measured_loss(c, k_loss)
+        g = grad_fn(c, k_grad)
+        c, ost = apply_update(c, g, ost)
+        return (c, ost, k), loss
+
+    @functools.partial(jax.jit, static_argnums=(1,))
+    def run_block(carry, length):
+        return jax.lax.scan(epoch_fn, carry, None, length=length)
+
+    def emit(epoch, loss):
         loss = float(loss)
         gap = loss - lam_min
         losses_raw.append(loss)
@@ -193,14 +220,43 @@ def train_energy(
             log.write_text(
                 f"epoch: {epoch:04d}, loss: {loss}, loss_energy: {gap}")
             log.log_metrics(epoch=epoch, loss=loss, gap=gap, mode=mode)
-        if callback is not None:
-            callback(epoch=epoch, coeff=coeff, loss=loss, gap=gap)
-        if config.checkpoint_every and epoch % config.checkpoint_every == 0 \
-                and config.checkpoint_dir:
-            from ..utils.checkpointing import save_checkpoint
-            save_checkpoint(config.checkpoint_dir,
-                            dict(coeff=coeff, opt_state=opt_state, key=key,
-                                 epoch=epoch))
+        return gap
+
+    ckpt_every = config.checkpoint_every if config.checkpoint_dir else 0
+
+    def save_ckpt(epoch, c, ost, k):
+        from ..utils.checkpointing import save_checkpoint
+        save_checkpoint(config.checkpoint_dir,
+                        dict(coeff=c, opt_state=ost, key=k, epoch=epoch))
+
+    if callback is None and EPOCH_BLOCK > 1:
+        carry = (coeff, opt_state, key)
+        epoch = start_epoch - 1
+        while epoch < config.n_epoch:
+            blk = min(EPOCH_BLOCK, config.n_epoch - epoch)
+            if ckpt_every:
+                to_boundary = ckpt_every - epoch % ckpt_every
+                blk = min(blk, to_boundary)
+            carry, losses_b = run_block(carry, blk)
+            for i, loss in enumerate(np.asarray(losses_b)):
+                emit(epoch + 1 + i, loss)
+            epoch += blk
+            if ckpt_every and epoch % ckpt_every == 0:
+                save_ckpt(epoch, *carry)
+        coeff, opt_state, key = carry
+        if config.n_epoch >= start_epoch:
+            _, final_state = measured_loss(coeff, jax.random.PRNGKey(0))
+    else:
+        for epoch in range(start_epoch, config.n_epoch + 1):
+            key, k_loss, k_grad = jax.random.split(key, 3)
+            loss, final_state = measured_loss(coeff, k_loss)
+            grad = grad_fn(coeff, k_grad)
+            coeff, opt_state = apply_update(coeff, grad, opt_state)
+            gap = emit(epoch, loss)
+            if callback is not None:
+                callback(epoch=epoch, coeff=coeff, loss=float(loss), gap=gap)
+            if ckpt_every and epoch % ckpt_every == 0:
+                save_ckpt(epoch, coeff, opt_state, key)
 
     return TrainResult(coeff=coeff, losses_energy=losses_gap,
                        losses_raw=losses_raw, final_state=final_state,

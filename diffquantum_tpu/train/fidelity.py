@@ -38,7 +38,9 @@ from .energy import TrainResult, l2_grad, make_optimizer
 
 
 def _projector(target: CP) -> CP:
-    """|t><t| as CP: P_ij = t_i conj(t_j)."""
+    """|t><t| as CP: P_ij = t_i conj(t_j). Kept for dense cross-checks; the
+    training path uses the matrix-free ``Measurement.create_target`` (one
+    vdot per branch) so control training scales past 13 qubits."""
     re = jnp.outer(target.re, target.re) + jnp.outer(target.im, target.im)
     im = jnp.outer(target.im, target.re) - jnp.outer(target.re, target.im)
     return CP(re, im)
@@ -90,7 +92,10 @@ def train_fidelity(
                                      n_steps, backend=config.backend)
             return g
         if mode == "mc":
-            m = Measurement(matrix=_projector(target))
+            # matrix-free |t><t|: <psi|M|psi> = |<t|psi>|^2, one vdot per
+            # branch — works for structured (>13q) problems where the
+            # reference's dense projector (`sim_plain.py:447`) cannot exist
+            m = Measurement(matrix=None, target=target)
             return mc_energy_grad(
                 ham, envelope, m, c, psi0, T, k, config.n_step,
                 backend=config.backend, coeff_sign=-1.0,

@@ -134,3 +134,44 @@ def test_second_order_differentiable():
     # Hessian of a smooth scalar loss is symmetric
     np.testing.assert_allclose(hm, hm.T, atol=1e-8)
     assert np.any(np.abs(hm) > 1e-6)
+
+
+def test_mc_variance_reduction_strategies():
+    """Antithetic and stratified split-time sampling must (a) stay unbiased
+    (same mean as iid within noise) and (b) cut the variance of the batch
+    mean at FIXED cost. Measured over 24 independent batch means."""
+    from diffquantum_tpu.gradients.mc import mc_energy_grad_batch
+
+    ham, env, coeff, psi0, meas, T = small_problem()
+    n_samples, n_rep = 8, 24
+    keys = jax.random.split(jax.random.PRNGKey(9), n_rep)
+
+    def batch_means(strategy):
+        return np.stack([np.asarray(mc_energy_grad_batch(
+            ham, env, meas, coeff, psi0, T, k, 12, n_samples,
+            strategy=strategy)) for k in keys])
+
+    out = {s: batch_means(s) for s in ("iid", "antithetic", "stratified")}
+    var = {s: float(np.mean(np.var(v, axis=0))) for s, v in out.items()}
+    mean = {s: v.mean(axis=0) for s, v in out.items()}
+    # unbiasedness: strategies agree in expectation (coarse, n_rep*n_samples
+    # samples each)
+    scale = np.abs(mean["iid"]).max() + 1e-9
+    for s in ("antithetic", "stratified"):
+        assert np.abs(mean[s] - mean["iid"]).max() < 0.5 * scale, (s, mean)
+    # variance: stratified must beat iid clearly; antithetic at least not
+    # hurt (its gain depends on the integrand's symmetry)
+    assert var["stratified"] < 0.6 * var["iid"], var
+    assert var["antithetic"] < 1.2 * var["iid"], var
+
+
+def test_mc_t_jacobian_scaling():
+    """t_jacobian=True scales the estimator by exactly T."""
+    from diffquantum_tpu.gradients.mc import mc_energy_grad
+
+    ham, env, coeff, psi0, meas, T = small_problem()
+    k = jax.random.PRNGKey(3)
+    g0 = np.asarray(mc_energy_grad(ham, env, meas, coeff, psi0, T, k, 12))
+    g1 = np.asarray(mc_energy_grad(ham, env, meas, coeff, psi0, T, k, 12,
+                                   t_jacobian=True))
+    np.testing.assert_allclose(g1, g0 * T, rtol=1e-12)

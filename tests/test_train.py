@@ -88,3 +88,29 @@ def test_checkpointing_roundtrip(tmp_path):
     back = load_checkpoint(str(tmp_path))
     np.testing.assert_allclose(np.asarray(back["coeff"]), 1.0)
     assert int(back["epoch"]) == 7
+
+
+def test_epoch_block_mode_bit_identical():
+    """Compiled epoch blocks (one lax.scan dispatch per EPOCH_BLOCK epochs)
+    must reproduce the per-epoch loop exactly — same RNG split pattern, same
+    losses, same final coefficients."""
+    import numpy as np
+    from diffquantum_tpu.models import maxcut
+    from diffquantum_tpu.train.config import TrainConfig
+    from diffquantum_tpu.train.energy import train_energy
+
+    prob = maxcut.build_maxcut(3, maxcut.ring_graph(3), n_basis=4,
+                               dense=True, dtype=None or __import__(
+                                   'jax.numpy', fromlist=['']).float64)
+    kw = dict(n_epoch=7, lr=5e-2, grad_mode="mc", per_step=4, n_step=6,
+              dtype="float64", sampling_measure=False, is_noisy=True)
+    r_blk = train_energy(prob.ham, prob.envelope, prob.measurement,
+                         prob.psi0, prob.T,
+                         TrainConfig(epoch_block=3, **kw))
+    r_leg = train_energy(prob.ham, prob.envelope, prob.measurement,
+                         prob.psi0, prob.T,
+                         TrainConfig(epoch_block=1, **kw))
+    np.testing.assert_allclose(np.asarray(r_blk.losses_raw),
+                               np.asarray(r_leg.losses_raw), rtol=1e-12)
+    np.testing.assert_allclose(np.asarray(r_blk.coeff),
+                               np.asarray(r_leg.coeff), rtol=1e-10)
