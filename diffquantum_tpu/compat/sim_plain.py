@@ -182,10 +182,18 @@ class SimulatorPlain:
 
         phi_s = np.asarray(basis_matrix(self.basis, self.n_basis,
                                         jnp.asarray(float(s)), self.T))
-        a = sc @ phi_s
-        sig = 1.0 / (1.0 + np.exp(-a))
-        dDdv = (2 * sig * (1 - sig) * np.asarray(self.omegas))[:, None] \
-            * phi_s[None, :]
+        from ..pulses.basis import canonical_kind
+        if canonical_kind(self.basis) in ("legendre", "bspline"):
+            a = sc @ phi_s
+            sig = 1.0 / (1.0 + np.exp(-a))
+            dDdv = (2 * sig * (1 - sig) * np.asarray(self.omegas))[:, None] \
+                * phi_s[None, :]
+        else:
+            # reference quirk, `sim_plain.py:224-230`: poly/Fourier use the
+            # RAW basis values (no sigmoid chain factor) — this facade keeps
+            # that behavior exactly; the engine-level estimator exposes it as
+            # chain='reference' (gradients/mc.py).
+            dDdv = np.broadcast_to(phi_s[None, :], sc.shape).copy()
 
         phi = self.trotter(H, initial_state, 0, s)
         r = 0.5

@@ -113,3 +113,22 @@ def test_long_chain_checkpointed_adjoint():
     assert np.isfinite(float(val))
     assert np.all(np.isfinite(np.asarray(g)))
     assert np.any(np.abs(np.asarray(g)) > 0)
+
+
+def test_l2_grad_channel_coeff_3d():
+    """ADVICE r1: the j^2-weighted L2 must handle the 3-D ChannelEnvelope
+    coefficient tensor [2, n_idx, n_basis], not just SimpleEnvelope's 2-D."""
+    import jax.numpy as jnp
+    import numpy as np
+    from diffquantum_tpu.train.energy import l2_grad
+
+    c3 = jnp.asarray(np.random.default_rng(0).standard_normal((2, 3, 5)))
+    g = l2_grad(c3, w_l2=0.7)
+    j2 = np.arange(5) ** 2
+    expect = 2.0 * 0.7 * np.asarray(c3) * j2 / c3.size
+    np.testing.assert_allclose(np.asarray(g), expect, rtol=1e-12)
+    # 2-D unchanged semantics
+    c2 = jnp.asarray(np.random.default_rng(1).standard_normal((4, 5)))
+    g2 = l2_grad(c2, w_l2=0.3)
+    expect2 = 2.0 * 0.3 * np.asarray(c2) * j2 / c2.size
+    np.testing.assert_allclose(np.asarray(g2), expect2, rtol=1e-12)

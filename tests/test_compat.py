@@ -108,3 +108,30 @@ def test_save_plot_writes_png(tmp_path, monkeypatch):
     import os
     pngs = [f for f in os.listdir(tmp_path) if f.endswith(".png")]
     assert pngs, "no waveform png written"
+
+
+def test_simulator_plain_mc_grad_poly_uses_raw_basis(tmp_path):
+    """Reference quirk parity (`sim_plain.py:224-230`): for poly/Fourier the
+    facade's MC grad rows are ps_i * phi(s) — the RAW basis values, no
+    sigmoid chain factor — so all rows share one direction phi(s) even for
+    wildly different coefficient rows (the sigmoid factor would scale
+    COLUMNS per-row, breaking proportionality only in the chain='exact'
+    case where a != a')."""
+    sim = SimulatorPlain(lr=1e-2, n_basis=3, n_epoch=1, basis="poly",
+                         log_dir=str(tmp_path))
+    sim.omegas = [np.pi, np.pi]
+    sim.T = 1.0
+    sim.spectral_coeff = np.array([[0.3, -0.8, 1.2], [2.0, 0.1, -0.5]])
+    H = [np.zeros((2, 2))] + [
+        [op, sim.generate_u(i, sim.spectral_coeff)]
+        for i, op in enumerate([linalg.X, linalg.Z])]
+    M = np.diag([1.0, -1.0]).astype(np.complex128)
+    psi0 = np.array([1.0, 0.0], dtype=np.complex128)
+    g = sim.compute_energy_grad_MC(M, H, psi0)
+    if hasattr(g, "detach"):
+        g = g.detach().numpy()
+    g = np.asarray(g)
+    n0, n1 = np.linalg.norm(g[0]), np.linalg.norm(g[1])
+    if n0 > 1e-14 and n1 > 1e-14:
+        cos = abs(float(g[0] @ g[1]) / (n0 * n1))
+        assert cos > 1.0 - 1e-10, g
