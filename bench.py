@@ -124,6 +124,54 @@ def main():
     except Exception as e:  # secondary metric must not kill the headline
         print(f"secondary bench failed: {e}", file=sys.stderr)
 
+    # throughput path (the MXU-shaped number): 64 independent pulse seeds x
+    # 12 qubits trained as ONE batched program — per-epoch latency of the
+    # full train step (batched fused evolution + adjoint + adam), amortized
+    # over a 10-epoch compiled scan block exactly like
+    # parallel.mesh.train_energy_seeds runs in practice
+    try:
+        import optax
+        from diffquantum_tpu.dynamics.product import fused_eligible as _fe
+        n_seeds = 64
+        psi_b = jax.tree_util.tree_map(
+            lambda x: jnp.broadcast_to(x, (n_seeds,) + x.shape), prob.psi0)
+        evolver_b = evolve_product_fused if _fe(prob.ham) else evolve_product
+
+        def batch_energy_sum(cs):
+            psi = evolver_b(prob.ham, prob.envelope, cs, psi_b, 0.0, prob.T,
+                            horizon=prob.T, n_steps=n_steps)
+            e = jnp.sum(cpx.abs2(psi) * prob.measurement.diag, axis=-1)
+            return e.sum()
+
+        opt = optax.adam(2e-2)
+        cs0 = jnp.asarray(rng.standard_normal(
+            (n_seeds,) + prob.envelope.coeff_shape).astype(np.float32) * 1e-3)
+        ost0 = opt.init(cs0)
+
+        def epoch(carry, _):
+            cs, ost = carry
+            g = jax.grad(batch_energy_sum)(cs)
+            updates, ost = opt.update(g, ost, cs)
+            return (optax.apply_updates(cs, updates), ost), None
+
+        blk = 10
+
+        @jax.jit
+        def run_block(carry):
+            return jax.lax.scan(epoch, carry, None, length=blk)[0]
+
+        lat_blk = median_latency(run_block, ((cs0, ost0),), n_warmup=2,
+                                 n_runs=10)
+        print(json.dumps({"metric": "seeds64_epoch_latency",
+                          "value": round(lat_blk / blk * 1e3, 3),
+                          "unit": "ms (64-seed 12q train epoch)"}),
+              file=sys.stderr)
+        print(json.dumps({"metric": "seeds64_per_seed_step",
+                          "value": round(lat_blk / blk / n_seeds * 1e6, 1),
+                          "unit": "us/seed-step"}), file=sys.stderr)
+    except Exception as e:
+        print(f"seeds bench failed: {e}", file=sys.stderr)
+
     # stretch config (BASELINE.md): 16 qubits, 1000-step chain, adjoint grad
     try:
         from diffquantum_tpu.ops import cpx as _c
