@@ -690,3 +690,27 @@ def _bwd_b(x_qubits, n_qubits, kinds, residuals, lam):
 
 
 fused_product_evolve_batched.defvjp(_fwd_b, _bwd_b)
+
+
+def fused_rot_block(psi: CP, theta_x: jnp.ndarray, x_qubits: tuple,
+                    n_qubits: int, kinds: tuple = None) -> CP:
+    """One Strang ROTATION block (no diagonal phase) as a single fused
+    kernel call — the per-step local workhorse of the sharded engine
+    (:mod:`...parallel.sharded_state`), which applies diagonal phases and
+    distributed-qubit mixes in XLA (elementwise + ppermute) between kernel
+    launches. Implemented as the whole-evolution kernel with n_steps=1 and a
+    zero phase table, so the exact custom-VJP adjoint is reused unchanged.
+
+    psi: CP [2^n] or batched CP [B, 2^n] (per-batch angles);
+    theta_x: [n_x] or [B, n_x] matching.
+    """
+    kinds = tuple(kinds) if kinds else None
+    if psi.ndim == 1:
+        th = jnp.zeros((1,) + psi.shape[-1:], jnp.float32)
+        return fused_product_evolve(psi, th,
+                                    theta_x[None].astype(jnp.float32),
+                                    tuple(x_qubits), n_qubits, kinds)
+    th = jnp.zeros((1,) + psi.shape, jnp.float32)
+    return fused_product_evolve_batched(psi, th,
+                                        theta_x[None].astype(jnp.float32),
+                                        tuple(x_qubits), n_qubits, kinds)

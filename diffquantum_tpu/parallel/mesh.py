@@ -81,17 +81,25 @@ def train_energy_seeds(
         spec = (data_axis,) + (None,) * (coeffs.ndim - 1)
         coeffs = jax.device_put(coeffs, NamedSharding(mesh, P(*spec)))
 
-    # single-chip + eligible structured problem → the batched fused Pallas
-    # kernel evolves ALL seeds in one program (a pallas_call is not
-    # SPMD-shardable, so the mesh path keeps the vmapped XLA evolution)
+    # eligible structured problem → the batched fused Pallas kernel evolves
+    # the seeds with the state resident in VMEM. Single-chip: ALL seeds in
+    # one program. Meshed: a pallas_call is not auto-shardable, so the seed
+    # axis is shard_mapped over the data axis and each device runs the
+    # batched kernel on ITS seed shard (custom-VJP gradients flow through
+    # shard_map — tests/test_sharded_fused.py).
     from ..dynamics.product import evolve_product_fused, fused_eligible
-    use_fused = (mesh is None and config.backend in ("auto", "product_fused")
-                 and fused_eligible(ham) and measurement.diag is not None
-                 and jax.default_backend() in ("tpu", "axon"))
+    fused_able = (config.backend in ("auto", "product_fused")
+                  and fused_eligible(ham) and measurement.diag is not None)
+    on_tpu = jax.default_backend() in ("tpu", "axon")
+    use_fused = fused_able and mesh is None \
+        and (on_tpu or config.backend == "product_fused")
+    use_fused_sharded = fused_able and mesh is not None \
+        and (on_tpu or config.backend == "product_fused") \
+        and n_seeds % mesh.shape[data_axis] == 0
     psi_batch = jax.tree_util.tree_map(
         lambda x: jnp.broadcast_to(x, (n_seeds,) + x.shape), psi0)
 
-    if use_fused:
+    if use_fused or use_fused_sharded:
         # slim away any dense operator payload: the fused kernel only needs
         # the structure metadata, and a closed-over dense stack would be
         # captured as jit constants (3.2 GB at 12 qubits — observed to make
@@ -102,10 +110,30 @@ def train_energy_seeds(
                 ham.dim, ham.structure, h0_structure=ham.h0_structure,
                 dtype=jnp.float32)
 
-        def batch_energies(cs):
-            psi = evolve_product_fused(ham_f, envelope, cs, psi_batch, 0.0,
-                                       T, horizon=T, n_steps=n_steps)
-            return jnp.sum(cpx.abs2(psi) * measurement.diag, axis=-1)
+        if use_fused_sharded:
+            from jax import shard_map
+
+            def local_energies(cs_l, psi_re_l, psi_im_l, diag_r):
+                psi = evolve_product_fused(
+                    ham_f, envelope, cs_l, CP(psi_re_l, psi_im_l), 0.0, T,
+                    horizon=T, n_steps=n_steps)
+                return jnp.sum(cpx.abs2(psi) * diag_r, axis=-1)
+
+            cspec = P(*((data_axis,) + (None,) * (coeffs.ndim - 1)))
+
+            def batch_energies(cs):
+                return shard_map(
+                    local_energies, mesh=mesh,
+                    in_specs=(cspec, P(data_axis, None), P(data_axis, None),
+                              P()),
+                    out_specs=P(data_axis), check_vma=False,
+                )(cs, psi_batch.re, psi_batch.im, measurement.diag)
+        else:
+            def batch_energies(cs):
+                psi = evolve_product_fused(ham_f, envelope, cs, psi_batch,
+                                           0.0, T, horizon=T,
+                                           n_steps=n_steps)
+                return jnp.sum(cpx.abs2(psi) * measurement.diag, axis=-1)
     else:
         def seed_energy(c, p):
             psi = evolve(ham, envelope, c, p, 0.0, T, horizon=T,

@@ -125,11 +125,23 @@ def evolve_product_sharded(
     mesh: Mesh,
     state_axis: str = "state",
     batch_axis: Optional[str] = None,
+    local_backend: str = "xla",
 ) -> CP:
     """Strang-split evolution with the amplitude axis sharded over
     ``state_axis`` of ``mesh`` (and an optional leading batch axis sharded
     over ``batch_axis``). Same math/grid as
     :func:`..dynamics.product.evolve_product`.
+
+    ``local_backend`` selects how each step's LOCAL-qubit rotation block
+    runs inside the shard_map body:
+
+    - ``'xla'``: the per-rotation einsum chain (works everywhere, any dtype);
+    - ``'fused'``: ONE Pallas kernel call per step
+      (:func:`..ops.fused_product.fused_rot_block`) — diagonal phases and
+      distributed-qubit mixes stay in XLA (elementwise + one ppermute per
+      distributed rotation). Requires f32, Pauli X/Y locals, and >= 10 local
+      qubits (sublane-aligned [2^(n_loc-7), 128] block);
+    - ``'auto'``: fused when eligible on TPU, else xla.
     """
     n = ham.n_qubits
     (diag_idx, diag_rows, h0_diag, oneq_idx, oneq_qubits,
@@ -184,6 +196,33 @@ def evolve_product_sharded(
     # ..dynamics.product._symmetrize_rots
     palindromic = len(set(oneq_qubits)) < len(oneq_qubits)
 
+    # static local/distributed partition (distinct-qubit rotations commute,
+    # so grouping locals before distributed ones preserves the product; a
+    # duplicated qubit is always entirely in one group)
+    m_rots = len(oneq_qubits)
+    loc_ids = [i for i in range(m_rots) if oneq_qubits[i] >= k]
+    dist_ids = [i for i in range(m_rots) if oneq_qubits[i] < k]
+    d_local = ham.dim // axis_size
+    fused_ok = (rdt == jnp.float32 and n_local >= 10
+                and d_local % 128 == 0 and (d_local // 128) % 8 == 0
+                and all(kinds[i] in ("x", "y") for i in loc_ids))
+    if local_backend == "auto":
+        local_backend = "fused" if (fused_ok and jax.default_backend()
+                                    in ("tpu", "axon")) else "xla"
+    if local_backend == "fused" and not fused_ok:
+        raise ValueError(
+            "local_backend='fused' needs f32, Pauli X/Y local terms and "
+            ">= 10 local qubits (sublane-aligned block)")
+    if local_backend == "fused":
+        loc_dup = len({oneq_qubits[i] for i in loc_ids}) < len(loc_ids)
+        kq = [oneq_qubits[i] - k for i in loc_ids]
+        kk = [kinds[i] for i in loc_ids]
+        if loc_dup:
+            kq, kk = kq + kq[::-1], kk + kk[::-1]
+        kernel_qubits, kernel_kinds = tuple(kq), tuple(kk)
+        loc_idx_arr = jnp.asarray(loc_ids, dtype=jnp.int32)
+        dist_dup = len({oneq_qubits[i] for i in dist_ids}) < len(dist_ids)
+
     def inner(psi_re, psi_im, dtab, h0v, ud_t, uq_t):
         psi = CP(psi_re, psi_im)
         me = jax.lax.axis_index(state_axis)
@@ -198,22 +237,48 @@ def evolve_product_sharded(
             return _distributed_1q_rot(p, th, kinds[i], bit, mask,
                                        state_axis, axis_size)
 
-        def step(p, xs):
+        def step_xla(p, xs):
             ud, uq = xs  # [(S,) n_diag], [(S,) n_oneq]
             # local diagonal phase: [(S,) d_local]
             theta_half = (0.5 * dt) * (h0v + jnp.matmul(ud, dtab, precision=jax.lax.Precision.HIGHEST))
             ph = _phase_cp(theta_half)
             p = cpx.mul(CP(jnp.broadcast_to(ph.re, p.re.shape),
                            jnp.broadcast_to(ph.im, p.im.shape)), p)
-            m = len(oneq_qubits)
-            order = list(range(m)) + list(reversed(range(m))) \
-                if palindromic else list(range(m))
+            order = list(range(m_rots)) + list(reversed(range(m_rots))) \
+                if palindromic else list(range(m_rots))
             frac = 0.5 * dt if palindromic else dt
             for i in order:
                 p = apply_rot(p, i, frac * uq[..., i])
             p = cpx.mul(CP(jnp.broadcast_to(ph.re, p.re.shape),
                            jnp.broadcast_to(ph.im, p.im.shape)), p)
             return p, None
+
+        def step_fused(p, xs):
+            from ..ops.fused_product import fused_rot_block
+            ud, uq = xs
+            theta_half = (0.5 * dt) * (h0v + jnp.matmul(
+                ud, dtab, precision=jax.lax.Precision.HIGHEST))
+            ph = _phase_cp(theta_half)
+            p = cpx.mul(CP(jnp.broadcast_to(ph.re, p.re.shape),
+                           jnp.broadcast_to(ph.im, p.im.shape)), p)
+            if loc_ids:
+                th = dt * jnp.take(uq, loc_idx_arr, axis=-1)
+                if loc_dup:
+                    th = 0.5 * jnp.concatenate(
+                        [th, jnp.flip(th, axis=-1)], axis=-1)
+                if p.ndim > 1 and th.ndim == 1:  # shared pulse, seed batch
+                    th = jnp.broadcast_to(th, p.shape[:1] + th.shape)
+                p = fused_rot_block(p, th, kernel_qubits, n_local,
+                                    kernel_kinds)
+            order = dist_ids + dist_ids[::-1] if dist_dup else dist_ids
+            frac = 0.5 * dt if dist_dup else dt
+            for i in order:
+                p = apply_rot(p, i, frac * uq[..., i])
+            p = cpx.mul(CP(jnp.broadcast_to(ph.re, p.re.shape),
+                           jnp.broadcast_to(ph.im, p.im.shape)), p)
+            return p, None
+
+        step = step_fused if local_backend == "fused" else step_xla
 
         out, _ = jax.lax.scan(step, psi, (ud_t, uq_t))
         return out.re, out.im
@@ -227,6 +292,9 @@ def evolve_product_sharded(
         in_specs=(state_spec, state_spec, P(None, state_axis), diag_spec,
                   u_spec, u_spec),
         out_specs=(state_spec, state_spec),
+        # pallas_call outputs carry no varying-mesh-axes metadata; the fused
+        # local blocks are strictly per-shard, so the check is vacuous here
+        check_vma=False,
     )
     re, im = shmap(psi0.re.astype(rdt), psi0.im.astype(rdt), diag_table,
                    h0_vec, u_diag, u_oneq)

@@ -133,3 +133,26 @@ def test_train_energy_seeds_batched():
     assert np.all(res.losses[-1] < res.losses[0])
     lam_min = float(np.min(prob.cost_diag))
     assert res.best_loss - lam_min < 0.5
+
+
+def test_train_energy_seeds_meshed_fused_kernel():
+    """Meshed seed training with the batched fused kernel shard_mapped over
+    the data axis (the round-1 mesh path silently fell back to XLA): must
+    match the XLA product mesh path run with identical seeds."""
+    n = 10
+    prob = maxcut.build_maxcut(n, maxcut.ring_graph(n), n_basis=4,
+                               dense=False)
+    mesh = make_mesh({"data": 4})
+    kw = dict(n_seeds=8, mesh=mesh)
+    cfg = TrainConfig(n_epoch=3, lr=5e-2, per_step=2, seed=7)
+    res_f = train_energy_seeds(prob.ham, prob.envelope, prob.measurement,
+                               prob.psi0, prob.T,
+                               cfg.replace(backend="product_fused"), **kw)
+    res_x = train_energy_seeds(prob.ham, prob.envelope, prob.measurement,
+                               prob.psi0, prob.T,
+                               cfg.replace(backend="product"), **kw)
+    np.testing.assert_allclose(res_f.losses, res_x.losses, rtol=1e-4,
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(res_f.coeffs),
+                               np.asarray(res_x.coeffs), rtol=1e-3,
+                               atol=1e-5)
