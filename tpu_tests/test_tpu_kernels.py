@@ -1,0 +1,141 @@
+"""Real-chip TPU smoke lane for the Pallas kernels.
+
+The CI suite (`tests/`) forces CPU and runs the kernels in interpret mode
+only — Mosaic lowering/precision regressions were previously caught by
+ad-hoc manual runs. This lane compiles the ACTUAL kernels on the attached
+TPU and cross-checks them against the XLA product engine.
+
+Run (one command, detached — remote compiles can take minutes and killing a
+python mid-compile wedges the tunnel):
+
+    nohup python -m pytest tpu_tests/ -q > /tmp/tpu_smoke.log 2>&1 &
+
+Healthy: all tests pass in ~2-6 min (first run compiles; repeats hit the
+persistent cache).
+"""
+import jax
+import pytest
+
+if jax.default_backend() not in ("tpu", "axon"):
+    pytest.skip("TPU lane: needs a real TPU backend (got "
+                f"{jax.default_backend()!r})", allow_module_level=True)
+
+jax.config.update("jax_compilation_cache_dir",
+                  "/tmp/diffquantum_tpu_jax_cache")
+
+import jax.numpy as jnp  # noqa: E402
+import numpy as np  # noqa: E402
+
+from diffquantum_tpu.dynamics.hamiltonian import (  # noqa: E402
+    ControlledHamiltonian, TermStructure)
+from diffquantum_tpu.dynamics.product import (  # noqa: E402
+    evolve_product, evolve_product_fused)
+from diffquantum_tpu.models import maxcut  # noqa: E402
+from diffquantum_tpu.ops import cpx, linalg  # noqa: E402
+from diffquantum_tpu.pulses.envelope import SimpleEnvelope  # noqa: E402
+
+
+def _coeff(env, seed=0, scale=0.5):
+    rng = np.random.default_rng(seed)
+    return jnp.asarray(rng.standard_normal(env.coeff_shape),
+                       dtype=jnp.float32) * scale
+
+
+def _energy_fns(prob, n_steps):
+    def e(evolver):
+        def f(c):
+            psi = evolver(prob.ham, prob.envelope, c, prob.psi0, 0.0,
+                          prob.T, horizon=prob.T, n_steps=n_steps)
+            return jnp.sum(cpx.abs2(psi) * prob.measurement.diag, axis=-1)
+        return f
+    return e(evolve_product_fused), e(evolve_product)
+
+
+def test_fused_12q_forward_backward_vs_xla():
+    prob = maxcut.build_maxcut(12, maxcut.ring_graph(12), n_basis=6,
+                               dense=False)
+    f_fused, f_xla = _energy_fns(prob, 30)
+    c = _coeff(prob.envelope)
+    vf, gf = jax.jit(jax.value_and_grad(f_fused))(c)
+    vx, gx = jax.jit(jax.value_and_grad(f_xla))(c)
+    np.testing.assert_allclose(float(vf), float(vx), rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(gf), np.asarray(gx),
+                               rtol=1e-3, atol=1e-4)
+
+
+def test_fused_same_qubit_xy_palindromic_on_tpu():
+    """The symmetrized (palindromic) rotation list for same-qubit X+Y —
+    round-1 validated the fused X/Y kernels on TPU by hand; this pins the
+    round-2 ordering change on the real chip."""
+    n, d = 11, 2**11
+    structure, omegas = [], []
+    for i in range(n):
+        structure.append(TermStructure(
+            kind="diag", diag=linalg.zz_diagonal(n, i, (i + 1) % n)))
+        omegas.append(np.pi)
+    for g in (linalg.X, linalg.Y):  # both on qubit 4
+        structure.append(TermStructure(kind="1q", qubit=4, local=g))
+        omegas.append(np.pi)
+    ham = ControlledHamiltonian.create_structured(
+        d, structure,
+        h0_structure=TermStructure(kind="diag", diag=np.zeros(d)),
+        dtype=jnp.float32)
+    env = SimpleEnvelope(basis="legendre", n_basis=4, omegas=tuple(omegas))
+    c = _coeff(env, seed=3)
+    psi0 = cpx.from_complex(np.full(d, d ** -0.5, np.complex128),
+                            dtype=jnp.float32)
+    w = jnp.asarray(np.random.default_rng(1).standard_normal(d), jnp.float32)
+
+    def e(evolver):
+        def f(cc):
+            psi = evolver(ham, env, cc, psi0, 0.0, 1.5, horizon=1.5,
+                          n_steps=16)
+            return jnp.sum(cpx.abs2(psi) * w, axis=-1)
+        return f
+
+    vf, gf = jax.jit(jax.value_and_grad(e(evolve_product_fused)))(c)
+    vx, gx = jax.jit(jax.value_and_grad(e(evolve_product)))(c)
+    np.testing.assert_allclose(float(vf), float(vx), rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(gf), np.asarray(gx),
+                               rtol=1e-3, atol=1e-4)
+
+
+def test_fused_batched_seeds_vs_vmapped_xla():
+    prob = maxcut.build_maxcut(10, maxcut.ring_graph(10), n_basis=4,
+                               dense=False)
+    n_seeds, n_steps = 8, 12
+    rng = np.random.default_rng(5)
+    cs = jnp.asarray(rng.standard_normal(
+        (n_seeds,) + prob.envelope.coeff_shape), jnp.float32) * 0.5
+    psi_b = jax.tree_util.tree_map(
+        lambda x: jnp.broadcast_to(x, (n_seeds,) + x.shape), prob.psi0)
+
+    def e_fused(c):
+        psi = evolve_product_fused(prob.ham, prob.envelope, c, psi_b, 0.0,
+                                   prob.T, horizon=prob.T, n_steps=n_steps)
+        return jnp.sum(cpx.abs2(psi) * prob.measurement.diag, axis=-1).sum()
+
+    def e_xla(c):
+        def one(ci, pi):
+            psi = evolve_product(prob.ham, prob.envelope, ci, pi, 0.0,
+                                 prob.T, horizon=prob.T, n_steps=n_steps)
+            return jnp.sum(cpx.abs2(psi) * prob.measurement.diag, axis=-1)
+        return jax.vmap(one)(c, psi_b).sum()
+
+    vf, gf = jax.jit(jax.value_and_grad(e_fused))(cs)
+    vx, gx = jax.jit(jax.value_and_grad(e_xla))(cs)
+    np.testing.assert_allclose(float(vf), float(vx), rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(gf), np.asarray(gx),
+                               rtol=1e-3, atol=1e-4)
+
+
+def test_fused_norm_preservation_long_chain():
+    """1000-step 16-qubit fused chain: unitary to f32 accumulation level."""
+    prob = maxcut.build_maxcut(16, maxcut.ring_graph(16), n_basis=6,
+                               dense=False)
+    c = _coeff(prob.envelope, seed=9)
+    psi = jax.jit(lambda cc: evolve_product_fused(
+        prob.ham, prob.envelope, cc, prob.psi0, 0.0, prob.T,
+        horizon=prob.T, n_steps=1000))(c)
+    norm = float(cpx.norm2(psi))
+    assert abs(norm - 1.0) < 5e-4, norm
