@@ -31,12 +31,16 @@ def median_latency(fn, args, n_warmup=3, n_runs=20):
     return float(np.median(times))
 
 
-def amortized_step_latency(step_fn, coeff, chain: int = 10, n_runs: int = 15):
+def amortized_step_latency(step_fn, coeff, chain: int = 100, n_runs: int = 15):
     """Per-step latency with dispatch overhead amortized: ``chain`` gradient
     steps chained inside ONE compiled program (a lax.scan), exactly like the
-    compiled training loops run in practice. The remote-TPU tunnel adds a
-    variable ~0.05-30 ms per *dispatch*; chaining isolates the device-side
-    step cost. Returns (per_step_s, single_dispatch_s)."""
+    compiled training loops run in practice (train_energy EPOCH_BLOCK).
+    Dispatching a kernel-bearing executable through the remote-TPU tunnel
+    costs a FIXED ~29 ms regardless of program length (measured; trivial
+    programs dispatch in ~0.06 ms), so the chain length sets how much of
+    that fixed cost leaks into the per-step number: chain=10 reads ~3 ms
+    per step for a true ~0.2 ms device-side step. chain=100 bounds the leak
+    at ~0.3 ms. Returns (per_step_s, single_dispatch_s)."""
     import jax
 
     def chained(c):
@@ -116,7 +120,7 @@ def main():
         c10 = jnp.asarray(rng.standard_normal(
             prob10.envelope.coeff_shape).astype(np.float32) * 1e-3)
         per10, _ = amortized_step_latency(
-            jax.value_and_grad(fwd_loss), c10, chain=10, n_runs=10)
+            jax.value_and_grad(fwd_loss), c10, chain=100, n_runs=10)
         print(json.dumps({"metric": "propagator_steps_per_sec_10q",
                           "value": round(ns10 / per10, 1),
                           "unit": "time-steps/s (incl. grad)"}),
@@ -127,7 +131,7 @@ def main():
     # throughput path (the MXU-shaped number): 64 independent pulse seeds x
     # 12 qubits trained as ONE batched program — per-epoch latency of the
     # full train step (batched fused evolution + adjoint + adam), amortized
-    # over a 10-epoch compiled scan block exactly like
+    # over a 50-epoch compiled scan block exactly like
     # parallel.mesh.train_energy_seeds runs in practice
     try:
         import optax
@@ -154,14 +158,15 @@ def main():
             updates, ost = opt.update(g, ost, cs)
             return (optax.apply_updates(cs, updates), ost), None
 
-        blk = 10
+        blk = 50  # match train-loop block size; bounds the ~29 ms fixed
+                  # per-dispatch tunnel cost at ~0.6 ms/epoch
 
         @jax.jit
         def run_block(carry):
             return jax.lax.scan(epoch, carry, None, length=blk)[0]
 
         lat_blk = median_latency(run_block, ((cs0, ost0),), n_warmup=2,
-                                 n_runs=10)
+                                 n_runs=8)
         print(json.dumps({"metric": "seeds64_epoch_latency",
                           "value": round(lat_blk / blk * 1e3, 3),
                           "unit": "ms (64-seed 12q train epoch)"}),

@@ -179,8 +179,10 @@ def train_energy_seeds(
     # Fixed-size compiled blocks: a whole-training scan would need a fresh
     # (minutes-long, remote) compile for every distinct n_epoch; scanning
     # EPOCH_BLOCK epochs per dispatch keeps the HLO epoch-count-independent
-    # (compile cache hits across runs) while still amortizing dispatch.
-    EPOCH_BLOCK = 10
+    # (compile cache hits across runs) while still amortizing the FIXED
+    # ~29 ms per-dispatch cost of kernel-bearing executables on the remote
+    # tunnel (docs/PERFORMANCE.md) to ~0.6 ms/epoch.
+    EPOCH_BLOCK = 50 if jax.default_backend() in ("tpu", "axon") else 10
 
     def epoch(carry, k):
         cs, oss = carry

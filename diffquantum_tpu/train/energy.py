@@ -196,8 +196,11 @@ def train_energy(
     # checkpoint_every multiple is a boundary). A per-epoch host callback
     # forces the legacy per-epoch loop; on CPU the default is per-epoch too
     # (no dispatch tax to amortize, and the block compile isn't free).
+    # Block=50 on TPU: dispatching a kernel-bearing executable through the
+    # remote tunnel costs a FIXED ~29 ms (docs/PERFORMANCE.md), so 50
+    # epochs/dispatch bounds the leak at ~0.6 ms/epoch.
     EPOCH_BLOCK = config.epoch_block if config.epoch_block is not None \
-        else (10 if jax.default_backend() in ("tpu", "axon") else 1)
+        else (50 if jax.default_backend() in ("tpu", "axon") else 1)
 
     def epoch_fn(carry, _):
         c, ost, k = carry
