@@ -12,6 +12,14 @@ Modes:
 - ``per_pair=False`` (TPU-shaped): all pairs evolve as one vmapped batch and
   the gradient is the batch mean — one optimizer step per epoch.
 
+Both modes run their epochs as compiled ``lax.scan`` blocks on TPU (one
+dispatch per ``epoch_block`` epochs instead of 2-3 dispatches *per pair* per
+epoch — the remote tunnel charges a fixed ~29 ms per kernel-bearing
+dispatch, see docs/PERFORMANCE.md). The RNG key rides in the scan carry
+with the same split pattern as the legacy per-epoch loop, so compiled and
+per-epoch runs are bit-identical; ``config.epoch_block=1`` forces the
+legacy loop (the CPU default).
+
 Kept from the reference: coefficient init ``N(0, 1)`` (`sim_plain.py:425`,
 note: *wider* than energy training's 1e-3). Adjoint mode supports exact
 gradients of the batch-mean infidelity.
@@ -19,11 +27,13 @@ gradients of the batch-mean infidelity.
 from __future__ import annotations
 
 
+import functools
 import time
 from typing import Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 import optax
 
 from ..dynamics.propagator import evolve, reference_n_steps
@@ -108,36 +118,89 @@ def train_fidelity(
         updates, opt_state = opt.update(g, opt_state, c)
         return optax.apply_updates(c, updates), opt_state
 
-    losses = []
-    t0 = time.time()
-    for epoch in range(1, config.n_epoch + 1):
-        batch_losses = []
+    def epoch_fn(carry, _):
+        """One epoch: per-pair scan (optimizer step per pair, reference
+        `sim_plain.py:459-464`) or one batch-mean step. RNG split pattern
+        matches the legacy per-epoch loop exactly."""
+        c, ost, k = carry
         if per_pair:
-            # reference semantics: optimizer step per pair (sim_plain.py:459-464)
-            for i in range(n_pairs):
-                key, k_l, k_g = jax.random.split(key, 3)
-                loss = pair_loss(coeff, initial_states[i], target_states[i], k_l)
-                g = pair_grad(coeff, initial_states[i], target_states[i], k_g)
-                coeff, opt_state = apply_update(coeff, g, opt_state)
-                batch_losses.append(float(loss))
+            def pair_fn(pc, pair):
+                c, ost, k = pc
+                p, t = pair
+                k, k_l, k_g = jax.random.split(k, 3)
+                loss = pair_loss(c, p, t, k_l)
+                g = pair_grad(c, p, t, k_g)
+                c, ost = apply_update(c, g, ost)
+                return (c, ost, k), loss
+            (c, ost, k), losses_b = jax.lax.scan(
+                pair_fn, (c, ost, k), (initial_states, target_states))
         else:
-            key, k_l, k_g = jax.random.split(key, 3)
+            k, k_l, k_g = jax.random.split(k, 3)
             kls = jax.random.split(k_l, n_pairs)
             kgs = jax.random.split(k_g, n_pairs)
-            losses_b = jax.vmap(lambda p, t, k: pair_loss(coeff, p, t, k))(
+            losses_b = jax.vmap(lambda p, t, kk: pair_loss(c, p, t, kk))(
                 initial_states, target_states, kls)
-            grads = jax.vmap(lambda p, t, k: pair_grad(coeff, p, t, k))(
+            grads = jax.vmap(lambda p, t, kk: pair_grad(c, p, t, kk))(
                 initial_states, target_states, kgs)
-            coeff, opt_state = apply_update(coeff, grads.mean(axis=0), opt_state)
-            batch_losses = [float(x) for x in losses_b]
+            c, ost = apply_update(c, grads.mean(axis=0), ost)
+        return (c, ost, k), losses_b
 
-        mean_loss = sum(batch_losses) / len(batch_losses)
+    @functools.partial(jax.jit, static_argnums=(1,))
+    def run_block(carry, length):
+        return jax.lax.scan(epoch_fn, carry, None, length=length)
+
+    EPOCH_BLOCK = config.epoch_block if config.epoch_block is not None \
+        else (50 if jax.default_backend() in ("tpu", "axon") else 1)
+
+    losses = []
+    t0 = time.time()
+
+    def emit(epoch, mean_loss):
         losses.append(mean_loss)
         if epoch % config.log_every == 0:
             log.write_text(
                 f"epoch: {epoch:04d}, loss: {mean_loss:.4f}, "
                 f"loss_fidelity: {mean_loss:.4f}")
             log.log_metrics(epoch=epoch, loss=mean_loss, mode=mode)
+
+    if EPOCH_BLOCK > 1:
+        carry = (coeff, opt_state, key)
+        epoch = 0
+        while epoch < config.n_epoch:
+            blk = min(EPOCH_BLOCK, config.n_epoch - epoch)
+            carry, losses_blk = run_block(carry, blk)   # [blk, n_pairs]
+            for i, row in enumerate(np.asarray(losses_blk)):
+                emit(epoch + 1 + i, float(row.mean()))
+            epoch += blk
+        coeff, opt_state, key = carry
+    else:
+        # legacy per-epoch loop (CPU default). Plain Python over pairs — the
+        # pair scan above is only ever built inside the jitted block (an
+        # eagerly dispatched nested scan of the checkpointed adjoint has
+        # crashed XLA:CPU's compiler).
+        for epoch in range(1, config.n_epoch + 1):
+            batch_losses = []
+            if per_pair:
+                for i in range(n_pairs):
+                    key, k_l, k_g = jax.random.split(key, 3)
+                    loss = pair_loss(coeff, initial_states[i],
+                                     target_states[i], k_l)
+                    g = pair_grad(coeff, initial_states[i],
+                                  target_states[i], k_g)
+                    coeff, opt_state = apply_update(coeff, g, opt_state)
+                    batch_losses.append(float(loss))
+            else:
+                key, k_l, k_g = jax.random.split(key, 3)
+                kls = jax.random.split(k_l, n_pairs)
+                kgs = jax.random.split(k_g, n_pairs)
+                losses_b = jax.vmap(lambda p, t, k: pair_loss(coeff, p, t, k))(
+                    initial_states, target_states, kls)
+                grads = jax.vmap(lambda p, t, k: pair_grad(coeff, p, t, k))(
+                    initial_states, target_states, kgs)
+                coeff, opt_state = apply_update(coeff, grads.mean(axis=0),
+                                                opt_state)
+                batch_losses = [float(x) for x in losses_b]
+            emit(epoch, sum(batch_losses) / len(batch_losses))
 
     # final states for all pairs
     finals = jax.vmap(lambda p: evolve(

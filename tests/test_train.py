@@ -114,3 +114,69 @@ def test_epoch_block_mode_bit_identical():
                                np.asarray(r_leg.losses_raw), rtol=1e-12)
     np.testing.assert_allclose(np.asarray(r_blk.coeff),
                                np.asarray(r_leg.coeff), rtol=1e-10)
+
+
+def test_fidelity_epoch_block_bit_identical():
+    """Compiled (epoch x pair) scan blocks in train_fidelity must reproduce
+    the per-epoch loop exactly — per-pair optimizer stepping (reference
+    sim_plain.py:459-464) and batch-mean mode, adjoint and MC."""
+    prob = control.state_transfer(n_qubits=2, T=2.0, dtype=jnp.float64)
+    # two pairs: |00>->|11> plus |11>->|00> so the per-pair scan is exercised
+    import jax
+    pairs = jax.tree_util.tree_map(
+        lambda a, b: np.concatenate([a, b], axis=0),
+        prob.initial_states, prob.target_states)
+    targets = jax.tree_util.tree_map(
+        lambda a, b: np.concatenate([a, b], axis=0),
+        prob.target_states, prob.initial_states)
+    for mode, per_pair in (("adjoint", True), ("mc", True), ("mc", False)):
+        kw = dict(n_basis=4, n_epoch=5, lr=5e-2, grad_mode=mode,
+                  dtype="float64", seed=3, n_step=8, is_noisy=(mode == "mc"))
+        r_blk = train_fidelity(prob.ham, prob.envelope, pairs, targets,
+                               prob.T, TrainConfig(epoch_block=2, **kw),
+                               per_pair=per_pair)
+        r_leg = train_fidelity(prob.ham, prob.envelope, pairs, targets,
+                               prob.T, TrainConfig(epoch_block=1, **kw),
+                               per_pair=per_pair)
+        np.testing.assert_allclose(np.asarray(r_blk.losses_energy),
+                                   np.asarray(r_leg.losses_energy),
+                                   rtol=1e-12)
+        np.testing.assert_allclose(np.asarray(r_blk.coeff),
+                                   np.asarray(r_leg.coeff), rtol=1e-10)
+
+
+def test_train_gate_coherent_hadamard():
+    """Coherent gate synthesis: loss 1 - |Tr(G^dag U)|^2/d^2 must drive the
+    realized unitary to the target up to ONE global phase (the pair-based
+    objective is phase-blind per column; this one is not)."""
+    from diffquantum_tpu.ops import cpx
+    from diffquantum_tpu.pulses.envelope import SimpleEnvelope
+    from diffquantum_tpu.train import train_gate
+
+    ham, omegas = control.single_qubit_controls(detuning=0.0,
+                                                dtype=jnp.float64)
+    env = SimpleEnvelope(basis="bspline", n_basis=6, omegas=omegas)
+    h = np.array([[1, 1], [1, -1]]) / np.sqrt(2)
+    cfg = TrainConfig(n_basis=6, n_epoch=200, lr=1e-1, grad_mode="adjoint",
+                      dtype="float64", seed=0)
+    res = train_gate(ham, env, h, T=2.0, config=cfg)
+    assert res.losses_energy[-1] < 1e-5
+    U = cpx.to_complex(res.final_state).T  # batch row i = U|i> -> columns
+    tr = np.trace(h.conj().T @ U)
+    phase = tr / abs(tr)
+    assert np.abs(U - phase * h).max() < 5e-3
+
+
+def test_train_gate_rejects_bad_inputs():
+    import pytest
+    from diffquantum_tpu.pulses.envelope import SimpleEnvelope
+    from diffquantum_tpu.train import train_gate
+
+    ham, omegas = control.single_qubit_controls(dtype=jnp.float64)
+    env = SimpleEnvelope(basis="bspline", n_basis=4, omegas=omegas)
+    cfg = TrainConfig(n_basis=4, n_epoch=1, dtype="float64")
+    with pytest.raises(ValueError, match="unitary"):
+        train_gate(ham, env, np.ones((2, 2)), T=1.0, config=cfg)
+    with pytest.raises(ValueError, match="adjoint-only"):
+        train_gate(ham, env, np.eye(2), T=1.0,
+                   config=cfg.replace(grad_mode="mc"))
