@@ -20,7 +20,8 @@ from .ops.expm import (cexpm_apply_taylor, cexpm_pade13, cexpm_taylor,
                        taylor_params)
 from .pulses.basis import basis_matrix
 from .pulses.envelope import Channel, ChannelEnvelope, SimpleEnvelope
-from .dynamics.hamiltonian import ControlledHamiltonian, TermStructure
+from .dynamics.hamiltonian import (ControlledHamiltonian, TermStructure,
+                                   classify_operator, detect_structure)
 from .dynamics.propagator import (evolve, evolve_trajectory,
                                   reference_n_steps, trotter)
 from .dynamics.product import evolve_product, evolve_product_fused
@@ -34,6 +35,7 @@ __all__ = [
     "basis_matrix",
     "SimpleEnvelope", "ChannelEnvelope", "Channel",
     "ControlledHamiltonian", "TermStructure",
+    "classify_operator", "detect_structure",
     "evolve", "trotter", "reference_n_steps",
     "Measurement", "PauliTermSet",
 ]

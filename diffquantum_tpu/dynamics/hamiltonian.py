@@ -60,6 +60,44 @@ class TermStructure:
     diag: Optional[np.ndarray] = None
 
 
+def classify_operator(m: np.ndarray, tol: float = 1e-10) -> TermStructure:
+    """Classify one dense operator as 'diag', '1q' (I x..x G x..x I) or
+    'dense'. Runs once at construction on the host (numpy).
+
+    The reference's API takes raw dense matrices (`/root/reference/
+    sim_plain.py:272-274`, `diffqc.cc:43-73`); this detector lets such
+    inputs ride the product/fused engines without hand-written tags."""
+    m = np.asarray(m, dtype=np.complex128)
+    d = m.shape[0]
+    if np.max(np.abs(m - np.diag(np.diagonal(m)))) <= tol \
+            and np.max(np.abs(np.diagonal(m).imag)) <= tol:
+        return TermStructure(kind="diag", diag=np.real(np.diagonal(m)).copy())
+    n = int(round(np.log2(d)))
+    if 2**n == d:
+        for q in range(n):
+            l, r = 2**q, 2 ** (n - q - 1)
+            t = m.reshape(l, 2, r, l, 2, r)
+            g = t[0, :, 0, 0, :, 0]
+            if np.allclose(m, np.kron(np.eye(l), np.kron(g, np.eye(r))),
+                           atol=tol):
+                return TermStructure(kind="1q", qubit=q, local=g.copy())
+    return TermStructure(kind="dense")
+
+
+def detect_structure(H0, Hs, tol: float = 1e-10):
+    """(structure, h0_structure) tags for dense inputs, or (None, None) when
+    the problem is not fully structured (some term neither diagonal nor
+    single-qubit, or H0 not diagonal) — the product backend could not be
+    used then anyway, so no partial tags are attached."""
+    h0 = classify_operator(H0, tol)
+    if h0.kind != "diag":
+        return None, None
+    tags = tuple(classify_operator(h, tol) for h in Hs)
+    if any(t.kind == "dense" for t in tags):
+        return None, None
+    return tags, h0
+
+
 @jax.tree_util.register_pytree_node_class
 @dataclasses.dataclass(frozen=True)
 class ControlledHamiltonian:
@@ -91,14 +129,20 @@ class ControlledHamiltonian:
     @classmethod
     def create(cls, H0, Hs: Sequence, dtype=jnp.float32,
                structure: Optional[Sequence[TermStructure]] = None,
-               h0_structure: Optional[TermStructure] = None) -> "ControlledHamiltonian":
+               h0_structure: Optional[TermStructure] = None,
+               auto_structure: bool = False) -> "ControlledHamiltonian":
         """Build from host-side (complex) numpy operators.
 
         ``dtype`` is the REAL storage dtype (float32 on TPU, float64 for
-        high-precision CPU runs)."""
+        high-precision CPU runs). ``auto_structure=True`` runs
+        :func:`detect_structure` on the dense inputs so fully diag/1q
+        problems gain the product/fused backends without hand-written
+        tags (no-op when explicit tags are passed or detection fails)."""
         H0_np = np.asarray(H0, dtype=np.complex128)
         Hs_np = np.stack([np.asarray(h, dtype=np.complex128) for h in Hs]) \
             if len(Hs) else np.zeros((0,) + H0_np.shape, dtype=np.complex128)
+        if auto_structure and structure is None:
+            structure, h0_structure = detect_structure(H0_np, Hs_np)
         d = H0_np.shape[0]
         n_qubits = int(round(np.log2(d))) if d & (d - 1) == 0 else -1
         return cls(
