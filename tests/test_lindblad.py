@@ -1,0 +1,176 @@
+"""Open-system dynamics: master-equation engine vs analytic decay laws and
+an adaptive-ODE oracle; MCWF trajectories vs the master equation; gradients
+through the dissipative evolution (beyond-reference capability — the
+reference's dynamics are always unitary, `/root/reference/sim_plain.py:330`).
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from diffquantum_tpu.dynamics.hamiltonian import ControlledHamiltonian
+from diffquantum_tpu.dynamics.lindblad import (CollapseSet,
+                                               amplitude_damping,
+                                               dephasing,
+                                               density_from_trajectories,
+                                               evolve_lindblad, evolve_mcwf,
+                                               expectation_rho)
+from diffquantum_tpu.ops import cpx, linalg
+from diffquantum_tpu.pulses.envelope import SimpleEnvelope
+
+F64 = jnp.float64
+
+
+def _rho(psi: np.ndarray) -> cpx.CP:
+    r = np.outer(psi, psi.conj())
+    return cpx.from_complex(r, F64)
+
+
+def _one_qubit_ham(dtype=F64):
+    ham = ControlledHamiltonian.create(np.zeros((2, 2)), [linalg.X],
+                                       dtype=dtype)
+    env = SimpleEnvelope(basis="bspline", n_basis=4, omegas=(np.pi,))
+    return ham, env
+
+
+def test_amplitude_damping_analytic():
+    """H = 0, c = sqrt(gamma)|0><1|: p1(t) = e^{-gamma t},
+    rho01(t) = rho01(0) e^{-gamma t / 2}."""
+    ham, env = _one_qubit_ham()
+    gamma, T = 0.5, 2.0
+    c = CollapseSet.create([amplitude_damping(gamma, 0, 1)], dtype=F64)
+    coeff = jnp.zeros((1, 4), F64)  # sigmoid(0)*2-1 = 0 -> u = 0
+
+    psi = np.array([0.6, 0.8j])
+    rho = evolve_lindblad(ham, env, coeff, _rho(psi), c, 0.0, T,
+                          horizon=T, n_steps=200)
+    r = cpx.to_complex(rho)
+    p1_0 = abs(psi[1]) ** 2
+    np.testing.assert_allclose(r[1, 1].real, p1_0 * np.exp(-gamma * T),
+                               atol=1e-7)
+    np.testing.assert_allclose(np.trace(r).real, 1.0, atol=1e-9)
+    rho01_0 = psi[0] * np.conj(psi[1])
+    np.testing.assert_allclose(r[0, 1], rho01_0 * np.exp(-gamma * T / 2),
+                               atol=1e-7)
+
+
+def test_dephasing_analytic():
+    """c = sqrt(gamma/2) Z: <X(t)> = e^{-gamma t} for |+>."""
+    ham, env = _one_qubit_ham()
+    gamma, T = 0.8, 1.5
+    c = CollapseSet.create([dephasing(gamma, 0, 1)], dtype=F64)
+    coeff = jnp.zeros((1, 4), F64)
+    plus = np.array([1.0, 1.0]) / np.sqrt(2)
+    rho = evolve_lindblad(ham, env, coeff, _rho(plus), c, 0.0, T,
+                          horizon=T, n_steps=150)
+    x = expectation_rho(cpx.from_complex(linalg.X, F64), rho)
+    np.testing.assert_allclose(float(x), np.exp(-gamma * T), atol=1e-7)
+
+
+def test_driven_lindblad_vs_ode_oracle():
+    """2 qubits, X drives + ZZ coupling, amplitude damping on both sites:
+    the per-step exp(dt L) chain must track scipy's adaptive integration of
+    the true time-dependent master equation to piecewise-constant-grid
+    accuracy."""
+    from scipy.integrate import solve_ivp
+
+    rng = np.random.default_rng(1)
+    H0 = 0.4 * linalg.pauli_string("ZZ")
+    Hs = [linalg.pauli_string("XI"), linalg.pauli_string("IX")]
+    ham = ControlledHamiltonian.create(H0, Hs, dtype=F64)
+    env = SimpleEnvelope(basis="bspline", n_basis=4, omegas=(np.pi, np.pi))
+    coeff = jnp.asarray(rng.standard_normal((2, 4)) * 0.5)
+    T = 1.5
+    c_np = [amplitude_damping(0.3, 0, 2), amplitude_damping(0.2, 1, 2)]
+    c = CollapseSet.create(c_np, dtype=F64)
+
+    psi0 = linalg.uniform_superposition(2)
+
+    # oracle: vectorized rho, continuous-time u(t) from the same envelope
+    d = 4
+    K = sum(ck.conj().T @ ck for ck in c_np)
+    diss = sum(np.kron(ck, ck.conj()) for ck in c_np) \
+        - 0.5 * (np.kron(K, np.eye(d)) + np.kron(np.eye(d), K.T))
+
+    def rhs(t, v):
+        u = np.asarray(env.amplitudes(coeff, jnp.asarray([t]), T))[:, 0]
+        H = np.asarray(H0, complex) + u[0] * Hs[0] + u[1] * Hs[1]
+        A = -1j * (np.kron(H, np.eye(d)) - np.kron(np.eye(d), H.T)) + diss
+        return A @ v
+
+    v0 = np.outer(psi0, psi0.conj()).reshape(-1)
+    sol = solve_ivp(rhs, (0.0, T), v0, rtol=1e-10, atol=1e-12)
+    rho_ref = sol.y[:, -1].reshape(d, d)
+
+    errs = []
+    for n_steps in (300, 600, 1200):
+        rho = evolve_lindblad(ham, env, coeff, _rho(psi0), c, 0.0, T,
+                              horizon=T, n_steps=n_steps)
+        errs.append(np.abs(cpx.to_complex(rho) - rho_ref).max())
+    assert errs[-1] < 2e-4, errs
+    # first-order convergence of the left-endpoint piecewise-constant grid
+    # toward the TRUE time-ordered open dynamics (same law as the unitary
+    # reference semantics, tests/test_ode_oracle.py)
+    for a, b in zip(errs, errs[1:]):
+        assert 1.5 < a / b < 2.6, errs
+
+
+def test_mcwf_matches_master_equation():
+    """Trajectory-mean density matrix vs the dense master equation on a
+    driven, damped qubit."""
+    ham, env = _one_qubit_ham()
+    rng = np.random.default_rng(2)
+    coeff = jnp.asarray(rng.standard_normal((1, 4)) * 0.7)
+    T, n_steps = 2.0, 400
+    c = CollapseSet.create([amplitude_damping(0.4, 0, 1)], dtype=F64)
+    psi0 = np.array([1.0, 0.0])
+
+    rho = evolve_lindblad(ham, env, coeff, _rho(psi0), c, 0.0, T,
+                          horizon=T, n_steps=n_steps)
+    psis = evolve_mcwf(ham, env, coeff, cpx.from_complex(psi0, F64), c,
+                       0.0, T, horizon=T, n_steps=n_steps,
+                       key=jax.random.PRNGKey(0), n_traj=3000)
+    norms = np.asarray(cpx.norm2(psis))
+    np.testing.assert_allclose(norms, 1.0, atol=1e-9)  # unit-norm endpoints
+    rho_mc = density_from_trajectories(psis)
+    err = np.abs(cpx.to_complex(rho_mc) - cpx.to_complex(rho)).max()
+    assert err < 0.05, err  # 3000 trajectories -> ~1/sqrt(3000) + O(dt)
+
+
+def test_lindblad_gradient_matches_fd():
+    """jax.grad through the dissipative evolution vs central differences."""
+    ham, env = _one_qubit_ham()
+    c = CollapseSet.create([amplitude_damping(0.3, 0, 1)], dtype=F64)
+    T, n_steps = 1.0, 60
+    target_diag = jnp.asarray([0.0, 1.0], F64)
+    rho0 = _rho(np.array([1.0, 0.0]))
+
+    def loss(cf):
+        rho = evolve_lindblad(ham, env, cf, rho0, c, 0.0, T,
+                              horizon=T, n_steps=n_steps)
+        return 1.0 - expectation_rho(target_diag, rho)
+
+    coeff = jnp.asarray(np.random.default_rng(3).standard_normal((1, 4)) * .3)
+    g = jax.grad(loss)(coeff)
+    eps = 1e-6
+    for i in range(4):
+        e = jnp.zeros_like(coeff).at[0, i].set(eps)
+        fd = (loss(coeff + e) - loss(coeff - e)) / (2 * eps)
+        np.testing.assert_allclose(float(g[0, i]), float(fd),
+                                   rtol=1e-5, atol=1e-8)
+
+
+def test_zero_noise_limit_matches_unitary():
+    """gamma -> 0 recovers the closed-system propagator."""
+    from diffquantum_tpu.dynamics.propagator import evolve
+    ham, env = _one_qubit_ham()
+    rng = np.random.default_rng(4)
+    coeff = jnp.asarray(rng.standard_normal((1, 4)) * 0.5)
+    T, n_steps = 1.0, 100
+    c = CollapseSet.create([amplitude_damping(1e-12, 0, 1)], dtype=F64)
+    psi0 = np.array([1.0, 0.0])
+    rho = evolve_lindblad(ham, env, coeff, _rho(psi0), c, 0.0, T,
+                          horizon=T, n_steps=n_steps)
+    psi = evolve(ham, env, coeff, cpx.from_complex(psi0, F64), 0.0, T,
+                 horizon=T, n_steps=n_steps, backend="expm")
+    rho_u = np.outer(cpx.to_complex(psi), cpx.to_complex(psi).conj())
+    assert np.abs(cpx.to_complex(rho) - rho_u).max() < 1e-8
