@@ -45,6 +45,8 @@ def energy_and_grad(ham, envelope, m, coeff: jnp.ndarray,
             return jnp.sum(cpx.abs2(psi) * m, axis=-1)  # diagonal M
         if m.diag is not None:
             return jnp.sum(cpx.abs2(psi) * m.diag, axis=-1)
+        if getattr(m, "strings", None) is not None:
+            return m.strings.expectation(psi)
         return exact_expectation(m.matrix, psi)
 
     return jax.value_and_grad(loss)(coeff)

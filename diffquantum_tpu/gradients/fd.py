@@ -62,10 +62,18 @@ def fd_energy_grad(
         if sampling:
             from ..measure import DiagonalTermSet, stochastic_measure_diag
             k1, k2 = jax.random.split(k)
-            sampler = stochastic_measure_diag \
-                if isinstance(measurement.terms, DiagonalTermSet) \
-                else stochastic_measure
-            e = sampler(measurement.terms, psi, k1, per_pauli)
+            if measurement.strings is not None:
+                from ..measure import stochastic_measure_strings
+                e = stochastic_measure_strings(measurement.strings, psi, k1,
+                                               per_pauli)
+            else:
+                sampler = stochastic_measure_diag \
+                    if isinstance(measurement.terms, DiagonalTermSet) \
+                    else stochastic_measure
+                e = sampler(measurement.terms, psi, k1, per_pauli)
+        elif measurement.strings is not None:
+            e = measurement.strings.expectation(psi)
+            k2 = k
         elif measurement.diag is not None:
             # matrix-free diagonal observable (structured problems build
             # Measurement.create_diagonal — no dense M exists >13 qubits)

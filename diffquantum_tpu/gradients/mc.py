@@ -170,6 +170,11 @@ def mc_energy_grad(
             k_shot, k_noise = jax.random.split(k_meas)
             ps = sampled_target_prob(measurement.target, kets, k_shot,
                                      per_pauli)
+        elif measurement.strings is not None:
+            from ..measure import stochastic_measure_strings
+            k_shot, k_noise = jax.random.split(k_meas)
+            ps = stochastic_measure_strings(measurement.strings, kets,
+                                            k_shot, per_pauli)
         else:
             sampler = stochastic_measure_diag \
                 if isinstance(measurement.terms, DiagonalTermSet) \
@@ -185,6 +190,9 @@ def mc_energy_grad(
     elif measurement.target is not None:
         from ..measure import target_overlap_prob
         ps = target_overlap_prob(measurement.target, kets)
+        k_noise = k_meas
+    elif measurement.strings is not None:
+        ps = measurement.strings.expectation(kets)
         k_noise = k_meas
     else:
         ps = exact_expectation(measurement.matrix, kets)  # [2 n_Hs]

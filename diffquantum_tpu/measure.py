@@ -154,6 +154,187 @@ def stochastic_measure_diag(terms: DiagonalTermSet, psi: CP, key: jax.Array,
     return jnp.sum(terms.weights * vals.mean(axis=-1))
 
 
+def _bit_parity(v: jnp.ndarray) -> jnp.ndarray:
+    """Parity (0/1) of the set bits of int32 v, branchless."""
+    v = v ^ (v >> 16)
+    v = v ^ (v >> 8)
+    v = v ^ (v >> 4)
+    v = v ^ (v >> 2)
+    v = v ^ (v >> 1)
+    return v & 1
+
+
+def _parse_pauli_label(label: str) -> tuple[int, int, int]:
+    """(flip_mask, yz_mask, n_y) for a Pauli string label, qubit 0 = MSB
+    (the :func:`..ops.linalg.pauli_string` kron convention)."""
+    n = len(label)
+    flip = yz = n_y = 0
+    for q, ch in enumerate(label.upper()):
+        bit = 1 << (n - 1 - q)
+        if ch == "X":
+            flip |= bit
+        elif ch == "Y":
+            flip |= bit
+            yz |= bit
+            n_y += 1
+        elif ch == "Z":
+            yz |= bit
+        elif ch != "I":
+            raise ValueError(f"bad Pauli label char {ch!r} in {label!r}")
+    return flip, yz, n_y
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass(frozen=True)
+class PauliStringSet:
+    """Matrix-free weighted Pauli-sum observable ``M = sum_t w_t P_t``.
+
+    Each string acts on a computational-basis state as an XOR-mask index
+    flip plus a parity sign: ``P|j> = i^{n_y} (-1)^{par(j & yz)} |j ^ flip>``
+    — so ``<psi|M|psi>`` is a gather + elementwise product per term, O(d)
+    memory, any qubit count. This is what lets energy training scale for
+    NON-diagonal cost Hamiltonians (TFIM, Heisenberg, molecules): the
+    reference (and the diag/target paths above) cover only diagonal costs
+    and rank-1 projectors matrix-free.
+
+    weights: [n_terms] real; masks are static host ints (pytree aux) so the
+    gather indices constant-fold into the compiled program.
+    """
+
+    weights: jnp.ndarray
+    flips: tuple          # static per-term XOR masks
+    yz_masks: tuple       # static per-term sign masks (Y|Z bits)
+    n_ys: tuple           # static per-term Y counts
+    n_qubits: int = -1
+
+    def tree_flatten(self):
+        return (self.weights,), (self.flips, self.yz_masks, self.n_ys,
+                                 self.n_qubits)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(children[0], *aux)
+
+    @classmethod
+    def create(cls, terms: Sequence[tuple[str, float]],
+               dtype=jnp.float32) -> "PauliStringSet":
+        """terms: (label, weight) pairs, e.g. [("ZZI", -1.0), ("XII", -0.5)].
+        All labels must have equal length (the qubit count)."""
+        labels = [t[0] for t in terms]
+        n = len(labels[0])
+        if any(len(l) != n for l in labels):
+            raise ValueError("all Pauli labels must have the same length")
+        parsed = [_parse_pauli_label(l) for l in labels]
+        return cls(
+            weights=jnp.asarray([w for _, w in terms], dtype=dtype),
+            flips=tuple(p[0] for p in parsed),
+            yz_masks=tuple(p[1] for p in parsed),
+            n_ys=tuple(p[2] for p in parsed),
+            n_qubits=n)
+
+    @property
+    def n_terms(self) -> int:
+        return len(self.flips)
+
+    def expectation(self, psi: CP) -> jnp.ndarray:
+        """sum_t w_t <psi|P_t|psi> for psi CP [..., d] (batch dims kept)."""
+        d = 2**self.n_qubits
+        j = jnp.arange(d, dtype=jnp.int32)
+        total = 0.0
+        for t in range(self.n_terms):
+            jp = j ^ jnp.int32(self.flips[t])
+            s = (1.0 - 2.0 * _bit_parity(jp & jnp.int32(self.yz_masks[t]))
+                 ).astype(psi.re.dtype)
+            pre = jnp.take(psi.re, jp, axis=-1) * s
+            pim = jnp.take(psi.im, jp, axis=-1) * s
+            g_re = jnp.sum(psi.re * pre + psi.im * pim, axis=-1)
+            g_im = jnp.sum(psi.re * pim - psi.im * pre, axis=-1)
+            e = (g_re, -g_im, -g_re, g_im)[self.n_ys[t] % 4]
+            total = total + self.weights[t] * e
+        return total
+
+    def apply(self, psi: CP) -> CP:
+        """(M psi) matrix-free — used by the MC estimator's branch gates."""
+        d = 2**self.n_qubits
+        j = jnp.arange(d, dtype=jnp.int32)
+        out_re = jnp.zeros_like(psi.re)
+        out_im = jnp.zeros_like(psi.im)
+        for t in range(self.n_terms):
+            jp = j ^ jnp.int32(self.flips[t])
+            s = (1.0 - 2.0 * _bit_parity(jp & jnp.int32(self.yz_masks[t]))
+                 ).astype(psi.re.dtype)
+            pre = jnp.take(psi.re, jp, axis=-1) * s
+            pim = jnp.take(psi.im, jp, axis=-1) * s
+            w = self.weights[t]
+            re, im = (
+                (pre, pim), (-pim, pre), (-pre, -pim), (pim, -pre)
+            )[self.n_ys[t] % 4]  # x i^{n_y}
+            out_re = out_re + w * re
+            out_im = out_im + w * im
+        return CP(out_re, out_im)
+
+
+def stochastic_measure_strings(strings: PauliStringSet, psi: CP,
+                               key: jax.Array,
+                               per_pauli: int = 100) -> jnp.ndarray:
+    """Finite-shot estimate of a Pauli-sum expectation, matrix-free.
+
+    Per term: rotate the string's support into the computational basis with
+    single-qubit gates (X -> H, Y -> H S^dag), Born-sample ``per_pauli``
+    shots, average the string eigenvalue ``(-1)^{par(j & support)}`` — the
+    scalable analog of :func:`stochastic_measure` (which eigendecomposes
+    dense terms, `/root/reference/sim_plain.py:101-117`)."""
+    import numpy as _np
+
+    h = _np.array([[1, 1], [1, -1]]) / _np.sqrt(2)
+    hsdag = h @ _np.diag([1.0, -1j])
+    n = strings.n_qubits
+    d = 2**n
+    keys = jax.random.split(key, strings.n_terms)
+    total = 0.0
+    for t in range(strings.n_terms):
+        flip, yz = strings.flips[t], strings.yz_masks[t]
+        rot = psi
+        support = 0
+        for q in range(n):
+            bit = 1 << (n - 1 - q)
+            if not (flip | yz) & bit:
+                continue
+            support |= bit
+            if flip & bit:
+                local = hsdag if (yz & bit) else h   # Y or X
+                rot = _apply_local(rot, q, n, local)
+        probs = cpx.abs2(rot).reshape(-1, d)  # flatten batch dims
+        logp = jnp.log(jnp.maximum(probs, 1e-30))
+        draws = jax.random.categorical(
+            keys[t], logp[:, None, :].repeat(per_pauli, axis=1), axis=-1)
+        ev = (1.0 - 2.0 * _bit_parity(draws.astype(jnp.int32)
+                                      & jnp.int32(support))
+              ).astype(probs.dtype)
+        total = total + strings.weights[t] * ev.mean(axis=-1).reshape(
+            psi.re.shape[:-1])
+    return total
+
+
+def _apply_local(psi: CP, qubit: int, n: int, local) -> CP:
+    """2x2 complex gate on tensor axis `qubit` of CP [..., 2^n]."""
+    import numpy as _np
+    g = _np.asarray(local, dtype=complex)
+    lead = psi.re.shape[:-1]
+    left, right = 2**qubit, 2 ** (n - qubit - 1)
+    shape = lead + (left, 2, right)
+    pre, pim = psi.re.reshape(shape), psi.im.reshape(shape)
+    gr = jnp.asarray(g.real, psi.re.dtype)
+    gi = jnp.asarray(g.imag, psi.re.dtype)
+    hp = jax.lax.Precision.HIGHEST
+    re = jnp.einsum("ab,...lbr->...lar", gr, pre, precision=hp) \
+        - jnp.einsum("ab,...lbr->...lar", gi, pim, precision=hp)
+    im = jnp.einsum("ab,...lbr->...lar", gr, pim, precision=hp) \
+        + jnp.einsum("ab,...lbr->...lar", gi, pre, precision=hp)
+    flat = lead + (left * 2 * right,)
+    return CP(re.reshape(flat), im.reshape(flat))
+
+
 def target_overlap_prob(target: CP, psi: CP) -> jnp.ndarray:
     """|<t|psi>|^2 (psi may carry leading batch dims) — the matrix-free
     rank-1 projector expectation."""
@@ -192,20 +373,22 @@ class Measurement:
     terms: PauliTermSet | DiagonalTermSet | None = None
     diag: jnp.ndarray | None = None     # [d] real diagonal (matrix-free M)
     target: CP | None = None            # [d] state (matrix-free |t><t|)
+    strings: PauliStringSet | None = None  # matrix-free Pauli sum
     sampling: bool = False
     noisy: bool = False
     per_pauli: int = 100
 
     def tree_flatten(self):
-        return (self.matrix, self.terms, self.diag, self.target), (
-            self.sampling, self.noisy, self.per_pauli)
+        return (self.matrix, self.terms, self.diag, self.target,
+                self.strings), (self.sampling, self.noisy, self.per_pauli)
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        matrix, terms, diag, target = children
+        matrix, terms, diag, target, strings = children
         sampling, noisy, per_pauli = aux
         return cls(matrix=matrix, terms=terms, diag=diag, target=target,
-                   sampling=sampling, noisy=noisy, per_pauli=per_pauli)
+                   strings=strings, sampling=sampling, noisy=noisy,
+                   per_pauli=per_pauli)
 
     @classmethod
     def create(cls, matrix, terms=None, dtype=jnp.float32, **kw) -> "Measurement":
@@ -226,6 +409,16 @@ class Measurement:
         t = target if isinstance(target, CP) \
             else cpx.from_complex(np.asarray(target), dtype=dtype)
         return cls(matrix=None, target=t, **kw)
+
+    @classmethod
+    def create_strings(cls, terms: Sequence[tuple[str, float]],
+                       dtype=jnp.float32, **kw) -> "Measurement":
+        """Matrix-free Pauli-sum observable from (label, weight) pairs,
+        e.g. ``[("ZZI", -1.0), ("IXI", -0.5)]`` — exact AND shot-sampled
+        paths scale to any qubit count (no dense matrix, no
+        eigendecomposition)."""
+        return cls(matrix=None,
+                   strings=PauliStringSet.create(terms, dtype=dtype), **kw)
 
     @classmethod
     def create_diagonal(cls, diag, diag_terms=None, dtype=jnp.float32,
@@ -249,6 +442,9 @@ class Measurement:
             if self.target is not None:
                 val = sampled_target_prob(self.target, psi, sub,
                                           self.per_pauli)
+            elif self.strings is not None:
+                val = stochastic_measure_strings(self.strings, psi, sub,
+                                                 self.per_pauli)
             elif isinstance(self.terms, DiagonalTermSet):
                 val = stochastic_measure_diag(self.terms, psi, sub,
                                               self.per_pauli)
@@ -258,6 +454,8 @@ class Measurement:
             val = jnp.sum(cpx.abs2(psi) * self.diag, axis=-1)
         elif self.target is not None:
             val = target_overlap_prob(self.target, psi)
+        elif self.strings is not None:
+            val = self.strings.expectation(psi)
         else:
             val = exact_expectation(self.matrix, psi)
         if self.noisy:

@@ -1,3 +1,4 @@
 from . import maxcut
 from . import vqe_h2
 from . import control
+from . import tfim

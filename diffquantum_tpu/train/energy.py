@@ -97,6 +97,7 @@ def train_energy(
     logger: Optional[Logger] = None,
     init_coeff: Optional[jnp.ndarray] = None,
     callback: Optional[Callable] = None,
+    lam_min: Optional[float] = None,
 ) -> TrainResult:
     """Optimize spectral coefficients to minimize <psi(T)|M|psi(T)>."""
     log = logger or NullLogger()
@@ -134,11 +135,17 @@ def train_energy(
     # lambda_min(M): once, in numpy (the reference recomputes the full
     # spectrum every epoch, sim_plain.py:294).
     from ..ops import cpx
-    if measurement.diag is not None:
+    if lam_min is not None:
+        lam_min = float(lam_min)  # caller-supplied (e.g. free-fermion oracle)
+    elif measurement.diag is not None:
         lam_min = float(np.min(np.asarray(measurement.diag)))
-    else:
+    elif measurement.matrix is not None:
         lam_min = float(
             np.linalg.eigvalsh(cpx.to_complex(measurement.matrix))[0])
+    else:
+        # matrix-free Pauli-sum / target objective with no caller hint:
+        # report raw loss (gap == loss); exact lambda_min may be unknowable
+        lam_min = 0.0
 
     meas_flags = dict(sampling=config.sampling_measure, noisy=config.is_noisy,
                       per_pauli=config.per_pauli)
