@@ -125,3 +125,21 @@ def test_tfim_mc_gradient_unbiased():
     b = np.asarray(g_mc).ravel()
     cos = a @ b / (np.linalg.norm(a) * np.linalg.norm(b) + 1e-30)
     assert cos > 0.95, cos
+
+
+def test_heisenberg_vqe_descends_toward_ground():
+    """XXZ chain with the two-quadrature X+Y site drives (the same-qubit
+    non-commuting pair) + string-measured cost."""
+    from diffquantum_tpu.models import heisenberg
+    from diffquantum_tpu.train import TrainConfig, train_energy
+    prob = heisenberg.build_heisenberg(4, n_basis=5, dtype=F64)
+    e0 = heisenberg.exact_ground_energy(4)
+    cfg = TrainConfig(n_basis=5, n_epoch=220, lr=5e-2, grad_mode="adjoint",
+                      dtype="float64", seed=1)
+    res = train_energy(prob.ham, prob.envelope, prob.measurement, prob.psi0,
+                       prob.T, cfg, lam_min=e0)
+    # start from the Neel product state (energy J*delta*(n-1) XX/YY-blind);
+    # training must close most of the gap to the true entangled ground state
+    assert res.losses_raw[-1] < 0.25 * e0 + 0.75 * res.losses_raw[0], (
+        res.losses_raw[0], res.losses_raw[-1], e0)
+    assert res.losses_energy[-1] < res.losses_energy[0] * 0.3
