@@ -1,0 +1,77 @@
+"""Ab-initio H2 pipeline: integrals -> JW Hamiltonian -> strings -> VQE.
+
+Oracles: textbook STO-3G anchors (RHF -1.1167 Ha, FCI -1.1373 Ha at
+R = 0.7414 A; dissociation to two H atoms 2 x -0.46658 Ha), the published
+2-qubit-reduced coefficients used by models/vqe_h2.py, and dense
+diagonalization at every bond length.
+"""
+import jax.numpy as jnp
+import numpy as np
+
+from diffquantum_tpu.models import molecule as mol
+from diffquantum_tpu.ops import linalg
+
+R_EQ = 0.7414  # Angstrom
+
+
+def test_rhf_and_fci_anchors():
+    np.testing.assert_allclose(mol.rhf_energy(R_EQ), -1.11668, atol=2e-5)
+    np.testing.assert_allclose(mol.fci_energy(R_EQ), -1.13727, atol=2e-5)
+    # electronic part matches the published table vqe_h2 hardcodes
+    # (O'Malley et al. round to 4 decimals -> 2e-4 tolerance)
+    H, _ = mol.h2_electronic_hamiltonian(R_EQ)
+    np.testing.assert_allclose(np.linalg.eigvalsh(H)[0], -1.8512, atol=2e-4)
+
+
+def test_dissociation_limit():
+    """FCI in a minimal basis dissociates correctly to two H atoms."""
+    e_atom = -0.46658  # H atom, STO-3G
+    np.testing.assert_allclose(mol.fci_energy(5.0), 2 * e_atom, atol=2e-4)
+    # RHF does NOT (the textbook RHF dissociation failure)
+    assert mol.rhf_energy(5.0) > 2 * e_atom + 0.1
+
+
+def test_pauli_decomposition_reconstructs():
+    H, _ = mol.h2_electronic_hamiltonian(1.0)
+    terms = mol.pauli_decompose(H)
+    rebuilt = sum(w * linalg.pauli_string(lbl) for lbl, w in terms)
+    np.testing.assert_allclose(rebuilt, H, atol=1e-10)
+
+
+def test_number_and_sz_symmetry():
+    """The electronic Hamiltonian conserves particle number and S_z: it
+    must not mix the HF determinant out of the (N=2, Sz=0) sector."""
+    H, _ = mol.h2_electronic_hamiltonian(R_EQ)
+    # occupation-number operator diag for JW order (g-up g-dn u-up u-dn)
+    n_op = np.zeros(16)
+    sz = np.zeros(16)
+    for j in range(16):
+        bits = [(j >> (3 - q)) & 1 for q in range(4)]
+        n_op[j] = sum(bits)
+        sz[j] = (bits[0] - bits[1] + bits[2] - bits[3]) / 2.0
+    comm_n = H @ np.diag(n_op) - np.diag(n_op) @ H
+    comm_s = H @ np.diag(sz) - np.diag(sz) @ H
+    assert np.abs(comm_n).max() < 1e-10
+    assert np.abs(comm_s).max() < 1e-10
+
+
+def test_h2_vqe_chemical_accuracy():
+    from diffquantum_tpu.train import TrainConfig, train_energy
+    prob = mol.build_h2_at(R_EQ, dtype=jnp.float64)
+    cfg = TrainConfig(n_basis=6, n_epoch=300, lr=5e-2, grad_mode="adjoint",
+                      dtype="float64", seed=0)
+    res = train_energy(prob.ham, prob.envelope, prob.measurement, prob.psi0,
+                       prob.T, cfg, lam_min=prob.exact_ground_energy)
+    assert res.losses_energy[-1] < 1.6e-3  # chemical accuracy (Ha)
+
+
+def test_h2_vqe_stretched_geometry():
+    """Strong correlation regime (R = 1.5 A) where RHF fails badly — the
+    pulse VQE must still land near FCI."""
+    from diffquantum_tpu.train import TrainConfig, train_energy
+    prob = mol.build_h2_at(1.5, dtype=jnp.float64)
+    cfg = TrainConfig(n_basis=6, n_epoch=300, lr=5e-2, grad_mode="adjoint",
+                      dtype="float64", seed=0)
+    res = train_energy(prob.ham, prob.envelope, prob.measurement, prob.psi0,
+                       prob.T, cfg, lam_min=prob.exact_ground_energy)
+    assert res.losses_energy[-1] < 5e-3
