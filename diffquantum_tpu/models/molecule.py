@@ -240,6 +240,264 @@ def build_h2_at(r_angstrom: float, n_basis: int = 6, basis: str = "bspline",
                            terms=terms)
 
 
+# ---------------------------------------------------------------------------
+# general hydrogen clusters (H3+, H4 chains, ...): arbitrary centers, RHF SCF
+# ---------------------------------------------------------------------------
+
+def cluster_integrals(centers_bohr, charges=None):
+    """STO-3G AO integrals for hydrogen 1s functions at arbitrary centers:
+    (S [m,m], h_core [m,m], eri [m,m,m,m] chemist (ij|kl), E_nuc)."""
+    centers = [np.asarray(c, dtype=float) for c in centers_bohr]
+    if charges is None:
+        charges = [1.0] * len(centers)
+    m = len(centers)
+    prims = _prims()
+
+    S = np.zeros((m, m))
+    h = np.zeros((m, m))
+    for i in range(m):
+        for j in range(i, m):
+            A, B = centers[i], centers[j]
+            ab2 = float(np.dot(A - B, A - B))
+            s = t = v = 0.0
+            for a, na in prims:
+                for b, nb in prims:
+                    p = a + b
+                    mu = a * b / p
+                    k = np.exp(-mu * ab2)
+                    pref = na * nb * (np.pi / p) ** 1.5 * k
+                    s += pref
+                    t += pref * mu * (3.0 - 2.0 * mu * ab2)
+                    P = (a * A + b * B) / p
+                    for C, Z in zip(centers, charges):
+                        pc2 = float(np.dot(P - C, P - C))
+                        v -= Z * na * nb * 2.0 * np.pi / p * k \
+                            * _boys0(p * pc2)
+            S[i, j] = S[j, i] = s
+            h[i, j] = h[j, i] = t + v
+
+    g = np.zeros((m, m, m, m))
+    for i in range(m):
+        for j in range(m):
+            for k_ in range(m):
+                for l in range(m):
+                    if g[i, j, k_, l] != 0.0:
+                        continue
+                    A, B, C, D = centers[i], centers[j], centers[k_], \
+                        centers[l]
+                    out = 0.0
+                    for a, na in prims:
+                        for b, nb in prims:
+                            p = a + b
+                            P = (a * A + b * B) / p
+                            kab = np.exp(-a * b / p
+                                         * float(np.dot(A - B, A - B)))
+                            for c, nc in prims:
+                                for d, nd in prims:
+                                    q = c + d
+                                    Q = (c * C + d * D) / q
+                                    kcd = np.exp(
+                                        -c * d / q
+                                        * float(np.dot(C - D, C - D)))
+                                    t = p * q / (p + q) \
+                                        * float(np.dot(P - Q, P - Q))
+                                    out += (na * nb * nc * nd
+                                            * 2.0 * np.pi ** 2.5
+                                            / (p * q * np.sqrt(p + q))
+                                            * kab * kcd * _boys0(t))
+                    # 8-fold permutational symmetry
+                    for (w, x, y, z) in ((i, j, k_, l), (j, i, k_, l),
+                                         (i, j, l, k_), (j, i, l, k_),
+                                         (k_, l, i, j), (l, k_, i, j),
+                                         (k_, l, j, i), (l, k_, j, i)):
+                        g[w, x, y, z] = out
+    e_nuc = sum(charges[i] * charges[j]
+                / float(np.linalg.norm(centers[i] - centers[j]))
+                for i in range(m) for j in range(i + 1, m))
+    return S, h, g, e_nuc
+
+
+def rhf_scf(S, h, g, n_occ, max_iter: int = 200, tol: float = 1e-12):
+    """Closed-shell restricted Hartree-Fock by fixed-point Fock iteration
+    with symmetric orthogonalization. Returns (E_elec, C [ao, mo])."""
+    ev, U = np.linalg.eigh(S)
+    X = U @ np.diag(ev ** -0.5) @ U.T          # S^{-1/2}
+    C = None
+    D = np.zeros_like(S)
+    e_old = 0.0
+    for _ in range(max_iter):
+        J = np.einsum("ijkl,kl->ij", g, D)
+        K = np.einsum("ikjl,kl->ij", g, D)
+        F = h + J - 0.5 * K
+        _, Cp = np.linalg.eigh(X.T @ F @ X)
+        C = X @ Cp
+        occ = C[:, :n_occ]
+        D = 2.0 * occ @ occ.T
+        e = np.sum(D * (h + F)) / 2.0
+        if abs(e - e_old) < tol:
+            break
+        e_old = e
+    return float(e), C
+
+
+def cluster_electronic_hamiltonian(coords_angstrom, charge: int = 0):
+    """(dense 2^{2m} x 2^{2m} electronic Hamiltonian in the RHF-MO
+    spin-orbital basis, E_nuc, E_RHF_total) for a hydrogen cluster with
+    ``m`` atoms and ``m - charge`` electrons (JW order: mo0-up, mo0-down,
+    mo1-up, ...)."""
+    centers = [np.asarray(c, dtype=float) * ANGSTROM_TO_BOHR
+               for c in coords_angstrom]
+    m = len(centers)
+    n_elec = m - charge
+    if n_elec % 2:
+        raise ValueError("closed-shell RHF needs an even electron count")
+    S, h, g, e_nuc = cluster_integrals(centers)
+    e_rhf, C = rhf_scf(S, h, g, n_elec // 2)
+    h_mo = C.T @ h @ C
+    g_mo = np.einsum("ijkl,ip,jq,kr,ls->pqrs", g, C, C, C, C)
+
+    n_so = 2 * m
+    sm = np.array([[0.0, 1.0], [0.0, 0.0]])
+    z = np.diag([1.0, -1.0])
+    eye2 = np.eye(2)
+
+    def ann(p):
+        ops = [z] * p + [sm] + [eye2] * (n_so - p - 1)
+        out = np.array([[1.0 + 0j]])
+        for o in ops:
+            out = np.kron(out, o)
+        return out
+
+    a = [ann(p) for p in range(n_so)]
+    ad = [x.conj().T for x in a]
+    H = np.zeros((2**n_so, 2**n_so), dtype=complex)
+    for p in range(n_so):
+        for q in range(n_so):
+            if p % 2 == q % 2:
+                H += h_mo[p // 2, q // 2] * (ad[p] @ a[q])
+    # precompute pair products to keep the two-body loop O(n^4) matmuls
+    for p in range(n_so):
+        for q in range(n_so):
+            if p == q:
+                continue
+            left = ad[p] @ ad[q]
+            for r in range(n_so):
+                if p % 2 != r % 2:
+                    continue
+                for s in range(n_so):
+                    if q % 2 != s % 2 or s == r:
+                        continue
+                    v = g_mo[p // 2, r // 2, q // 2, s // 2]
+                    if abs(v) < 1e-14:
+                        continue
+                    H += 0.5 * v * (left @ (a[s] @ a[r]))
+    return H, e_nuc, float(e_rhf + e_nuc)
+
+
+def pauli_decompose_fast(H: np.ndarray, tol: float = 1e-10):
+    """(label, weight) decomposition via the signed-permutation form of each
+    Pauli string: tr(P H) = sum_k f(k xor m) H[k xor m, k] — O(d) per string
+    instead of a dense d x d matmul (needed at 8+ qubits)."""
+    import itertools
+    n = int(round(np.log2(H.shape[0])))
+    d = 2**n
+    ks = np.arange(d)
+    terms = []
+    for labels in itertools.product("IXYZ", repeat=n):
+        flip = yz = n_y = 0
+        for q, ch in enumerate(labels):
+            bit = 1 << (n - 1 - q)
+            if ch == "X":
+                flip |= bit
+            elif ch == "Y":
+                flip |= bit
+                yz |= bit
+                n_y += 1
+            elif ch == "Z":
+                yz |= bit
+        kp = ks ^ flip
+        par = np.bitwise_count(kp & yz) & 1 if hasattr(np, "bitwise_count") \
+            else np.array([bin(x & yz).count("1") & 1 for x in kp])
+        f = (1j ** n_y) * (1.0 - 2.0 * par)
+        w = np.sum(f * H[kp, ks]) / d
+        if abs(w) > tol:
+            terms.append(("".join(labels), float(np.real(w))))
+    return terms
+
+
+def sector_ground_energy(H: np.ndarray, n_elec: int) -> float:
+    """Ground energy restricted to the ``n_elec`` particle-number sector.
+    The Fock-space Hamiltonian contains every sector, and for clusters the
+    GLOBAL minimum is usually a different electron count (electronic energy
+    decreases with added electrons) — the physical answer is the sector
+    minimum."""
+    d = H.shape[0]
+    n = int(round(np.log2(d)))
+    idx = [j for j in range(d)
+           if bin(j).count("1") == n_elec]
+    sub = H[np.ix_(idx, idx)]
+    return float(np.linalg.eigvalsh(sub)[0])
+
+
+def number_penalty_terms(n_so: int, n_elec: int, lam: float):
+    """lam (N_hat - n_elec)^2 as Pauli strings (diagonal: I/Z only).
+    N_hat = sum_q (1 - Z_q)/2. Added to the cost so pulse drives that do
+    not conserve particle number (X/Y) cannot escape the physical sector."""
+    diag = np.zeros(2**n_so)
+    for j in range(2**n_so):
+        diag[j] = lam * (bin(j).count("1") - n_elec) ** 2
+    return pauli_decompose_fast(np.diag(diag))
+
+
+def build_hydrogen_cluster(coords_angstrom, charge: int = 0,
+                           n_basis: int = 6, basis: str = "bspline",
+                           T: float = 2.0, omega: float = np.pi,
+                           dtype=jnp.float32, sampling: bool = False,
+                           noisy: bool = False,
+                           number_penalty: float = 2.0) -> MoleculeProblem:
+    """Pulse-level VQE for an arbitrary hydrogen cluster (2 qubits per
+    atom, JW in the RHF-MO basis). Initial state: the RHF determinant
+    (lowest n_elec spin orbitals occupied). The measured cost is
+    ``H_elec + number_penalty (N_hat - n_elec)^2`` (penalty vanishes on the
+    physical sector); ``exact_ground_energy`` is the sector-projected FCI
+    value the training gap is reported against."""
+    H, e_nuc, _ = cluster_electronic_hamiltonian(coords_angstrom, charge)
+    n_so = int(round(np.log2(H.shape[0])))
+    n_elec = len(coords_angstrom) - charge
+    terms = pauli_decompose_fast(H.real)  # real-symmetric in the RHF basis
+    if number_penalty:
+        terms = terms + number_penalty_terms(n_so, n_elec, number_penalty)
+        # merge duplicate labels (penalty shares I/Z strings with H)
+        acc = {}
+        for lbl, w in terms:
+            acc[lbl] = acc.get(lbl, 0.0) + w
+        terms = [(lbl, w) for lbl, w in acc.items() if abs(w) > 1e-12]
+    exact = sector_ground_energy(H, n_elec)
+    meas = Measurement.create_strings(terms, dtype=dtype, sampling=sampling,
+                                      noisy=noisy)
+    Hs, omegas = [], []
+    for q in range(n_so):
+        for ax in ("X", "Y"):
+            Hs.append(linalg.pauli_string("".join(
+                ax if p == q else "I" for p in range(n_so))))
+            omegas.append(omega)
+    for i in range(n_so - 1):
+        for kind in ("XX", "ZZ"):
+            Hs.append(linalg.pauli_string("".join(
+                kind[0] if p in (i, i + 1) else "I" for p in range(n_so))))
+            omegas.append(omega)
+    d = 2**n_so
+    ham = ControlledHamiltonian.create(np.zeros((d, d)), Hs, dtype=dtype)
+    env = SimpleEnvelope(basis=basis, n_basis=n_basis, omegas=tuple(omegas))
+    n_elec = len(coords_angstrom) - charge
+    hf = sum(1 << (n_so - 1 - p) for p in range(n_elec))
+    psi0 = cpx.from_complex(linalg.basis_state(hf, d), dtype=dtype)
+    return MoleculeProblem(ham=ham, envelope=env, measurement=meas,
+                           psi0=psi0, T=float(T),
+                           exact_ground_energy=exact, e_nuc=e_nuc,
+                           terms=terms)
+
+
 def rhf_energy(r_angstrom: float) -> float:
     """Closed-shell RHF total energy (sigma_g doubly occupied) — a textbook
     anchor: -1.1167 Ha at R = 0.7414 A."""

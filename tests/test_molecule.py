@@ -75,3 +75,64 @@ def test_h2_vqe_stretched_geometry():
     res = train_energy(prob.ham, prob.envelope, prob.measurement, prob.psi0,
                        prob.T, cfg, lam_min=prob.exact_ground_energy)
     assert res.losses_energy[-1] < 5e-3
+
+
+def test_cluster_pipeline_matches_symmetry_path():
+    """The general SCF cluster path must reproduce the closed-form
+    symmetry-orbital H2 values (FCI is invariant to the MO basis)."""
+    H_gen, enuc_g, e_rhf = mol.cluster_electronic_hamiltonian(
+        [(0, 0, 0), (0, 0, R_EQ)])
+    np.testing.assert_allclose(np.linalg.eigvalsh(H_gen)[0] + enuc_g,
+                               mol.fci_energy(R_EQ), atol=1e-7)
+    np.testing.assert_allclose(e_rhf, mol.rhf_energy(R_EQ), atol=1e-9)
+
+
+def test_pauli_decompose_fast_matches_slow():
+    H, _ = mol.h2_electronic_hamiltonian(1.1)
+    slow = dict(mol.pauli_decompose(H))
+    fast = dict(mol.pauli_decompose_fast(H.real))
+    assert set(slow) == set(fast)
+    for k in slow:
+        np.testing.assert_allclose(slow[k], fast[k], atol=1e-10)
+
+
+def test_sector_projection_h3_plus():
+    """The Fock-space global minimum is NOT the physical answer for H3+
+    (it lives in a higher-N sector); the sector-projected FCI is ~25 mHa
+    below RHF, a physically sensible 2-electron correlation energy."""
+    coords = [(0, 0, 0), (0.9, 0, 0), (0.45, 0.45 * np.sqrt(3), 0)]
+    H3, enuc, e_rhf = mol.cluster_electronic_hamiltonian(coords, charge=1)
+    e_fock_min = float(np.linalg.eigvalsh(H3)[0]) + enuc
+    e_fci = mol.sector_ground_energy(H3, 2) + enuc
+    assert e_fock_min < e_fci - 0.01      # global min is unphysical
+    assert e_rhf - 0.05 < e_fci < e_rhf - 0.01   # sane correlation energy
+
+
+def test_size_consistency_two_far_h2():
+    """FCI(H4 = two H2 at 50 A) = 2 x FCI(H2) — a strong end-to-end check
+    of the integrals, SCF, and two-body Hamiltonian assembly."""
+    H4, enuc4, _ = mol.cluster_electronic_hamiltonian(
+        [(0, 0, 0), (0, 0, R_EQ), (50, 0, 0), (50, 0, R_EQ)])
+    fci4 = mol.sector_ground_energy(H4, 4) + enuc4
+    np.testing.assert_allclose(fci4, 2 * mol.fci_energy(R_EQ), atol=1e-6)
+
+
+def test_number_penalty_is_diagonal_and_correct():
+    terms = mol.number_penalty_terms(4, 2, lam=3.0)
+    assert all(set(lbl) <= {"I", "Z"} for lbl, _ in terms)
+    rebuilt = sum(w * linalg.pauli_string(lbl) for lbl, w in terms)
+    want = np.diag([3.0 * (bin(j).count("1") - 2) ** 2 for j in range(16)])
+    np.testing.assert_allclose(rebuilt, want, atol=1e-10)
+
+
+def test_h3_plus_vqe_near_sector_ground():
+    """6-qubit H3+ pulse VQE with the number penalty stays in the N=2
+    sector and lands near the sector FCI energy."""
+    from diffquantum_tpu.train import TrainConfig, train_energy
+    coords = [(0, 0, 0), (0.9, 0, 0), (0.45, 0.45 * np.sqrt(3), 0)]
+    prob = mol.build_hydrogen_cluster(coords, charge=1, dtype=jnp.float64)
+    cfg = TrainConfig(n_basis=6, n_epoch=300, lr=5e-2, grad_mode="adjoint",
+                      dtype="float64", seed=0)
+    res = train_energy(prob.ham, prob.envelope, prob.measurement, prob.psi0,
+                       prob.T, cfg, lam_min=prob.exact_ground_energy)
+    assert res.losses_energy[-1] < 0.02, res.losses_energy[-1]  # < 20 mHa
