@@ -62,7 +62,7 @@ def _amplitude_bound(envelope) -> tuple[float, ...]:
 @functools.partial(
     jax.jit,
     static_argnames=("envelope", "horizon", "n_steps", "backend", "tol",
-                     "dt_bound"))
+                     "dt_bound", "precision"))
 def evolve(
     ham: ControlledHamiltonian,
     envelope,
@@ -75,6 +75,7 @@ def evolve(
     backend: str = "auto",
     tol: float = 1e-7,
     dt_bound: Optional[float] = None,
+    precision: str = "full",
 ) -> CP:
     """Evolve ``psi0`` from ``T0`` to ``T`` under H(t) = H0 + sum u_k(t) H_k.
 
@@ -92,6 +93,9 @@ def evolve(
         backend: 'expm' (dense per-step exponential), 'apply' (Taylor
             expm-times-vector), or 'auto' (apply for d >= 512 or batched
             states, else expm).
+        precision: 'full' | 'fast' — in-kernel matmul precision of the
+            fused backend (ignored by the other backends; see
+            :func:`..dynamics.product.evolve_product_fused`).
         tol: truncation tolerance of the Taylor series.
         dt_bound: static upper bound on |dt| = |T-T0|/n_steps. Required when
             T/T0 are traced; defaults to horizon/n_steps.
@@ -108,7 +112,7 @@ def evolve(
         from .product import evolve_product_fused
         return evolve_product_fused(ham, envelope, coeff, psi0, T0, T,
                                     horizon=horizon, n_steps=n_steps,
-                                    dt_bound=dt_bound)
+                                    dt_bound=dt_bound, precision=precision)
     if backend == "product":
         from .product import evolve_product
         return evolve_product(ham, envelope, coeff, psi0, T0, T,

@@ -29,7 +29,7 @@ from ..measure import (Measurement, exact_expectation, measurement_noise,
 @functools.partial(
     jax.jit,
     static_argnames=("envelope", "T", "n_steps", "backend", "delta",
-                     "sampling", "noisy", "per_pauli"))
+                     "sampling", "noisy", "per_pauli", "precision"))
 def fd_energy_grad(
     ham,
     envelope,
@@ -44,6 +44,7 @@ def fd_energy_grad(
     sampling: bool = False,
     noisy: bool = False,
     per_pauli: int = 100,
+    precision: str = "full",
 ) -> jnp.ndarray:
     """Central-difference gradient over all coefficients, one vmapped batch."""
     shape = coeff.shape
@@ -57,7 +58,7 @@ def fd_energy_grad(
         (2 * n_params,) + shape)
 
     def one_sim(c, k):
-        psi = evolve(ham, envelope, c, psi0, 0.0, T, horizon=T,
+        psi = evolve(ham, envelope, c, psi0, 0.0, T, horizon=T, precision=precision,
                      n_steps=n_steps, backend=backend)
         if sampling:
             from ..measure import DiagonalTermSet, stochastic_measure_diag

@@ -92,7 +92,7 @@ def envelope_jacobian(envelope, coeff: jnp.ndarray, s, T) -> jnp.ndarray:
     jax.jit,
     static_argnames=("envelope", "T", "n_steps", "backend", "r",
                      "coeff_sign", "chain", "sampling", "noisy", "per_pauli",
-                     "t_jacobian"))
+                     "t_jacobian", "precision"))
 def mc_energy_grad(
     ham,
     envelope,
@@ -111,6 +111,7 @@ def mc_energy_grad(
     per_pauli: int = 100,
     t_jacobian: bool = False,
     s: jnp.ndarray | None = None,
+    precision: str = "full",
 ) -> jnp.ndarray:
     """One MC sample of the stochastic gradient (matches the reference's
     one-sample-per-step usage, `sim_plain.py:290`).
@@ -135,7 +136,7 @@ def mc_energy_grad(
         dDdc = envelope_jacobian(envelope, coeff, s, T)
 
     # --- evolve to the sampled split time ------------------------------
-    phi = evolve(ham, envelope, coeff, psi0, 0.0, s, horizon=T,
+    phi = evolve(ham, envelope, coeff, psi0, 0.0, s, horizon=T, precision=precision,
                  n_steps=n_steps, backend=backend, dt_bound=T / n_steps)
 
     # --- matrix-free perturbation gates (CP real-pair algebra) ----------
@@ -159,7 +160,7 @@ def mc_energy_grad(
                   jnp.concatenate([branch_p.im, branch_m.im], axis=0))
 
     # --- one batched evolution s → T ------------------------------------
-    kets = evolve(ham, envelope, coeff, branches, s, T, horizon=T,
+    kets = evolve(ham, envelope, coeff, branches, s, T, horizon=T, precision=precision,
                   n_steps=n_steps, backend=backend, dt_bound=T / n_steps)
 
     # --- measurement -----------------------------------------------------

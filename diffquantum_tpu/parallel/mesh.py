@@ -116,7 +116,7 @@ def train_energy_seeds(
             def local_energies(cs_l, psi_re_l, psi_im_l, diag_r):
                 psi = evolve_product_fused(
                     ham_f, envelope, cs_l, CP(psi_re_l, psi_im_l), 0.0, T,
-                    horizon=T, n_steps=n_steps)
+                    horizon=T, n_steps=n_steps, precision=config.precision)
                 return jnp.sum(cpx.abs2(psi) * diag_r, axis=-1)
 
             cspec = P(*((data_axis,) + (None,) * (coeffs.ndim - 1)))
@@ -132,7 +132,8 @@ def train_energy_seeds(
             def batch_energies(cs):
                 psi = evolve_product_fused(ham_f, envelope, cs, psi_batch,
                                            0.0, T, horizon=T,
-                                           n_steps=n_steps)
+                                           n_steps=n_steps,
+                                           precision=config.precision)
                 return jnp.sum(cpx.abs2(psi) * measurement.diag, axis=-1)
     else:
         def seed_energy(c, p):

@@ -33,6 +33,11 @@ class TrainConfig:
     # — new, TPU-native knobs —
     grad_mode: str = "adjoint"   # 'adjoint' | 'mc' | 'fd'
     backend: str = "auto"        # propagator backend
+    precision: str = "full"     # 'full' | 'fast': in-kernel matmul
+                                 # precision of the fused TPU backend
+                                 # ('fast' = single-pass bf16 MXU, ~25-40%
+                                 # faster, amplitude error ~6e-5 over 30
+                                 # steps; docs/PERFORMANCE.md)
     mc_samples: int = 1          # MC samples per optimizer step (ref: 1)
     mc_chain: str = "exact"      # 'exact' | 'reference' (sim_plain.py:224-230)
     mc_strategy: str = "iid"     # split-time sampling: 'iid' | 'antithetic'

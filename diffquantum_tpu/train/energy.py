@@ -153,7 +153,8 @@ def train_energy(
     @jax.jit
     def measured_loss(c, k):
         psi = evolve(ham, envelope, c, psi0, 0.0, T, horizon=T,
-                     n_steps=n_steps, backend=config.backend)
+                     n_steps=n_steps, backend=config.backend,
+                     precision=config.precision)
         m = dataclasses.replace(measurement, sampling=config.sampling_measure,
                                 noisy=config.is_noisy,
                                 per_pauli=config.per_pauli)
@@ -162,23 +163,26 @@ def train_energy(
     def grad_fn(c, k):
         if mode == "adjoint":
             _, g = energy_and_grad(ham, envelope, measurement, c, psi0,
-                                   T, n_steps, backend=config.backend)
+                                   T, n_steps, backend=config.backend,
+                                   precision=config.precision)
             return g
         if mode == "mc":
             if config.mc_samples == 1:
                 return mc_energy_grad(
                     ham, envelope, measurement, c, psi0, T, k, config.n_step,
-                    backend=config.backend, chain=config.mc_chain, **meas_flags)
+                    backend=config.backend, chain=config.mc_chain,
+                    precision=config.precision, **meas_flags)
             keys = jax.random.split(k, config.mc_samples)
             gs = jax.vmap(lambda kk: mc_energy_grad(
                 ham, envelope, measurement, c, psi0, T, kk, config.n_step,
                 backend=config.backend, chain=config.mc_chain,
-                **meas_flags))(keys)
+                precision=config.precision, **meas_flags))(keys)
             return gs.mean(axis=0)
         if mode == "fd":
             return fd_energy_grad(
                 ham, envelope, measurement, c, psi0, T, k, config.n_step,
-                backend=config.backend, delta=config.fd_delta, **meas_flags)
+                backend=config.backend, delta=config.fd_delta,
+                precision=config.precision, **meas_flags)
         raise ValueError(f"unknown grad_mode {mode!r}")
 
     @jax.jit

@@ -87,7 +87,8 @@ def train_fidelity(
     @jax.jit
     def pair_loss(c, psi0, target, k):
         psi = evolve(ham, envelope, c, psi0, 0.0, T, horizon=T,
-                     n_steps=n_steps, backend=config.backend)
+                     n_steps=n_steps, backend=config.backend,
+                     precision=config.precision)
         o = cpx.vdot(target, psi)
         ov = o.re * o.re + o.im * o.im
         if config.is_noisy:
@@ -99,7 +100,8 @@ def train_fidelity(
     def pair_grad(c, psi0, target, k):
         if mode == "adjoint":
             _, g = fidelity_and_grad(ham, envelope, target, c, psi0, T,
-                                     n_steps, backend=config.backend)
+                                     n_steps, backend=config.backend,
+                                     precision=config.precision)
             return g
         if mode == "mc":
             # matrix-free |t><t|: <psi|M|psi> = |<t|psi>|^2, one vdot per
@@ -109,6 +111,7 @@ def train_fidelity(
             return mc_energy_grad(
                 ham, envelope, m, c, psi0, T, k, config.n_step,
                 backend=config.backend, coeff_sign=-1.0,
+                precision=config.precision,
                 chain=config.mc_chain, noisy=config.is_noisy)
         raise ValueError(f"grad_mode {mode!r} not supported for fidelity")
 

@@ -156,3 +156,27 @@ def test_fused_xy_drives_match_xla():
     assert abs(float(v_f) - float(v_x)) < 1e-5
     np.testing.assert_allclose(np.asarray(g_f), np.asarray(g_x),
                                rtol=2e-3, atol=2e-5)
+
+
+def test_precision_knob_api():
+    """precision='fast' accepted end-to-end (interpret mode on CPU computes
+    both at f32, so results are identical here; numeric deltas are covered
+    by the real-chip lane, tpu_tests)."""
+    import pytest
+    from diffquantum_tpu.dynamics.product import evolve_product_fused
+    from diffquantum_tpu.models import maxcut
+    prob = maxcut.build_maxcut(10, maxcut.ring_graph(10), n_basis=4,
+                               dense=False)
+    rng = np.random.default_rng(0)
+    c = jnp.asarray(rng.standard_normal(
+        prob.envelope.coeff_shape).astype(np.float32) * 1e-3)
+    a = evolve_product_fused(prob.ham, prob.envelope, c, prob.psi0, 0.0,
+                             prob.T, horizon=prob.T, n_steps=10)
+    b = evolve_product_fused(prob.ham, prob.envelope, c, prob.psi0, 0.0,
+                             prob.T, horizon=prob.T, n_steps=10,
+                             precision="fast")
+    np.testing.assert_allclose(np.asarray(a.re), np.asarray(b.re), atol=1e-7)
+    with pytest.raises(ValueError, match="precision"):
+        evolve_product_fused(prob.ham, prob.envelope, c, prob.psi0, 0.0,
+                             prob.T, horizon=prob.T, n_steps=10,
+                             precision="bogus")
