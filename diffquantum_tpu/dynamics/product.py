@@ -48,12 +48,24 @@ def split_structure(ham: ControlledHamiltonian):
         raise ValueError("product backend needs TermStructure metadata")
     diag_idx, diag_rows = [], []
     oneq_idx, oneq_qubits, oneq_locals = [], [], []
+    n = ham.n_qubits
     for k, st in enumerate(ham.structure):
         if st.kind == "diag":
             diag_idx.append(k)
             diag_rows.append(np.asarray(st.diag, dtype=np.float64))
         elif st.kind == "1q":
             g = np.asarray(st.local, dtype=np.complex128)
+            gd = np.diagonal(g)
+            if np.allclose(g, np.diag(gd), atol=1e-12) \
+                    and np.max(np.abs(gd.imag)) < 1e-12:
+                # a diagonal 1q drive (e.g. a hand-tagged Z) is a diagonal
+                # term: route it through the commuting phase block — exact,
+                # cheaper, and it keeps fused-kernel eligibility
+                row = np.kron(np.kron(np.ones(2**st.qubit), gd.real),
+                              np.ones(2 ** (n - st.qubit - 1)))
+                diag_idx.append(k)
+                diag_rows.append(row)
+                continue
             # apply_1q_pauli_rot uses exp(-i th G) = cos(th) I - i sin(th) G,
             # exact ONLY for involutory G; anything else (sigma+, projectors)
             # would silently produce a non-unitary propagator.
@@ -188,7 +200,12 @@ def fused_eligible(ham: ControlledHamiltonian) -> bool:
         return False
     for st in ham.structure:
         if st.kind == "1q" and _pauli_kind(st.local) is None:
-            return False
+            g = np.asarray(st.local)
+            diag_local = (np.allclose(g, np.diag(np.diagonal(g)),
+                                      atol=1e-12)
+                          and np.max(np.abs(np.diagonal(g).imag)) < 1e-12)
+            if not diag_local:  # diagonal 1q (Z-like) folds into the phases
+                return False
         if st.kind not in ("diag", "1q"):
             return False
     return True

@@ -86,3 +86,49 @@ def test_product_16_qubit_scales():
                          prob.T, horizon=prob.T, n_steps=30)
     assert out.re.shape == (2**n,)
     assert abs(float(cpx.norm2(out)) - 1.0) < 1e-9
+
+
+def test_1q_z_drive_normalized_to_diag():
+    """A hand-tagged 1q Z (diagonal local) must route through the phase
+    block: exact vs dense, and fused eligibility preserved."""
+    from diffquantum_tpu.ops import cpx, linalg
+    from diffquantum_tpu.dynamics.hamiltonian import (ControlledHamiltonian,
+                                                      TermStructure)
+    from diffquantum_tpu.dynamics.product import (evolve_product,
+                                                  fused_eligible,
+                                                  split_structure)
+    from diffquantum_tpu.dynamics.propagator import evolve
+    from diffquantum_tpu.pulses.envelope import SimpleEnvelope
+
+    n = 3
+    H0 = np.zeros((8, 8))
+    Hs = [linalg.pauli_string("IZI"), linalg.pauli_string("XII")]
+    structure = (TermStructure(kind="1q", qubit=1, local=np.diag([1., -1.])),
+                 TermStructure(kind="1q", qubit=0, local=linalg.X))
+    ham = ControlledHamiltonian.create(
+        H0, Hs, dtype=jnp.float64, structure=structure,
+        h0_structure=TermStructure(kind="diag", diag=np.zeros(8)))
+    (diag_idx, diag_rows, _, oneq_idx, _, _) = split_structure(ham)
+    assert diag_idx == [0] and oneq_idx == [1]
+    np.testing.assert_allclose(diag_rows[0], linalg.pauli_string("IZI")
+                               .diagonal().real)
+
+    env = SimpleEnvelope(basis="bspline", n_basis=4, omegas=(np.pi, np.pi))
+    rng = np.random.default_rng(0)
+    coeff = jnp.asarray(rng.standard_normal((2, 4)) * 0.5)
+    psi0 = cpx.from_complex(linalg.uniform_superposition(3), jnp.float64)
+    a = evolve_product(ham, env, coeff, psi0, 0.0, 2.0, horizon=2.0,
+                       n_steps=600)
+    b = evolve(ham, env, coeff, psi0, 0.0, 2.0, horizon=2.0, n_steps=600,
+               backend="expm")
+    assert np.abs(cpx.to_complex(a) - cpx.to_complex(b)).max() < 2e-5
+
+    # 10q version is fused-eligible despite the Z drive
+    big = [TermStructure(kind="1q", qubit=q, local=linalg.X)
+           for q in range(10)] + \
+          [TermStructure(kind="1q", qubit=0, local=np.diag([1., -1.]))]
+    ham10 = ControlledHamiltonian.create_structured(
+        1024, big, h0_structure=TermStructure(kind="diag",
+                                              diag=np.zeros(1024)),
+        dtype=jnp.float32)
+    assert fused_eligible(ham10)

@@ -127,13 +127,25 @@ def test_same_qubit_xy_sharded_matches_product():
 
 
 def test_split_structure_rejects_non_involutory():
-    """ADVICE r1: sigma+ / projector 1q generators must raise, not silently
-    produce a non-unitary propagator."""
+    """ADVICE r1: non-diagonal non-involutory 1q generators (sigma+) must
+    raise, not silently produce a non-unitary propagator. DIAGONAL locals
+    (projectors, Z) are fine: they fold into the commuting phase block,
+    where exp(-i th diag) is exact for ANY real diagonal."""
     d = 4
-    proj = np.array([[0.0, 0.0], [0.0, 1.0]])
-    structure = (TermStructure(kind="1q", qubit=0, local=proj),)
+    sp = np.array([[0.0, 1.0], [0.0, 0.0]])  # sigma+ — not involutory
+    structure = (TermStructure(kind="1q", qubit=0, local=sp),)
     ham = ControlledHamiltonian.create_structured(
         d, structure, h0_structure=TermStructure(kind="diag",
                                                  diag=np.zeros(d)))
     with pytest.raises(ValueError, match="involutory"):
         split_structure(ham)
+
+    # a diagonal projector is legal now — and EXACT via the phase block
+    proj = np.array([[0.0, 0.0], [0.0, 1.0]])
+    structure = (TermStructure(kind="1q", qubit=0, local=proj),)
+    ham_p = ControlledHamiltonian.create_structured(
+        d, structure, h0_structure=TermStructure(kind="diag",
+                                                 diag=np.zeros(d)))
+    diag_idx, diag_rows, *_ = split_structure(ham_p)
+    assert diag_idx == [0]
+    np.testing.assert_allclose(diag_rows[0], [0.0, 0.0, 1.0, 1.0])
