@@ -174,6 +174,32 @@ def main():
         print(json.dumps({"metric": "seeds64_per_seed_step",
                           "value": round(lat_blk / blk / n_seeds * 1e6, 1),
                           "unit": "us/seed-step"}), file=sys.stderr)
+
+        # the precision='fast' variant (single-pass bf16 in-kernel matmuls)
+        if _fe(prob.ham):
+            def batch_energy_sum_fast(cs):
+                psi = evolver_b(prob.ham, prob.envelope, cs, psi_b, 0.0,
+                                prob.T, horizon=prob.T, n_steps=n_steps,
+                                precision="fast")
+                e = jnp.sum(cpx.abs2(psi) * prob.measurement.diag, axis=-1)
+                return e.sum()
+
+            def epoch_fast(carry, _):
+                cs, ost = carry
+                g = jax.grad(batch_energy_sum_fast)(cs)
+                updates, ost = opt.update(g, ost, cs)
+                return (optax.apply_updates(cs, updates), ost), None
+
+            @jax.jit
+            def run_block_fast(carry):
+                return jax.lax.scan(epoch_fast, carry, None, length=blk)[0]
+
+            lat_fast = median_latency(run_block_fast, ((cs0, ost0),),
+                                      n_warmup=2, n_runs=8)
+            print(json.dumps({"metric": "seeds64_epoch_latency_fast",
+                              "value": round(lat_fast / blk * 1e3, 3),
+                              "unit": "ms (precision='fast' bf16 kernels)"}),
+                  file=sys.stderr)
     except Exception as e:
         print(f"seeds bench failed: {e}", file=sys.stderr)
 

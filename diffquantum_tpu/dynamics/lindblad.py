@@ -203,6 +203,191 @@ def density_from_trajectories(psis: CP) -> CP:
     return CP(re, im)
 
 
+@jax.tree_util.register_pytree_node_class
+class StructuredNoise:
+    """Per-qubit noise channels for STRUCTURED (matrix-free) trajectories:
+    amplitude damping (T1, ``c_q = sqrt(g1) |0><1|_q``) and pure dephasing
+    (``c_q = sqrt(gphi/2) Z_q``). For these channels ``K = sum c^dag c`` is
+    DIAGONAL — ``sum_q g1_q n_q + sum_q gphi_q/2`` — so the non-Hermitian
+    part of H_eff folds into the Strang phase block as a real decay, and
+    every jump is a masked gather / sign flip: O(2^n) memory, any size."""
+
+    def __init__(self, n_qubits: int, t1=(), dephasing=()):
+        """t1 / dephasing: sequences of (qubit, gamma)."""
+        self.n_qubits = int(n_qubits)
+        self.t1 = tuple((int(q), float(g)) for q, g in t1)
+        self.dephasing = tuple((int(q), float(g)) for q, g in dephasing)
+        if not self.t1 and not self.dephasing:
+            raise ValueError("StructuredNoise needs at least one channel")
+
+    def tree_flatten(self):
+        return (), (self.n_qubits, self.t1, self.dephasing)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        n, t1, deph = aux
+        return cls(n, t1, deph)
+
+    def k_diag(self) -> np.ndarray:
+        """Diagonal of K = sum_k c_k^dag c_k (length 2^n, host numpy)."""
+        d = 2**self.n_qubits
+        j = np.arange(d)
+        out = np.zeros(d)
+        for q, g in self.t1:
+            bit = 1 << (self.n_qubits - 1 - q)
+            out += g * ((j & bit) > 0)
+        for _, g in self.dephasing:
+            out += 0.5 * g
+        return out
+
+    @property
+    def k_norm(self) -> float:
+        return float(np.max(self.k_diag())) if 2**self.n_qubits else 0.0
+
+    def dense_collapse_ops(self):
+        """Dense c_k list (for small-n oracle cross-checks)."""
+        return ([amplitude_damping(g, q, self.n_qubits)
+                 for q, g in self.t1]
+                + [dephasing(g, q, self.n_qubits)
+                   for q, g in self.dephasing])
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("envelope", "horizon", "n_steps", "n_traj"))
+def evolve_mcwf_structured(
+    ham,                         # structured ControlledHamiltonian
+    envelope,
+    coeff: jnp.ndarray,
+    psi0: CP,                    # [d]
+    noise: StructuredNoise,
+    T0,
+    T,
+    horizon: float,
+    n_steps: int,
+    key,
+    n_traj: int,
+) -> CP:
+    """Quantum-jump trajectories on the product-formula engine — the
+    scalable open-system path (the dense :func:`evolve_mcwf` caps out with
+    the dense operators at ~13 qubits).
+
+    Per step: Strang split of ``exp(dt(-i H(t) - K/2))`` where the
+    (diagonal) decay K/2 rides INSIDE the exact diagonal phase block
+    (diagonals commute, so adding the decay costs one elementwise exp), 1q
+    rotations between the half phases; then the standard first-order jump
+    decision. Jump application: amplitude damping = masked XOR gather,
+    dephasing = parity sign flip — both matrix-free."""
+    from .product import apply_1q_pauli_rot, split_structure
+
+    n = ham.n_qubits
+    (diag_idx, diag_rows, h0_diag, oneq_idx, oneq_qubits,
+     oneq_locals) = split_structure(ham)
+    if noise.n_qubits != n:
+        raise ValueError("noise qubit count mismatch")
+
+    dt = (T - T0) / n_steps
+    ts = T0 + dt * jnp.arange(n_steps, dtype=jnp.result_type(float))
+    u = envelope.amplitudes(coeff, ts, horizon)
+    rdt = ham.dtype
+
+    diag_table = jnp.asarray(np.stack(diag_rows), dtype=rdt) if diag_rows \
+        else jnp.zeros((0, ham.dim), dtype=rdt)
+    h0_vec = jnp.asarray(h0_diag, dtype=rdt)
+    u_diag = (u[jnp.asarray(diag_idx, jnp.int32)] if diag_idx else
+              jnp.zeros((0, n_steps))).astype(rdt)
+    u_oneq = (u[jnp.asarray(oneq_idx, jnp.int32)] if oneq_idx else
+              jnp.zeros((0, n_steps))).astype(rdt)
+    locals_re = [jnp.asarray(g.real, dtype=rdt) for g in oneq_locals]
+    locals_im = [jnp.asarray(g.imag, dtype=rdt) for g in oneq_locals]
+    dt_c = jnp.asarray(dt, rdt)
+    kd = jnp.asarray(noise.k_diag(), rdt)
+    decay_half = jnp.exp(-0.25 * dt_c * kd)   # exp(-dt K / 2) split in two
+
+    d = ham.dim
+    j_idx = jnp.arange(d, dtype=jnp.int32)
+    # per-T1-channel masks and lowered-index gathers
+    t1_bits = [1 << (n - 1 - q) for q, _ in noise.t1]
+    t1_gammas = jnp.asarray([g for _, g in noise.t1], rdt) \
+        if noise.t1 else jnp.zeros((0,), rdt)
+    deph_bits = [1 << (n - 1 - q) for q, _ in noise.dephasing]
+    deph_gammas = jnp.asarray([g for _, g in noise.dephasing], rdt) \
+        if noise.dephasing else jnp.zeros((0,), rdt)
+    n_t1, n_deph = len(t1_bits), len(deph_bits)
+    eps = jnp.asarray(1e-30, rdt)
+
+    palindromic = len(set(oneq_qubits)) < len(oneq_qubits)
+    m = len(oneq_qubits)
+    order = list(range(m)) + list(reversed(range(m))) if palindromic \
+        else list(range(m))
+    frac = 0.5 * dt_c if palindromic else dt_c
+
+    def det_step(psi, ud, uq):
+        theta_half = (0.5 * dt_c) * (
+            h0_vec + jnp.matmul(ud, diag_table,
+                                precision=jax.lax.Precision.HIGHEST))
+        ph_re = jnp.cos(theta_half) * decay_half
+        ph_im = -jnp.sin(theta_half) * decay_half
+        psi = cpx.mul(CP(ph_re, ph_im), psi)
+        for i in order:
+            psi = apply_1q_pauli_rot(psi, frac * uq[i], oneq_qubits[i], n,
+                                     locals_re[i], locals_im[i])
+        return cpx.mul(CP(ph_re, ph_im), psi)
+
+    def one_trajectory(k0):
+        def step(carry, xs):
+            psi, k = carry
+            ud, uq = xs
+            k, k_r, k_c = jax.random.split(k, 3)
+            p2 = cpx.abs2(psi)
+            # jump weights dp_k from the CURRENT state
+            ws = []
+            for bi, bit in enumerate(t1_bits):
+                occ = jnp.sum(jnp.where((j_idx & bit) > 0, p2, 0.0))
+                ws.append(dt_c * t1_gammas[bi] * occ)
+            for di in range(n_deph):
+                ws.append(dt_c * 0.5 * deph_gammas[di] * jnp.sum(p2))
+            w = jnp.stack(ws) if ws else jnp.zeros((0,), rdt)
+            dp = jnp.sum(w)
+
+            det = det_step(psi, ud, uq)
+            det = cpx.rscale(det, jax.lax.rsqrt(cpx.norm2(det) + eps))
+
+            # all candidate jump states (normalized), then select
+            cand_re, cand_im = [], []
+            for bit in t1_bits:
+                # sigma^-: psi'[j] = psi[j | bit] if bit clear else 0
+                src = j_idx | jnp.int32(bit)
+                keep = (j_idx & bit) == 0
+                jr = jnp.where(keep, jnp.take(psi.re, src), 0.0)
+                ji = jnp.where(keep, jnp.take(psi.im, src), 0.0)
+                nrm = jax.lax.rsqrt(jnp.sum(jr * jr + ji * ji) + eps)
+                cand_re.append(jr * nrm)
+                cand_im.append(ji * nrm)
+            for bit in deph_bits:
+                sgn = jnp.where((j_idx & bit) > 0, -1.0, 1.0).astype(rdt)
+                cand_re.append(psi.re * sgn)
+                cand_im.append(psi.im * sgn)
+            if cand_re:
+                cre = jnp.stack(cand_re)
+                cim = jnp.stack(cand_im)
+                idx = jax.random.categorical(k_c, jnp.log(w + eps))
+                jump_re, jump_im = cre[idx], cim[idx]
+            else:
+                jump_re, jump_im = det.re, det.im
+            take = jax.random.uniform(k_r, dtype=rdt) < dp
+            psi = CP(jnp.where(take, jump_re, det.re),
+                     jnp.where(take, jump_im, det.im))
+            return (psi, k), None
+
+        (psi, _), _ = jax.lax.scan(step, (psi0.astype(rdt), k0),
+                                   (u_diag.T, u_oneq.T))
+        return psi
+
+    keys = jax.random.split(key, n_traj)
+    return jax.vmap(one_trajectory)(keys)
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("envelope", "horizon", "n_steps", "n_traj", "tol"))

@@ -174,3 +174,93 @@ def test_zero_noise_limit_matches_unitary():
                  horizon=T, n_steps=n_steps, backend="expm")
     rho_u = np.outer(cpx.to_complex(psi), cpx.to_complex(psi).conj())
     assert np.abs(cpx.to_complex(rho) - rho_u).max() < 1e-8
+
+
+def test_structured_mcwf_matches_dense_master_equation():
+    """Matrix-free quantum-jump trajectories (product engine + diagonal
+    decay + masked-gather jumps) vs the dense Lindblad solution on a driven
+    2-qubit system with T1 on both sites and dephasing on one."""
+    from diffquantum_tpu.dynamics.hamiltonian import TermStructure
+    from diffquantum_tpu.dynamics.lindblad import (StructuredNoise,
+                                                   evolve_mcwf_structured)
+
+    n = 2
+    structure = (
+        TermStructure(kind="diag", diag=linalg.pauli_string("ZZ")
+                      .diagonal().real),
+        TermStructure(kind="1q", qubit=0, local=linalg.X),
+        TermStructure(kind="1q", qubit=1, local=linalg.X),
+    )
+    Hs = [np.diag(linalg.pauli_string("ZZ").diagonal().real),
+          linalg.pauli_string("XI"), linalg.pauli_string("IX")]
+    ham = ControlledHamiltonian.create(
+        np.zeros((4, 4)), Hs, dtype=F64, structure=structure,
+        h0_structure=TermStructure(kind="diag", diag=np.zeros(4)))
+    env = SimpleEnvelope(basis="bspline", n_basis=4,
+                         omegas=(np.pi,) * 3)
+    rng = np.random.default_rng(0)
+    coeff = jnp.asarray(rng.standard_normal((3, 4)) * 0.6)
+    T, n_steps = 1.5, 300
+    noise = StructuredNoise(n, t1=[(0, 0.4), (1, 0.25)],
+                            dephasing=[(1, 0.3)])
+
+    psi0 = cpx.from_complex(linalg.basis_state(3, 4), F64)  # |11>
+    rho0 = _rho(np.eye(4)[3])
+    c = CollapseSet.create(noise.dense_collapse_ops(), dtype=F64)
+    rho = evolve_lindblad(ham, env, coeff, rho0, c, 0.0, T,
+                          horizon=T, n_steps=n_steps)
+
+    psis = evolve_mcwf_structured(ham, env, coeff, psi0, noise, 0.0, T,
+                                  horizon=T, n_steps=n_steps,
+                                  key=jax.random.PRNGKey(1), n_traj=3000)
+    np.testing.assert_allclose(np.asarray(cpx.norm2(psis)), 1.0, atol=1e-9)
+    rho_mc = density_from_trajectories(psis)
+    err = np.abs(cpx.to_complex(rho_mc) - cpx.to_complex(rho)).max()
+    assert err < 0.06, err
+
+
+def test_structured_mcwf_zero_noise_limit():
+    """gamma -> 0: every trajectory equals the closed product evolution."""
+    from diffquantum_tpu.dynamics.hamiltonian import TermStructure
+    from diffquantum_tpu.dynamics.lindblad import (StructuredNoise,
+                                                   evolve_mcwf_structured)
+    from diffquantum_tpu.dynamics.product import evolve_product
+
+    structure = (TermStructure(kind="1q", qubit=0, local=linalg.X),)
+    ham = ControlledHamiltonian.create(
+        np.zeros((2, 2)), [linalg.X], dtype=F64, structure=structure,
+        h0_structure=TermStructure(kind="diag", diag=np.zeros(2)))
+    env = SimpleEnvelope(basis="bspline", n_basis=4, omegas=(np.pi,))
+    coeff = jnp.asarray(np.random.default_rng(1).standard_normal((1, 4)))
+    psi0 = cpx.from_complex(np.array([1.0, 0.0]), F64)
+    T, n_steps = 1.0, 100
+    psis = evolve_mcwf_structured(
+        ham, env, coeff, psi0, StructuredNoise(1, t1=[(0, 1e-14)]),
+        0.0, T, horizon=T, n_steps=n_steps, key=jax.random.PRNGKey(0),
+        n_traj=4)
+    ref = evolve_product(ham, env, coeff, psi0, 0.0, T, horizon=T,
+                         n_steps=n_steps)
+    for i in range(4):
+        np.testing.assert_allclose(cpx.to_complex(psis[i]),
+                                   cpx.to_complex(ref), atol=1e-8)
+
+
+def test_structured_mcwf_large_n_smoke():
+    """14 qubits matrix-free: runs, unit norms, finite observable."""
+    from diffquantum_tpu.dynamics.lindblad import (StructuredNoise,
+                                                   evolve_mcwf_structured)
+    from diffquantum_tpu.models import maxcut
+    prob = maxcut.build_maxcut(14, maxcut.ring_graph(14), n_basis=4,
+                               dense=False, dtype=F64)
+    rng = np.random.default_rng(0)
+    coeff = jnp.asarray(rng.standard_normal(prob.envelope.coeff_shape) * .3)
+    noise = StructuredNoise(14, t1=[(q, 0.2) for q in range(14)])
+    psis = evolve_mcwf_structured(prob.ham, prob.envelope, coeff, prob.psi0,
+                                  noise, 0.0, prob.T, horizon=prob.T,
+                                  n_steps=20, key=jax.random.PRNGKey(2),
+                                  n_traj=8)
+    assert psis.re.shape == (8, 2**14)
+    np.testing.assert_allclose(np.asarray(cpx.norm2(psis)), 1.0, atol=1e-9)
+    e = np.asarray(jnp.mean(jnp.sum(cpx.abs2(psis)
+                                    * prob.measurement.diag, axis=-1)))
+    assert np.isfinite(e)
