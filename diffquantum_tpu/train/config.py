@@ -51,6 +51,11 @@ class TrainConfig:
     dtype: str = "float32"       # REAL pair dtype: float32 on TPU,
                                  # float64 for high-precision CPU parity
     optimizer: str = "adam"      # optax optimizer name
+    lr_schedule: str = "constant"  # 'constant' | 'cosine' | 'warmup_cosine'
+                                 # (schedules span n_epoch optimizer steps;
+                                 # per-pair fidelity mode steps n_pairs
+                                 # times per epoch — scale n_epoch
+                                 # accordingly if scheduling there)
     log_every: int = 1
     checkpoint_dir: Optional[str] = None
     checkpoint_every: int = 0    # 0 = off

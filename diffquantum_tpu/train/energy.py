@@ -58,10 +58,20 @@ class TrainResult:
 
 
 def make_optimizer(config: TrainConfig) -> optax.GradientTransformation:
+    lr = config.lr
+    if config.lr_schedule == "cosine":
+        lr = optax.cosine_decay_schedule(config.lr, config.n_epoch,
+                                         alpha=0.05)
+    elif config.lr_schedule == "warmup_cosine":
+        warm = max(1, config.n_epoch // 20)
+        lr = optax.warmup_cosine_decay_schedule(
+            0.0, config.lr, warm, config.n_epoch, end_value=0.05 * config.lr)
+    elif config.lr_schedule != "constant":
+        raise ValueError(f"unknown lr_schedule {config.lr_schedule!r}")
     if config.optimizer == "adam":
-        return optax.adam(config.lr)
+        return optax.adam(lr)
     if config.optimizer == "sgd":
-        return optax.sgd(config.lr)
+        return optax.sgd(lr)
     raise ValueError(f"unknown optimizer {config.optimizer!r}")
 
 

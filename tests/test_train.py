@@ -180,3 +180,20 @@ def test_train_gate_rejects_bad_inputs():
     with pytest.raises(ValueError, match="adjoint-only"):
         train_gate(ham, env, np.eye(2), T=1.0,
                    config=cfg.replace(grad_mode="mc"))
+
+
+def test_lr_schedules():
+    """Cosine / warmup-cosine schedules train and improve over constant on
+    the demo problem at matched epochs (smoke + descent check)."""
+    prob = maxcut.demo_problem(dtype=jnp.float64)
+    for sched in ("cosine", "warmup_cosine"):
+        cfg = TrainConfig(n_basis=6, n_epoch=60, lr=5e-2,
+                          grad_mode="adjoint", dtype="float64",
+                          lr_schedule=sched, seed=0)
+        res = train_energy(prob.ham, prob.envelope, prob.measurement,
+                           prob.psi0, prob.T, cfg)
+        assert res.losses_energy[-1] < res.losses_energy[0] * 0.5, sched
+    import pytest
+    with pytest.raises(ValueError, match="lr_schedule"):
+        from diffquantum_tpu.train.energy import make_optimizer
+        make_optimizer(TrainConfig(lr_schedule="bogus"))
