@@ -475,16 +475,23 @@ def build_hydrogen_cluster(coords_angstrom, charge: int = 0,
     exact = sector_ground_energy(H, n_elec)
     meas = Measurement.create_strings(terms, dtype=dtype, sampling=sampling,
                                       noisy=noisy)
+    # drive set: X/Y per qubit + XX/YY/ZZ on nearest AND next-nearest
+    # pairs. The YY and next-nearest entanglers matter: with only
+    # nearest-neighbor XX/ZZ the H3+ VQE plateaus ~12 mHa above the sector
+    # ground (an expressivity limit measured across seeds/horizons); this
+    # set reaches < 2 mHa.
     Hs, omegas = [], []
     for q in range(n_so):
         for ax in ("X", "Y"):
             Hs.append(linalg.pauli_string("".join(
                 ax if p == q else "I" for p in range(n_so))))
             omegas.append(omega)
-    for i in range(n_so - 1):
-        for kind in ("XX", "ZZ"):
+    pairs = [(i, i + 1) for i in range(n_so - 1)] + \
+            [(i, i + 2) for i in range(n_so - 2)]
+    for (i, j) in pairs:
+        for kind in ("XX", "YY", "ZZ"):
             Hs.append(linalg.pauli_string("".join(
-                kind[0] if p in (i, i + 1) else "I" for p in range(n_so))))
+                kind[0] if p in (i, j) else "I" for p in range(n_so))))
             omegas.append(omega)
     d = 2**n_so
     ham = ControlledHamiltonian.create(np.zeros((d, d)), Hs, dtype=dtype)

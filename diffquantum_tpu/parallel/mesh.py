@@ -138,9 +138,15 @@ def train_energy_seeds(
     else:
         def seed_energy(c, p):
             psi = evolve(ham, envelope, c, p, 0.0, T, horizon=T,
-                         n_steps=n_steps, backend=config.backend)
+                         n_steps=n_steps, backend=config.backend,
+                         precision=config.precision)
             if measurement.diag is not None:
                 return jnp.sum(cpx.abs2(psi) * measurement.diag, axis=-1)
+            if measurement.strings is not None:
+                return measurement.strings.expectation(psi)
+            if measurement.target is not None:
+                from ..measure import target_overlap_prob
+                return target_overlap_prob(measurement.target, psi)
             from ..measure import exact_expectation
             return exact_expectation(measurement.matrix, psi)
 
