@@ -189,7 +189,12 @@ def train_energy_seeds(
     # (compile cache hits across runs) while still amortizing the FIXED
     # ~29 ms per-dispatch cost of kernel-bearing executables on the remote
     # tunnel (docs/PERFORMANCE.md) to ~0.6 ms/epoch.
-    EPOCH_BLOCK = 50 if jax.default_backend() in ("tpu", "axon") else 10
+    if jax.default_backend() in ("tpu", "axon"):
+        # scale the block down when the batched state is huge — a 50-epoch
+        # block at 2^20 amplitudes crashed the TPU worker (train/energy.py)
+        EPOCH_BLOCK = 10 if n_seeds * ham.dim >= 2**21 else 50
+    else:
+        EPOCH_BLOCK = 10
 
     def epoch(carry, k):
         cs, oss = carry

@@ -220,8 +220,16 @@ def train_energy(
     # Block=50 on TPU: dispatching a kernel-bearing executable through the
     # remote tunnel costs a FIXED ~29 ms (docs/PERFORMANCE.md), so 50
     # epochs/dispatch bounds the leak at ~0.6 ms/epoch.
-    EPOCH_BLOCK = config.epoch_block if config.epoch_block is not None \
-        else (50 if jax.default_backend() in ("tpu", "axon") else 1)
+    if config.epoch_block is not None:
+        EPOCH_BLOCK = config.epoch_block
+    elif jax.default_backend() in ("tpu", "axon"):
+        # a 50-epoch block at 2^20 amplitudes crashed the TPU worker
+        # (resource exhaustion in the compiled mega-program; measured —
+        # block=10 runs fine at 20 qubits). Scale the block down for
+        # large states; the dispatch amortization loss is ~2 ms/epoch.
+        EPOCH_BLOCK = 10 if ham.dim >= 2**18 else 50
+    else:
+        EPOCH_BLOCK = 1
 
     def epoch_fn(carry, _):
         c, ost, k = carry
