@@ -214,7 +214,7 @@ def fused_eligible(ham: ControlledHamiltonian) -> bool:
 @functools.partial(
     jax.jit,
     static_argnames=("envelope", "horizon", "n_steps", "dt_bound",
-                     "precision"))
+                     "precision", "t_sample"))
 def evolve_product_fused(
     ham: ControlledHamiltonian,
     envelope,
@@ -226,6 +226,7 @@ def evolve_product_fused(
     n_steps: int,
     dt_bound=None,
     precision: str = "full",
+    t_sample: str = "left",
 ) -> CP:
     """Same math as :func:`evolve_product`, executed by the fused Pallas
     whole-evolution kernel (:mod:`..ops.fused_product`): the entire
@@ -247,8 +248,9 @@ def evolve_product_fused(
     (diag_idx, diag_rows, h0_diag, oneq_idx, oneq_qubits,
      oneq_locals) = split_structure(ham)
 
+    from .propagator import time_grid
     dt = (T - T0) / n_steps
-    ts = T0 + dt * jnp.arange(n_steps, dtype=jnp.result_type(float))
+    ts = time_grid(T0, dt, n_steps, t_sample)
     rdt = jnp.float32
     dtc = jnp.asarray(dt, rdt)
 
@@ -321,7 +323,8 @@ def evolve_product_fused(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("envelope", "horizon", "n_steps", "dt_bound"))
+    static_argnames=("envelope", "horizon", "n_steps", "dt_bound",
+                     "t_sample"))
 def evolve_product(
     ham: ControlledHamiltonian,
     envelope,
@@ -332,6 +335,7 @@ def evolve_product(
     horizon: float,
     n_steps: int,
     dt_bound: Optional[float] = None,
+    t_sample: str = "left",
 ) -> CP:
     """Strang-split evolution for diag + single-qubit structured H.
 
@@ -344,8 +348,9 @@ def evolve_product(
     (diag_idx, diag_rows, h0_diag, oneq_idx, oneq_qubits,
      oneq_locals) = split_structure(ham)
 
+    from .propagator import time_grid
     dt = (T - T0) / n_steps
-    ts = T0 + dt * jnp.arange(n_steps, dtype=jnp.result_type(float))
+    ts = time_grid(T0, dt, n_steps, t_sample)
     u = envelope.amplitudes(coeff, ts, horizon)  # [n_controls, n_steps]
     rdt = ham.dtype
 

@@ -48,6 +48,25 @@ def reference_n_steps(per_step: int, T0: float, T: float) -> int:
     return int(per_step * (abs(T - T0) + 1))
 
 
+def time_grid(T0, dt, n_steps: int, t_sample: str = "left"):
+    """Envelope sample times for the piecewise-constant grid.
+
+    'left' — the reference semantics (`sim_plain.py:134-150`,
+    `diffqc.cc:184-199`): u evaluated at the segment start; the evolution is
+    globally O(dt) accurate vs the true time-ordered dynamics
+    (tests/test_ode_oracle.py).
+    'mid' — u evaluated at the segment midpoint: the piecewise-constant
+    approximation becomes second order, matching the Strang split, so the
+    WHOLE evolution is O(dt^2) vs the true dynamics at identical cost."""
+    ts = T0 + dt * jnp.arange(n_steps, dtype=jnp.result_type(float))
+    if t_sample == "mid":
+        return ts + 0.5 * dt
+    if t_sample != "left":
+        raise ValueError(f"t_sample must be 'left' or 'mid', "
+                         f"got {t_sample!r}")
+    return ts
+
+
 def _amplitude_bound(envelope) -> tuple[float, ...]:
     """Static per-control max |u_k|. SimpleEnvelope is bounded by omegas;
     the channel model by the sum of |omega_c| over a control's channels."""
@@ -62,7 +81,7 @@ def _amplitude_bound(envelope) -> tuple[float, ...]:
 @functools.partial(
     jax.jit,
     static_argnames=("envelope", "horizon", "n_steps", "backend", "tol",
-                     "dt_bound", "precision"))
+                     "dt_bound", "precision", "t_sample"))
 def evolve(
     ham: ControlledHamiltonian,
     envelope,
@@ -76,6 +95,7 @@ def evolve(
     tol: float = 1e-7,
     dt_bound: Optional[float] = None,
     precision: str = "full",
+    t_sample: str = "left",
 ) -> CP:
     """Evolve ``psi0`` from ``T0`` to ``T`` under H(t) = H0 + sum u_k(t) H_k.
 
@@ -112,12 +132,13 @@ def evolve(
         from .product import evolve_product_fused
         return evolve_product_fused(ham, envelope, coeff, psi0, T0, T,
                                     horizon=horizon, n_steps=n_steps,
-                                    dt_bound=dt_bound, precision=precision)
+                                    dt_bound=dt_bound, precision=precision,
+                                    t_sample=t_sample)
     if backend == "product":
         from .product import evolve_product
         return evolve_product(ham, envelope, coeff, psi0, T0, T,
                               horizon=horizon, n_steps=n_steps,
-                              dt_bound=dt_bound)
+                              dt_bound=dt_bound, t_sample=t_sample)
     if ham.is_structured_only:
         raise ValueError(
             f"backend {backend!r} needs dense operators, but this "
@@ -125,7 +146,7 @@ def evolve(
             "use backend='product'/'product_fused' or build with dense=True")
 
     dt = (T - T0) / n_steps
-    ts = T0 + dt * jnp.arange(n_steps, dtype=jnp.result_type(float))
+    ts = time_grid(T0, dt, n_steps, t_sample)
     u = envelope.amplitudes(coeff, ts, horizon)  # [n_controls, n_steps]
 
     if dt_bound is None:

@@ -25,10 +25,11 @@ from ..ops import cpx
 from ..ops.cpx import CP
 
 
-@functools.partial(jax.jit, static_argnames=("envelope", "T", "n_steps", "backend", "precision"))
+@functools.partial(jax.jit, static_argnames=("envelope", "T", "n_steps", "backend", "precision", "t_sample"))
 def energy_and_grad(ham, envelope, m, coeff: jnp.ndarray,
                     psi0: CP, T: float, n_steps: int,
-                    backend: str = "auto", precision: str = "full"):
+                    backend: str = "auto", precision: str = "full",
+                    t_sample: str = "left"):
     """(<psi(T)|M|psi(T)>, d/dcoeff) by reverse-mode autodiff.
 
     ``m``: a CP dense operator, a real diagonal vector (matrix-free
@@ -38,7 +39,8 @@ def energy_and_grad(ham, envelope, m, coeff: jnp.ndarray,
 
     def loss(c):
         psi = evolve(ham, envelope, c, psi0, 0.0, T, horizon=T,
-                     n_steps=n_steps, backend=backend, precision=precision)
+                     n_steps=n_steps, backend=backend, precision=precision,
+                     t_sample=t_sample)
         if isinstance(m, CP):
             return exact_expectation(m, psi)
         if isinstance(m, jnp.ndarray) or hasattr(m, "shape"):
@@ -52,15 +54,17 @@ def energy_and_grad(ham, envelope, m, coeff: jnp.ndarray,
     return jax.value_and_grad(loss)(coeff)
 
 
-@functools.partial(jax.jit, static_argnames=("envelope", "T", "n_steps", "backend", "precision"))
+@functools.partial(jax.jit, static_argnames=("envelope", "T", "n_steps", "backend", "precision", "t_sample"))
 def fidelity_and_grad(ham, envelope, target: CP, coeff: jnp.ndarray,
                       psi0: CP, T: float, n_steps: int,
-                      backend: str = "auto", precision: str = "full"):
+                      backend: str = "auto", precision: str = "full",
+                      t_sample: str = "left"):
     """(1 - |<target|psi(T)>|^2, d/dcoeff) by reverse-mode autodiff."""
 
     def loss(c):
         psi = evolve(ham, envelope, c, psi0, 0.0, T, horizon=T,
-                     n_steps=n_steps, backend=backend, precision=precision)
+                     n_steps=n_steps, backend=backend, precision=precision,
+                     t_sample=t_sample)
         ov = cpx.vdot(target, psi)
         return 1.0 - (ov.re * ov.re + ov.im * ov.im)
 

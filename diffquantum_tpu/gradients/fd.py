@@ -29,7 +29,7 @@ from ..measure import (Measurement, exact_expectation, measurement_noise,
 @functools.partial(
     jax.jit,
     static_argnames=("envelope", "T", "n_steps", "backend", "delta",
-                     "sampling", "noisy", "per_pauli", "precision"))
+                     "sampling", "noisy", "per_pauli", "precision", "t_sample"))
 def fd_energy_grad(
     ham,
     envelope,
@@ -45,6 +45,7 @@ def fd_energy_grad(
     noisy: bool = False,
     per_pauli: int = 100,
     precision: str = "full",
+    t_sample: str = "left",
 ) -> jnp.ndarray:
     """Central-difference gradient over all coefficients, one vmapped batch."""
     shape = coeff.shape
@@ -59,7 +60,7 @@ def fd_energy_grad(
 
     def one_sim(c, k):
         psi = evolve(ham, envelope, c, psi0, 0.0, T, horizon=T, precision=precision,
-                     n_steps=n_steps, backend=backend)
+                     n_steps=n_steps, backend=backend, t_sample=t_sample)
         if sampling:
             from ..measure import DiagonalTermSet, stochastic_measure_diag
             k1, k2 = jax.random.split(k)

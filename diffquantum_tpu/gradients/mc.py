@@ -92,7 +92,7 @@ def envelope_jacobian(envelope, coeff: jnp.ndarray, s, T) -> jnp.ndarray:
     jax.jit,
     static_argnames=("envelope", "T", "n_steps", "backend", "r",
                      "coeff_sign", "chain", "sampling", "noisy", "per_pauli",
-                     "t_jacobian", "precision"))
+                     "t_jacobian", "precision", "t_sample"))
 def mc_energy_grad(
     ham,
     envelope,
@@ -112,6 +112,7 @@ def mc_energy_grad(
     t_jacobian: bool = False,
     s: jnp.ndarray | None = None,
     precision: str = "full",
+    t_sample: str = "left",
 ) -> jnp.ndarray:
     """One MC sample of the stochastic gradient (matches the reference's
     one-sample-per-step usage, `sim_plain.py:290`).
@@ -137,7 +138,8 @@ def mc_energy_grad(
 
     # --- evolve to the sampled split time ------------------------------
     phi = evolve(ham, envelope, coeff, psi0, 0.0, s, horizon=T, precision=precision,
-                 n_steps=n_steps, backend=backend, dt_bound=T / n_steps)
+                 n_steps=n_steps, backend=backend, dt_bound=T / n_steps,
+                 t_sample=t_sample)
 
     # --- matrix-free perturbation gates (CP real-pair algebra) ----------
     # H_k phi for all controls k: [n_Hs, d]
@@ -161,7 +163,8 @@ def mc_energy_grad(
 
     # --- one batched evolution s → T ------------------------------------
     kets = evolve(ham, envelope, coeff, branches, s, T, horizon=T, precision=precision,
-                  n_steps=n_steps, backend=backend, dt_bound=T / n_steps)
+                  n_steps=n_steps, backend=backend, dt_bound=T / n_steps,
+                  t_sample=t_sample)
 
     # --- measurement -----------------------------------------------------
     if sampling:

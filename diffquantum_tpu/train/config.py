@@ -33,6 +33,10 @@ class TrainConfig:
     # — new, TPU-native knobs —
     grad_mode: str = "adjoint"   # 'adjoint' | 'mc' | 'fd'
     backend: str = "auto"        # propagator backend
+    t_sample: str = "left"      # envelope grid sampling: 'left'
+                                 # (reference semantics, O(dt) vs true
+                                 # dynamics) | 'mid' (midpoint, O(dt^2) at
+                                 # identical cost; tests/test_ode_oracle)
     precision: str = "full"     # 'full' | 'fast': in-kernel matmul
                                  # precision of the fused TPU backend
                                  # ('fast' = single-pass bf16 MXU, ~25-40%

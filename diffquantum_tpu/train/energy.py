@@ -164,7 +164,8 @@ def train_energy(
     def measured_loss(c, k):
         psi = evolve(ham, envelope, c, psi0, 0.0, T, horizon=T,
                      n_steps=n_steps, backend=config.backend,
-                     precision=config.precision)
+                     precision=config.precision,
+                     t_sample=config.t_sample)
         m = dataclasses.replace(measurement, sampling=config.sampling_measure,
                                 noisy=config.is_noisy,
                                 per_pauli=config.per_pauli)
@@ -174,25 +175,29 @@ def train_energy(
         if mode == "adjoint":
             _, g = energy_and_grad(ham, envelope, measurement, c, psi0,
                                    T, n_steps, backend=config.backend,
-                                   precision=config.precision)
+                                   precision=config.precision,
+                                   t_sample=config.t_sample)
             return g
         if mode == "mc":
             if config.mc_samples == 1:
                 return mc_energy_grad(
                     ham, envelope, measurement, c, psi0, T, k, config.n_step,
                     backend=config.backend, chain=config.mc_chain,
-                    precision=config.precision, **meas_flags)
+                    precision=config.precision,
+                    t_sample=config.t_sample, **meas_flags)
             keys = jax.random.split(k, config.mc_samples)
             gs = jax.vmap(lambda kk: mc_energy_grad(
                 ham, envelope, measurement, c, psi0, T, kk, config.n_step,
                 backend=config.backend, chain=config.mc_chain,
-                precision=config.precision, **meas_flags))(keys)
+                precision=config.precision,
+                t_sample=config.t_sample, **meas_flags))(keys)
             return gs.mean(axis=0)
         if mode == "fd":
             return fd_energy_grad(
                 ham, envelope, measurement, c, psi0, T, k, config.n_step,
                 backend=config.backend, delta=config.fd_delta,
-                precision=config.precision, **meas_flags)
+                precision=config.precision,
+                t_sample=config.t_sample, **meas_flags)
         raise ValueError(f"unknown grad_mode {mode!r}")
 
     @jax.jit

@@ -88,7 +88,8 @@ def train_fidelity(
     def pair_loss(c, psi0, target, k):
         psi = evolve(ham, envelope, c, psi0, 0.0, T, horizon=T,
                      n_steps=n_steps, backend=config.backend,
-                     precision=config.precision)
+                     precision=config.precision,
+                     t_sample=config.t_sample)
         o = cpx.vdot(target, psi)
         ov = o.re * o.re + o.im * o.im
         if config.is_noisy:
@@ -101,7 +102,8 @@ def train_fidelity(
         if mode == "adjoint":
             _, g = fidelity_and_grad(ham, envelope, target, c, psi0, T,
                                      n_steps, backend=config.backend,
-                                     precision=config.precision)
+                                     precision=config.precision,
+                                     t_sample=config.t_sample)
             return g
         if mode == "mc":
             # matrix-free |t><t|: <psi|M|psi> = |<t|psi>|^2, one vdot per
@@ -112,6 +114,7 @@ def train_fidelity(
                 ham, envelope, m, c, psi0, T, k, config.n_step,
                 backend=config.backend, coeff_sign=-1.0,
                 precision=config.precision,
+                t_sample=config.t_sample,
                 chain=config.mc_chain, noisy=config.is_noisy)
         raise ValueError(f"grad_mode {mode!r} not supported for fidelity")
 

@@ -123,3 +123,30 @@ def test_fused_10q_within_sampling_error_of_ode():
     e_fused = _err(pf, ref)
     e_coarse = _err(coarse, ref)
     assert e_fused < e_coarse * 1.05 + 1e-4, (e_fused, e_coarse)
+
+
+def test_midpoint_sampling_is_second_order():
+    """t_sample='mid' upgrades the piecewise-constant envelope error from
+    O(dt) to O(dt^2) vs the TRUE dynamics — both for the dense expm chain
+    and the Strang product backend — at identical cost per step."""
+    prob, coeff = _demo_problem()
+    T = prob.T
+    ref = _ode_oracle(prob, coeff, T)
+
+    for backend in ("expm", "product"):
+        errs = {}
+        for t_sample in ("left", "mid"):
+            es = []
+            for n_steps in (100, 200, 400):
+                psi = evolve(prob.ham, prob.envelope, coeff, prob.psi0,
+                             0.0, T, horizon=T, n_steps=n_steps,
+                             backend=backend, t_sample=t_sample)
+                es.append(_err(psi, ref))
+            errs[t_sample] = es
+        # left: ~first order (ratio ~2); mid: ~second order (ratio ~4)
+        for a, b in zip(errs["left"], errs["left"][1:]):
+            assert 1.6 < a / b < 2.6, (backend, errs["left"])
+        for a, b in zip(errs["mid"], errs["mid"][1:]):
+            assert 3.2 < a / b < 4.8, (backend, errs["mid"])
+        # and mid is strictly (much) more accurate at equal n_steps
+        assert errs["mid"][-1] < errs["left"][-1] / 10, (backend, errs)
