@@ -86,23 +86,18 @@ class CollapseSet:
 
 # ---------------------------------------------------------------------------
 # standard single-qubit noise channels (embedded at site `qubit` of n)
-def _embed(local: np.ndarray, qubit: int, n: int) -> np.ndarray:
-    out = np.array([[1.0 + 0j]])
-    for q in range(n):
-        out = np.kron(out, local if q == qubit else np.eye(2))
-    return out
-
-
 def amplitude_damping(gamma: float, qubit: int, n: int) -> np.ndarray:
     """sqrt(gamma) |0><1| at `qubit` (T1 relaxation toward |0>)."""
+    from ..ops.linalg import op_on_qubits
     sm = np.array([[0.0, 1.0], [0.0, 0.0]])
-    return np.sqrt(gamma) * _embed(sm, qubit, n)
+    return np.sqrt(gamma) * op_on_qubits(sm, [qubit], n)
 
 
 def dephasing(gamma: float, qubit: int, n: int) -> np.ndarray:
     """sqrt(gamma/2) Z at `qubit` (pure dephasing, T2)."""
+    from ..ops.linalg import op_on_qubits
     z = np.diag([1.0, -1.0])
-    return np.sqrt(gamma / 2.0) * _embed(z, qubit, n)
+    return np.sqrt(gamma / 2.0) * op_on_qubits(z, [qubit], n)
 
 
 # ---------------------------------------------------------------------------
@@ -182,17 +177,49 @@ def evolve_lindblad(
 
 
 def expectation_rho(m, rho: CP) -> jnp.ndarray:
-    """tr(M rho): real diagonal vector m, CP dense m, or a Measurement."""
+    """tr(M rho): real diagonal vector m, CP dense m, or a Measurement
+    (diagonal / dense / Pauli-string / target forms all supported)."""
     if isinstance(m, CP):
         prod = cpx.matmul(m, rho)
         return jnp.trace(prod.re)
     if hasattr(m, "diag") and hasattr(m, "matrix"):   # Measurement
-        if m.diag is None:
-            return expectation_rho(m.matrix, rho)
-        return jnp.sum(jnp.asarray(m.diag, rho.re.dtype)
-                       * jnp.diagonal(rho.re), axis=-1)
+        if m.diag is not None:
+            return jnp.sum(jnp.asarray(m.diag, rho.re.dtype)
+                           * jnp.diagonal(rho.re), axis=-1)
+        if getattr(m, "strings", None) is not None:
+            return strings_expectation_rho(m.strings, rho)
+        if getattr(m, "target", None) is not None:
+            # tr(|t><t| rho) = <t| rho |t>
+            rt = cpx.matvec(rho, m.target)
+            o = cpx.vdot(m.target, rt)
+            return o.re
+        if m.matrix is None:
+            raise ValueError("Measurement has no operator form usable on a "
+                             "density matrix")
+        return expectation_rho(m.matrix, rho)
     return jnp.sum(jnp.asarray(m, rho.re.dtype) * jnp.diagonal(rho.re),
                    axis=-1)
+
+
+def strings_expectation_rho(strings, rho: CP) -> jnp.ndarray:
+    """sum_t w_t tr(P_t rho), matrix-free: tr(P rho) =
+    sum_k f(k xor m) rho[k xor m, k] with the signed-permutation form of
+    each string (P|l> = f(l)|l xor m>) — so open-system expectation of any
+    Pauli-sum cost (TFIM, molecules) needs one gather per term."""
+    from ..measure import _bit_parity
+    d = 2**strings.n_qubits
+    j = jnp.arange(d, dtype=jnp.int32)
+    total = 0.0
+    for t in range(strings.n_terms):
+        jp = j ^ jnp.int32(strings.flips[t])
+        s = (1.0 - 2.0 * _bit_parity(jp & jnp.int32(strings.yz_masks[t]))
+             ).astype(rho.re.dtype)
+        # rho[jp, j] gathered along rows
+        g_re = jnp.sum(s * rho.re[jp, j])
+        g_im = jnp.sum(s * rho.im[jp, j])
+        e = (g_re, -g_im, -g_re, g_im)[strings.n_ys[t] % 4]
+        total = total + strings.weights[t] * e
+    return total
 
 
 def density_from_trajectories(psis: CP) -> CP:

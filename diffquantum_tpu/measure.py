@@ -448,6 +448,19 @@ class Measurement:
             elif isinstance(self.terms, DiagonalTermSet):
                 val = stochastic_measure_diag(self.terms, psi, sub,
                                               self.per_pauli)
+            elif self.terms is None and self.diag is not None:
+                # diagonal observable with no explicit term table: sample it
+                # directly as ONE diagonal term (Born draws from |psi|^2,
+                # values read off the diagonal)
+                one = DiagonalTermSet(
+                    weights=jnp.ones((1,), self.diag.dtype),
+                    diags=self.diag[None, :])
+                val = stochastic_measure_diag(one, psi, sub, self.per_pauli)
+            elif self.terms is None:
+                raise ValueError(
+                    "sampling measurement needs a term decomposition: pass "
+                    "terms=/diag_terms= at construction (or use "
+                    "create_strings / create_target)")
             else:
                 val = stochastic_measure(self.terms, psi, sub, self.per_pauli)
         elif self.diag is not None:

@@ -399,22 +399,14 @@ def pauli_decompose_fast(H: np.ndarray, tol: float = 1e-10):
     Pauli string: tr(P H) = sum_k f(k xor m) H[k xor m, k] — O(d) per string
     instead of a dense d x d matmul (needed at 8+ qubits)."""
     import itertools
+
+    from ..measure import _parse_pauli_label
     n = int(round(np.log2(H.shape[0])))
     d = 2**n
     ks = np.arange(d)
     terms = []
     for labels in itertools.product("IXYZ", repeat=n):
-        flip = yz = n_y = 0
-        for q, ch in enumerate(labels):
-            bit = 1 << (n - 1 - q)
-            if ch == "X":
-                flip |= bit
-            elif ch == "Y":
-                flip |= bit
-                yz |= bit
-                n_y += 1
-            elif ch == "Z":
-                yz |= bit
+        flip, yz, n_y = _parse_pauli_label("".join(labels))
         kp = ks ^ flip
         par = np.bitwise_count(kp & yz) & 1 if hasattr(np, "bitwise_count") \
             else np.array([bin(x & yz).count("1") & 1 for x in kp])
@@ -440,13 +432,29 @@ def sector_ground_energy(H: np.ndarray, n_elec: int) -> float:
 
 
 def number_penalty_terms(n_so: int, n_elec: int, lam: float):
-    """lam (N_hat - n_elec)^2 as Pauli strings (diagonal: I/Z only).
-    N_hat = sum_q (1 - Z_q)/2. Added to the cost so pulse drives that do
-    not conserve particle number (X/Y) cannot escape the physical sector."""
-    diag = np.zeros(2**n_so)
-    for j in range(2**n_so):
-        diag[j] = lam * (bin(j).count("1") - n_elec) ** 2
-    return pauli_decompose_fast(np.diag(diag))
+    """lam (N_hat - n_elec)^2 as Pauli strings (I/Z only), closed form.
+    N_hat = sum_q (1 - Z_q)/2; with S = N_hat - n_elec and a_q^2 = a_q,
+
+        S^2 = [m/2 + m(m-1)/4 - n m + n^2] I
+              + (n - m/2) sum_q Z_q + 1/4 sum_{q<r} 2 Z_q Z_r
+
+    (m = n_so, n = n_elec) — O(m^2) terms built in microseconds (the
+    brute-force 4^m decomposition would take hours at m = 12). Added to the
+    cost so pulse drives that do not conserve particle number (X/Y) cannot
+    escape the physical sector."""
+    m, n = n_so, n_elec
+
+    def lbl(sites):
+        return "".join("Z" if q in sites else "I" for q in range(m))
+
+    terms = [("I" * m,
+              lam * (m / 2.0 + m * (m - 1) / 4.0 - n * m + n * n))]
+    wz = lam * (n - m / 2.0)
+    if wz != 0.0:
+        terms += [(lbl({q}), wz) for q in range(m)]
+    terms += [(lbl({q, r}), lam * 0.5)
+              for q in range(m) for r in range(q + 1, m)]
+    return terms
 
 
 def build_hydrogen_cluster(coords_angstrom, charge: int = 0,

@@ -90,8 +90,15 @@ def train_fidelity(
                      n_steps=n_steps, backend=config.backend,
                      precision=config.precision,
                      t_sample=config.t_sample)
-        o = cpx.vdot(target, psi)
-        ov = o.re * o.re + o.im * o.im
+        if config.sampling_measure:
+            # finite-shot projector measurement (Bernoulli trials on
+            # |<t|psi>|^2) — the fidelity analog of sampled energy loss
+            from ..measure import sampled_target_prob
+            k, k_shot = jax.random.split(k)
+            ov = sampled_target_prob(target, psi, k_shot, config.per_pauli)
+        else:
+            o = cpx.vdot(target, psi)
+            ov = o.re * o.re + o.im * o.im
         if config.is_noisy:
             from ..measure import measurement_noise
             # reference adds noise to the inner product, sim_plain.py:452-454
@@ -115,7 +122,9 @@ def train_fidelity(
                 backend=config.backend, coeff_sign=-1.0,
                 precision=config.precision,
                 t_sample=config.t_sample,
-                chain=config.mc_chain, noisy=config.is_noisy)
+                chain=config.mc_chain, noisy=config.is_noisy,
+                sampling=config.sampling_measure,
+                per_pauli=config.per_pauli)
         raise ValueError(f"grad_mode {mode!r} not supported for fidelity")
 
     @jax.jit
@@ -211,7 +220,8 @@ def train_fidelity(
     # final states for all pairs
     finals = jax.vmap(lambda p: evolve(
         ham, envelope, coeff, p, 0.0, T, horizon=T, n_steps=n_steps,
-        backend=config.backend))(initial_states)
+        backend=config.backend, precision=config.precision,
+        t_sample=config.t_sample))(initial_states)
     return TrainResult(coeff=coeff, losses_energy=losses, losses_raw=losses,
                        final_state=finals, wall_s=time.time() - t0,
                        grad_mode=mode)

@@ -42,12 +42,14 @@ from .energy import TrainResult, l2_grad, make_optimizer
 
 
 def gate_infidelity(ham, envelope, coeff, gate_dag: CP, psi0_cols: CP,
-                    T: float, n_steps: int, backend: str = "auto"):
+                    T: float, n_steps: int, backend: str = "auto",
+                    precision: str = "full", t_sample: str = "left"):
     """1 - |Tr(G^dag U(T))|^2 / d^2 with U(T) applied column-by-column as a
     batched evolution (no dense U is ever formed)."""
     d = psi0_cols.shape[-1]
     psi = evolve(ham, envelope, coeff, psi0_cols, 0.0, T, horizon=T,
-                 n_steps=n_steps, backend=backend)
+                 n_steps=n_steps, backend=backend, precision=precision,
+                 t_sample=t_sample)
     # row i of gate_dag is <G e_i|; overlap_i = (G^dag psi_i)_i = row_i . psi_i
     o_re = jnp.sum(gate_dag.re * psi.re - gate_dag.im * psi.im, axis=-1)
     o_im = jnp.sum(gate_dag.re * psi.im + gate_dag.im * psi.re, axis=-1)
@@ -66,8 +68,9 @@ def train_gate(
 ) -> TrainResult:
     """Optimize spectral coefficients so the evolution implements ``gate``
     up to a global phase. Returns losses = per-epoch coherent infidelity;
-    ``final_state`` holds the realized U(T) columns (CP [d, d], column i =
-    U|i>)."""
+    ``final_state`` holds the realized evolution as row-stacked kets (CP
+    [d, d], ROW i = U|i>, i.e. final_state = U^T; transpose to get U —
+    see demos/demo_control.py::run_gate)."""
     if config.grad_mode != "adjoint":
         raise ValueError("train_gate is adjoint-only (the coherent trace is "
                          "not a per-state observable); use train_fidelity "
@@ -98,7 +101,9 @@ def train_gate(
 
     loss_fn = functools.partial(gate_infidelity, ham, envelope,
                                 gate_dag=gate_dag, psi0_cols=psi0_cols,
-                                T=T, n_steps=n_steps, backend=backend)
+                                T=T, n_steps=n_steps, backend=backend,
+                                precision=config.precision,
+                                t_sample=config.t_sample)
 
     def epoch_fn(carry, _):
         c, ost = carry
@@ -131,7 +136,8 @@ def train_gate(
     coeff, opt_state = carry
 
     finals = evolve(ham, envelope, coeff, psi0_cols, 0.0, T, horizon=T,
-                    n_steps=n_steps, backend=backend)
+                    n_steps=n_steps, backend=backend,
+                    precision=config.precision, t_sample=config.t_sample)
     return TrainResult(coeff=coeff, losses_energy=losses, losses_raw=losses,
                        final_state=finals, wall_s=time.time() - t0,
                        grad_mode="adjoint")

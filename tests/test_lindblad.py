@@ -264,3 +264,26 @@ def test_structured_mcwf_large_n_smoke():
     e = np.asarray(jnp.mean(jnp.sum(cpx.abs2(psis)
                                     * prob.measurement.diag, axis=-1)))
     assert np.isfinite(e)
+
+
+def test_expectation_rho_strings_and_target():
+    """tr(M rho) for Pauli-string and target Measurement forms, vs dense."""
+    from diffquantum_tpu.dynamics.lindblad import expectation_rho
+    from diffquantum_tpu.measure import Measurement
+    rng = np.random.default_rng(0)
+    a = rng.standard_normal((4, 4)) + 1j * rng.standard_normal((4, 4))
+    rho_c = a @ a.conj().T
+    rho_c /= np.trace(rho_c)
+    rho = cpx.from_complex(rho_c, F64)
+
+    terms = [("ZZ", -1.0), ("XI", 0.7), ("IY", -0.3), ("XY", 0.2)]
+    m = sum(w * linalg.pauli_string(l) for l, w in terms)
+    ms = Measurement.create_strings(terms, dtype=F64)
+    np.testing.assert_allclose(float(expectation_rho(ms, rho)),
+                               np.real(np.trace(m @ rho_c)), atol=1e-12)
+
+    t = rng.standard_normal(4) + 1j * rng.standard_normal(4)
+    t /= np.linalg.norm(t)
+    mt = Measurement.create_target(t, dtype=F64)
+    np.testing.assert_allclose(float(expectation_rho(mt, rho)),
+                               np.real(t.conj() @ rho_c @ t), atol=1e-12)

@@ -58,3 +58,16 @@ def test_measurement_object_paths():
                                sampling=True, noisy=True)
     v = noisy.expectation(psi, key=jax.random.PRNGKey(3))
     assert np.isfinite(float(v))
+
+
+def test_sampling_diag_without_terms_falls_back():
+    """Measurement.create_diagonal(..., sampling=True) with no diag_terms
+    must sample the diagonal directly (one implicit term), not crash."""
+    import jax
+    from diffquantum_tpu.measure import Measurement
+    diag = np.array([0.0, 1.0, 2.0, 3.0])
+    m = Measurement.create_diagonal(diag, dtype=jnp.float64, sampling=True,
+                                    per_pauli=20000)
+    psi = cpx.from_complex(np.array([0.5, 0.5, 0.5, 0.5]), jnp.float64)
+    val = float(m.expectation(psi, key=jax.random.PRNGKey(0)))
+    assert abs(val - 1.5) < 0.05, val
