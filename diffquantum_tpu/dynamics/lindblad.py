@@ -123,7 +123,7 @@ def lindblad_norm_bound(ham: ControlledHamiltonian, envelope,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("envelope", "horizon", "n_steps", "tol"))
+    static_argnames=("envelope", "horizon", "n_steps", "tol", "t_sample"))
 def evolve_lindblad(
     ham: ControlledHamiltonian,
     envelope,
@@ -135,6 +135,7 @@ def evolve_lindblad(
     horizon: float,
     n_steps: int,
     tol: float = 1e-7,
+    t_sample: str = "left",
 ) -> CP:
     """rho(T) by per-step ``exp(dt L)`` (truncated-Taylor applications of the
     matrix-free Lindbladian, statically substepped). Differentiable w.r.t.
@@ -144,8 +145,9 @@ def evolve_lindblad(
         raise ValueError("evolve_lindblad needs dense operators (the "
                          "dissipator is a dense superoperator contraction); "
                          "build the problem with dense matrices")
+    from .propagator import time_grid
     dt = (T - T0) / n_steps
-    ts = T0 + dt * jnp.arange(n_steps, dtype=jnp.result_type(float))
+    ts = time_grid(T0, dt, n_steps, t_sample)
     u = envelope.amplitudes(coeff, ts, horizon)   # [n_controls, n_steps]
 
     a_bound = (float(horizon) / n_steps) * lindblad_norm_bound(
@@ -281,7 +283,8 @@ class StructuredNoise:
 
 @functools.partial(
     jax.jit,
-    static_argnames=("envelope", "horizon", "n_steps", "n_traj"))
+    static_argnames=("envelope", "horizon", "n_steps", "n_traj",
+                     "t_sample"))
 def evolve_mcwf_structured(
     ham,                         # structured ControlledHamiltonian
     envelope,
@@ -294,6 +297,7 @@ def evolve_mcwf_structured(
     n_steps: int,
     key,
     n_traj: int,
+    t_sample: str = "left",
 ) -> CP:
     """Quantum-jump trajectories on the product-formula engine — the
     scalable open-system path (the dense :func:`evolve_mcwf` caps out with
@@ -313,8 +317,9 @@ def evolve_mcwf_structured(
     if noise.n_qubits != n:
         raise ValueError("noise qubit count mismatch")
 
+    from .propagator import time_grid
     dt = (T - T0) / n_steps
-    ts = T0 + dt * jnp.arange(n_steps, dtype=jnp.result_type(float))
+    ts = time_grid(T0, dt, n_steps, t_sample)
     u = envelope.amplitudes(coeff, ts, horizon)
     rdt = ham.dtype
 
@@ -417,7 +422,8 @@ def evolve_mcwf_structured(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("envelope", "horizon", "n_steps", "n_traj", "tol"))
+    static_argnames=("envelope", "horizon", "n_steps", "n_traj", "tol",
+                     "t_sample"))
 def evolve_mcwf(
     ham: ControlledHamiltonian,
     envelope,
@@ -431,6 +437,7 @@ def evolve_mcwf(
     key,
     n_traj: int,
     tol: float = 1e-7,
+    t_sample: str = "left",
 ) -> CP:
     """CP [n_traj, d] of quantum-jump trajectory endpoints. The trajectory
     mean of <psi|M|psi> estimates tr(M rho(T)) to O(1/sqrt(n_traj)) +
@@ -438,8 +445,9 @@ def evolve_mcwf(
     the bias)."""
     if ham.is_structured_only:
         raise ValueError("evolve_mcwf needs dense operators")
+    from .propagator import time_grid
     dt = (T - T0) / n_steps
-    ts = T0 + dt * jnp.arange(n_steps, dtype=jnp.result_type(float))
+    ts = time_grid(T0, dt, n_steps, t_sample)
     u = envelope.amplitudes(coeff, ts, horizon)
 
     dt_bound = float(horizon) / n_steps
