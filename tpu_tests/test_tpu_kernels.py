@@ -178,3 +178,45 @@ def test_fast_precision_close_to_full_and_unitary():
         prob16.ham, prob16.envelope, cc, prob16.psi0, 0.0, prob16.T,
         horizon=prob16.T, n_steps=1000, precision="fast"))(c16)
     assert abs(float(cpx.norm2(psi)) - 1.0) < 5e-3
+
+
+def test_strings_measurement_and_tfim_on_chip():
+    """Matrix-free Pauli-string expectation (XOR gathers + parity signs)
+    on the real chip, cross-checked against the diagonal+1q decomposition
+    of the same observable applied by hand; then a short fused TFIM
+    training descent."""
+    from diffquantum_tpu.models import tfim
+    from diffquantum_tpu.train import TrainConfig, train_energy
+
+    prob = tfim.build_tfim(10, J=1.0, h=1.0, n_basis=4, dense=False)
+    rng = np.random.default_rng(0)
+    coeff = jnp.asarray(rng.standard_normal(
+        prob.envelope.coeff_shape).astype(np.float32) * 0.3)
+    psi = jax.jit(lambda c: evolve_product_fused(
+        prob.ham, prob.envelope, c, prob.psi0, 0.0, prob.T,
+        horizon=prob.T, n_steps=20))(coeff)
+    e_strings = float(prob.measurement.strings.expectation(psi))
+    # oracle: ZZ part from the diagonal + X part via 1q applications
+    from diffquantum_tpu.dynamics.product import apply_1q_operator
+    d = 2**10
+    zz = np.zeros(d)
+    for i in range(9):
+        zz += -1.0 * np.asarray(
+            __import__("diffquantum_tpu.ops.linalg",
+                       fromlist=["zz_diagonal"]).zz_diagonal(10, i, i + 1))
+    e_diag = float(jnp.sum(cpx.abs2(psi) * jnp.asarray(zz, jnp.float32)))
+    xr = jnp.asarray(np.array([[0., 1.], [1., 0.]]), jnp.float32)
+    xi = jnp.zeros((2, 2), jnp.float32)
+    e_x = 0.0
+    for q in range(10):
+        xp = apply_1q_operator(psi, q, 10, xr, xi)
+        e_x += -1.0 * float(jnp.sum(psi.re * xp.re + psi.im * xp.im))
+    np.testing.assert_allclose(e_strings, e_diag + e_x, rtol=2e-4,
+                               atol=2e-4)
+
+    cfg = TrainConfig(n_basis=4, n_epoch=60, lr=5e-2, grad_mode="adjoint",
+                      seed=0)
+    res = train_energy(prob.ham, prob.envelope, prob.measurement,
+                       prob.psi0, prob.T, cfg,
+                       lam_min=prob.exact_ground)
+    assert res.losses_energy[-1] < res.losses_energy[0] * 0.5
