@@ -399,3 +399,69 @@ def evolve_product(
 
     psi, _ = jax.lax.scan(step, psi0, (u_diag.T, u_oneq.T))
     return psi
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("envelope", "horizon", "n_steps", "t_sample"))
+def evolve_product_trajectory(
+    ham: ControlledHamiltonian,
+    envelope,
+    coeff: jnp.ndarray,
+    psi0: CP,
+    T0,
+    T,
+    horizon: float,
+    n_steps: int,
+    t_sample: str = "left",
+) -> CP:
+    """Like :func:`evolve_product` but returns the state at EVERY grid
+    point — CP [n_steps + 1, ..., d] including psi(T0), the mesolve
+    full-history semantics (`/root/reference/sim_plain.py:330`) at
+    product-formula scale (the dense :func:`..dynamics.propagator.
+    evolve_trajectory` needs dense operators). Memory: (n_steps+1) states
+    — at 16 qubits x 1000 steps that is ~0.5 GB f32; slice the segment if
+    that matters."""
+    n = ham.n_qubits
+    (diag_idx, diag_rows, h0_diag, oneq_idx, oneq_qubits,
+     oneq_locals) = split_structure(ham)
+    from .propagator import time_grid
+    dt = (T - T0) / n_steps
+    ts = time_grid(T0, dt, n_steps, t_sample)
+    u = envelope.amplitudes(coeff, ts, horizon)
+    rdt = ham.dtype
+
+    diag_table = jnp.asarray(np.stack(diag_rows), dtype=rdt) if diag_rows \
+        else jnp.zeros((0, ham.dim), dtype=rdt)
+    h0_vec = jnp.asarray(h0_diag, dtype=rdt)
+    u_diag = (u[jnp.asarray(diag_idx, jnp.int32)] if diag_idx else
+              jnp.zeros((0, n_steps), dtype=u.dtype)).astype(rdt)
+    u_oneq = (u[jnp.asarray(oneq_idx, jnp.int32)] if oneq_idx else
+              jnp.zeros((0, n_steps), dtype=u.dtype)).astype(rdt)
+    locals_re = [jnp.asarray(g.real, dtype=rdt) for g in oneq_locals]
+    locals_im = [jnp.asarray(g.imag, dtype=rdt) for g in oneq_locals]
+    psi0 = psi0.astype(rdt)
+    dt_c = jnp.asarray(dt, dtype=rdt)
+    palindromic = len(set(oneq_qubits)) < len(oneq_qubits)
+    m = len(oneq_qubits)
+    order = list(range(m)) + list(reversed(range(m))) if palindromic \
+        else list(range(m))
+    frac = 0.5 * dt_c if palindromic else dt_c
+
+    def step(psi, xs):
+        ud, uq = xs
+        theta_half = (0.5 * dt_c) * (h0_vec + jnp.matmul(
+            ud, diag_table, precision=_HP))
+        ph = _phase(theta_half)
+        psi = cpx.mul(CP(jnp.broadcast_to(ph.re, psi.re.shape),
+                         jnp.broadcast_to(ph.im, psi.im.shape)), psi)
+        for i in order:
+            psi = apply_1q_pauli_rot(psi, frac * uq[i], oneq_qubits[i], n,
+                                     locals_re[i], locals_im[i])
+        psi = cpx.mul(CP(jnp.broadcast_to(ph.re, psi.re.shape),
+                         jnp.broadcast_to(ph.im, psi.im.shape)), psi)
+        return psi, psi
+
+    _, traj = jax.lax.scan(step, psi0, (u_diag.T, u_oneq.T))
+    return CP(jnp.concatenate([psi0.re[None], traj.re], axis=0),
+              jnp.concatenate([psi0.im[None], traj.im], axis=0))
