@@ -278,6 +278,11 @@ def evolve_product_fused(
                                                diag_table, precision=_HP))
         theta_x = dtc * jnp.moveaxis(u_oneq, 2, 0)     # [T, B, n_x]
         kinds = tuple(_pauli_kind(g) for g in oneq_locals)
+        if any(k is None for k in kinds):
+            raise ValueError(
+                "fused backend supports Pauli X/Y 1q drives only (diagonal "
+                "locals fold into the phases); use backend='product' for "
+                "general involutory generators")
         oneq_qubits, kinds, theta_x = _symmetrize_rots(
             oneq_qubits, kinds, theta_x, axis=2)
 
@@ -314,6 +319,11 @@ def evolve_product_fused(
     theta_x = dtc * u_oneq.T  # [n_steps, n_x]
 
     kinds = tuple(_pauli_kind(g) for g in oneq_locals)
+    if any(k is None for k in kinds):
+        raise ValueError(
+            "fused backend supports Pauli X/Y 1q drives only (diagonal "
+            "locals fold into the phases); use backend='product' for "
+            "general involutory generators")
     oneq_qubits, kinds, theta_x = _symmetrize_rots(
         oneq_qubits, kinds, theta_x, axis=1)
     out = fused_product_evolve(psi0.astype(rdt), theta_half, theta_x,

@@ -576,10 +576,14 @@ def _make_backward_kernel_b(n_steps, row_rots, lane_rots, fast=False):
 
 
 def _pad_tx_b(theta_x: jnp.ndarray) -> jnp.ndarray:
-    """[n_steps, B, n_x] → [n_steps, n_x, B, 1, 128] f32, each angle
+    """[n_steps, B, n_x] → [n_steps, max(n_x,1), B, 1, 128] f32, each angle
     replicated along the lane axis so kernel reads are rank-3 blocks
-    (Mosaic's layout inference rejects rank-1 intermediates)."""
+    (Mosaic's layout inference rejects rank-1 intermediates). A zero-drive
+    problem (diag-only, n_x = 0) still pads one slot: the kernel BlockSpecs
+    index a size->=1 axis even though no rotation ever reads it."""
     n_steps, b, n_x = theta_x.shape
+    if n_x == 0:
+        return jnp.zeros((n_steps, 1, b, 1, _LANES), jnp.float32)
     t = jnp.moveaxis(theta_x.astype(jnp.float32), 2, 1)  # [T, n_x, B]
     return jnp.broadcast_to(t[:, :, :, None, None],
                             (n_steps, n_x, b, 1, _LANES))

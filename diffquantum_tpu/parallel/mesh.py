@@ -116,7 +116,8 @@ def train_energy_seeds(
             def local_energies(cs_l, psi_re_l, psi_im_l, diag_r):
                 psi = evolve_product_fused(
                     ham_f, envelope, cs_l, CP(psi_re_l, psi_im_l), 0.0, T,
-                    horizon=T, n_steps=n_steps, precision=config.precision)
+                    horizon=T, n_steps=n_steps, precision=config.precision,
+                    t_sample=config.t_sample)
                 return jnp.sum(cpx.abs2(psi) * diag_r, axis=-1)
 
             cspec = P(*((data_axis,) + (None,) * (coeffs.ndim - 1)))
@@ -133,13 +134,15 @@ def train_energy_seeds(
                 psi = evolve_product_fused(ham_f, envelope, cs, psi_batch,
                                            0.0, T, horizon=T,
                                            n_steps=n_steps,
-                                           precision=config.precision)
+                                           precision=config.precision,
+                                           t_sample=config.t_sample)
                 return jnp.sum(cpx.abs2(psi) * measurement.diag, axis=-1)
     else:
         def seed_energy(c, p):
             psi = evolve(ham, envelope, c, p, 0.0, T, horizon=T,
                          n_steps=n_steps, backend=config.backend,
-                         precision=config.precision)
+                         precision=config.precision,
+                         t_sample=config.t_sample)
             if measurement.diag is not None:
                 return jnp.sum(cpx.abs2(psi) * measurement.diag, axis=-1)
             if measurement.strings is not None:
@@ -157,13 +160,24 @@ def train_energy_seeds(
     if use_mc:
         from ..gradients.mc import mc_energy_grad
 
+        # under a mesh, 'auto' must not route to the fused Pallas kernel:
+        # a pallas_call is not auto-shardable by GSPMD (see the shard_map
+        # comment above), so the vmapped estimator would replicate instead
+        # of partitioning — use the XLA product path for structured hams
+        mc_backend = config.backend
+        if mesh is not None and config.backend == "auto" \
+                and ham.structure is not None:
+            mc_backend = "product"
+
         def seed_mc_grad(c, p, k):
             return mc_energy_grad(ham, envelope, measurement, c, p, T, k,
-                                  config.n_step, backend=config.backend,
+                                  config.n_step, backend=mc_backend,
                                   chain=config.mc_chain,
                                   sampling=config.sampling_measure,
                                   noisy=config.is_noisy,
-                                  per_pauli=config.per_pauli)
+                                  per_pauli=config.per_pauli,
+                                  precision=config.precision,
+                                  t_sample=config.t_sample)
 
     def one_step(cs, opt_state, key):
         # sum over seeds decouples: the gradient retains per-seed blocks,
@@ -190,9 +204,10 @@ def train_energy_seeds(
     # ~29 ms per-dispatch cost of kernel-bearing executables on the remote
     # tunnel (docs/PERFORMANCE.md) to ~0.6 ms/epoch.
     if jax.default_backend() in ("tpu", "axon"):
-        # scale the block down when the batched state is huge — a 50-epoch
-        # block at 2^20 amplitudes crashed the TPU worker (train/energy.py)
-        EPOCH_BLOCK = 10 if n_seeds * ham.dim >= 2**21 else 50
+        # scale the block down when the batched state reaches the size that
+        # crashed the TPU worker (2^20 amplitudes, train/energy.py); the
+        # known-good 64-seed x 12q = 2^18 config keeps the 50-epoch block
+        EPOCH_BLOCK = 10 if n_seeds * ham.dim >= 2**20 else 50
     else:
         EPOCH_BLOCK = 10
 

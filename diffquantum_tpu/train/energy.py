@@ -286,7 +286,7 @@ def train_energy(
     else:
         for epoch in range(start_epoch, config.n_epoch + 1):
             key, k_loss, k_grad = jax.random.split(key, 3)
-            loss, final_state = measured_loss(coeff, k_loss)
+            loss, _ = measured_loss(coeff, k_loss)
             grad = grad_fn(coeff, k_grad)
             coeff, opt_state = apply_update(coeff, grad, opt_state)
             gap = emit(epoch, loss)
@@ -294,6 +294,11 @@ def train_energy(
                 callback(epoch=epoch, coeff=coeff, loss=float(loss), gap=gap)
             if ckpt_every and epoch % ckpt_every == 0:
                 save_ckpt(epoch, coeff, opt_state, key)
+        if config.n_epoch >= start_epoch:
+            # state of the RETURNED coefficients (post-final-update) — same
+            # convention as the block path; the reference keeps the
+            # pre-update state (sim_plain.py:276), a documented divergence
+            _, final_state = measured_loss(coeff, jax.random.PRNGKey(0))
 
     return TrainResult(coeff=coeff, losses_energy=losses_gap,
                        losses_raw=losses_raw, final_state=final_state,

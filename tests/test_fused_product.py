@@ -180,3 +180,64 @@ def test_precision_knob_api():
         evolve_product_fused(prob.ham, prob.envelope, c, prob.psi0, 0.0,
                              prob.T, horizon=prob.T, n_steps=10,
                              precision="bogus")
+
+
+def test_batched_fused_diag_only_problem():
+    """Zero 1q drives (diag-only structured ham): the batched kernel's
+    angle padding previously produced a size-0 block axis and crashed with
+    a BlockSpec shape error."""
+    from diffquantum_tpu.dynamics.hamiltonian import (ControlledHamiltonian,
+                                                      TermStructure)
+    from diffquantum_tpu.dynamics.product import (evolve_product,
+                                                  evolve_product_fused)
+    from diffquantum_tpu.ops import linalg
+    n, d, b = 10, 1024, 4
+    structure = tuple(TermStructure(kind="diag",
+                                    diag=linalg.zz_diagonal(n, i, i + 1))
+                      for i in range(n - 1))
+    ham = ControlledHamiltonian.create_structured(
+        d, structure, h0_structure=TermStructure(kind="diag",
+                                                 diag=np.zeros(d)),
+        dtype=jnp.float32)
+    from diffquantum_tpu.pulses.envelope import SimpleEnvelope
+    env = SimpleEnvelope(basis="bspline", n_basis=4,
+                         omegas=(np.pi,) * (n - 1))
+    rng = np.random.default_rng(0)
+    coeff = jnp.asarray(rng.standard_normal((n - 1, 4)).astype(np.float32)
+                        * 0.3)
+    psi1 = cpx.from_complex(linalg.uniform_superposition(n), jnp.float32)
+    psi_b = cpx.CP(jnp.broadcast_to(psi1.re, (b, d)),
+                   jnp.broadcast_to(psi1.im, (b, d)))
+    out = evolve_product_fused(ham, env, coeff, psi_b, 0.0, 2.0,
+                               horizon=2.0, n_steps=8)
+    ref = evolve_product(ham, env, coeff, psi1, 0.0, 2.0, horizon=2.0,
+                         n_steps=8)
+    for i in range(b):
+        np.testing.assert_allclose(np.asarray(out.re[i]),
+                                   np.asarray(ref.re), atol=1e-6)
+        np.testing.assert_allclose(np.asarray(out.im[i]),
+                                   np.asarray(ref.im), atol=1e-6)
+
+
+def test_fused_rejects_non_pauli_kind():
+    """Forcing backend='product_fused' with a non-X/Y involutory 1q
+    generator must raise, not silently apply the wrong rotation."""
+    import pytest
+    from diffquantum_tpu.dynamics.hamiltonian import (ControlledHamiltonian,
+                                                      TermStructure)
+    from diffquantum_tpu.dynamics.product import evolve_product_fused
+    from diffquantum_tpu.ops import linalg
+    from diffquantum_tpu.pulses.envelope import SimpleEnvelope
+    n, d = 10, 1024
+    g = (np.array([[0, 1], [1, 0]]) + np.diag([1., -1.])) / np.sqrt(2)
+    structure = (TermStructure(kind="1q", qubit=0, local=g),)
+    ham = ControlledHamiltonian.create_structured(
+        d, structure, h0_structure=TermStructure(kind="diag",
+                                                 diag=np.zeros(d)),
+        dtype=jnp.float32)
+    env = SimpleEnvelope(basis="bspline", n_basis=4, omegas=(np.pi,))
+    coeff = jnp.zeros((1, 4), jnp.float32)
+    psi = cpx.from_complex(linalg.uniform_superposition(n), jnp.float32)
+    with pytest.raises(ValueError, match="Pauli X/Y"):
+        evolve_product_fused(ham, env, coeff, psi, 0.0, 1.0, horizon=1.0,
+                             n_steps=4)
