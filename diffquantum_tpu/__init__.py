@@ -22,8 +22,9 @@ from .pulses.basis import basis_matrix
 from .pulses.envelope import Channel, ChannelEnvelope, SimpleEnvelope
 from .dynamics.hamiltonian import (ControlledHamiltonian, TermStructure,
                                    classify_operator, detect_structure)
-from .dynamics.propagator import (evolve, evolve_trajectory,
-                                  reference_n_steps, trotter)
+from .dynamics.propagator import (calibrate_n_steps, evolve,
+                                  evolve_trajectory, reference_n_steps,
+                                  step_doubling_error, trotter)
 from .dynamics.product import evolve_product, evolve_product_fused
 from .measure import DiagonalTermSet, Measurement, PauliTermSet
 from . import models, parallel, train, utils  # noqa: F401 (convenience)
@@ -37,5 +38,6 @@ __all__ = [
     "ControlledHamiltonian", "TermStructure",
     "classify_operator", "detect_structure",
     "evolve", "trotter", "reference_n_steps",
+    "step_doubling_error", "calibrate_n_steps",
     "Measurement", "PauliTermSet",
 ]

@@ -243,6 +243,44 @@ def evolve_trajectory(
               jnp.concatenate([psi0.im[None], traj.im], axis=0))
 
 
+def step_doubling_error(ham, envelope, coeff, psi0: CP, T: float,
+                        n_steps: int, backend: str = "auto",
+                        t_sample: str = "left", **kw) -> float:
+    """Richardson-style a-posteriori error estimate for the trotter grid:
+    ``|| psi(n_steps) - psi(2 n_steps) ||``. For a method of global order p
+    this underestimates the true error by the factor (1 - 2^{-p}) — i.e.
+    within 2x of it — with NO oracle required (validated against the
+    adaptive-ODE oracle in tests/test_ode_oracle.py)."""
+    import numpy as _np
+    a = evolve(ham, envelope, coeff, psi0, 0.0, T, horizon=float(T),
+               n_steps=n_steps, backend=backend, t_sample=t_sample, **kw)
+    b = evolve(ham, envelope, coeff, psi0, 0.0, T, horizon=float(T),
+               n_steps=2 * n_steps, backend=backend, t_sample=t_sample, **kw)
+    d2 = _np.asarray(cpx.norm2(CP(a.re - b.re, a.im - b.im)))
+    return float(_np.sqrt(_np.max(d2)))
+
+
+def calibrate_n_steps(ham, envelope, coeff, psi0: CP, T: float,
+                      tol: float = 1e-4, n_start: int = 10,
+                      n_max: int = 100_000, backend: str = "auto",
+                      t_sample: str = "left", **kw) -> int:
+    """Smallest power-of-two refinement of ``n_start`` whose step-doubling
+    error estimate is below ``tol``. Host loop (each probe is one jitted
+    evolution pair); the reference exposes only the blind ``per_step`` knob
+    (`/root/reference/sim_plain.py:123`) with no way to know the
+    discretization error."""
+    n = n_start
+    while n <= n_max:
+        if step_doubling_error(ham, envelope, coeff, psi0, T, n,
+                               backend=backend, t_sample=t_sample,
+                               **kw) < tol:
+            return n
+        n *= 2
+    raise ValueError(f"tol={tol} not reached by n_steps={n_max}; "
+                     "consider t_sample='mid' (second order) or a looser "
+                     "tolerance")
+
+
 def trotter(ham: ControlledHamiltonian, envelope, coeff, psi0: CP, T0: float,
             T: float, horizon: Optional[float] = None, per_step: int = 10,
             **kw) -> CP:

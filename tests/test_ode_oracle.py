@@ -150,3 +150,34 @@ def test_midpoint_sampling_is_second_order():
             assert 3.2 < a / b < 4.8, (backend, errs["mid"])
         # and mid is strictly (much) more accurate at equal n_steps
         assert errs["mid"][-1] < errs["left"][-1] / 10, (backend, errs)
+
+
+def test_step_doubling_error_tracks_true_error():
+    """The oracle-free step-doubling estimate must sit within ~2x of the
+    true (adaptive-ODE) error, for both grid orders; calibrate_n_steps
+    returns a grid that actually meets the tolerance."""
+    from diffquantum_tpu.dynamics.propagator import (calibrate_n_steps,
+                                                     step_doubling_error)
+    prob, coeff = _demo_problem()
+    T = prob.T
+    ref = _ode_oracle(prob, coeff, T)
+
+    for t_sample, p in (("left", 1), ("mid", 2)):
+        for n_steps in (100, 200):
+            est = step_doubling_error(prob.ham, prob.envelope, coeff,
+                                      prob.psi0, T, n_steps,
+                                      backend="expm", t_sample=t_sample)
+            psi = evolve(prob.ham, prob.envelope, coeff, prob.psi0, 0.0, T,
+                         horizon=T, n_steps=n_steps, backend="expm",
+                         t_sample=t_sample)
+            true = _err(psi, ref)
+            # est ~ (1 - 2^-p) * true, modulo the next-order tail
+            assert 0.25 * true < est < 1.5 * true, (t_sample, n_steps,
+                                                    est, true)
+
+    n = calibrate_n_steps(prob.ham, prob.envelope, coeff, prob.psi0, T,
+                          tol=1e-4, n_start=25, backend="expm",
+                          t_sample="mid")
+    psi = evolve(prob.ham, prob.envelope, coeff, prob.psi0, 0.0, T,
+                 horizon=T, n_steps=n, backend="expm", t_sample="mid")
+    assert _err(psi, ref) < 2.5e-4, (n, _err(psi, ref))
