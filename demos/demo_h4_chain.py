@@ -1,0 +1,57 @@
+"""H4 chain pulse VQE — the classic strong-correlation benchmark.
+
+Four hydrogens in a line (8 spin orbitals = 8 qubits after Jordan-Wigner in
+the RHF-MO basis). H4 is the standard stress test where mean-field breaks
+down badly; ab initio from STO-3G integrals + RHF SCF, with the
+sector-projected FCI energy as ground truth (models/molecule.py).
+
+Measured on one TPU v5e chip (seed fleet, T=5, n_basis=8, 2000 epochs,
+midpoint sampling): best-of-16 lands ~15 mHa above FCI — 73% of the
+56 mHa correlation energy recovered, 41 mHa below RHF.
+
+Usage: python demos/demo_h4_chain.py [--r 0.9] [--epochs 2000] [--seeds 16]
+"""
+import argparse
+import sys
+
+sys.path.insert(0, ".")
+
+from diffquantum_tpu.models import molecule as mol  # noqa: E402
+from diffquantum_tpu.parallel.mesh import train_energy_seeds  # noqa: E402
+from diffquantum_tpu.train import TrainConfig  # noqa: E402
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--r", type=float, default=0.9, help="H-H spacing (A)")
+    p.add_argument("--epochs", type=int, default=2000)
+    p.add_argument("--seeds", type=int, default=16)
+    p.add_argument("--lr", type=float, default=5e-2)
+    p.add_argument("--T", type=float, default=5.0)
+    p.add_argument("--n-basis", type=int, default=8)
+    args = p.parse_args()
+
+    coords = [(0.0, 0.0, i * args.r) for i in range(4)]
+    prob = mol.build_hydrogen_cluster(coords, T=args.T,
+                                      n_basis=args.n_basis)
+    _, _, e_rhf = mol.cluster_electronic_hamiltonian(coords)
+    e_fci = prob.exact_ground_energy + prob.e_nuc
+    print(f"H4 chain, R = {args.r} A: {len(prob.terms)} Pauli terms, "
+          f"{prob.ham.n_controls} drives")
+    print(f"RHF: {e_rhf:.6f} Ha   FCI: {e_fci:.6f} Ha   "
+          f"(correlation {1000 * (e_rhf - e_fci):.1f} mHa)")
+
+    cfg = TrainConfig(n_basis=args.n_basis, n_epoch=args.epochs, lr=args.lr,
+                      grad_mode="adjoint", seed=0, lr_schedule="cosine",
+                      t_sample="mid")
+    res = train_energy_seeds(prob.ham, prob.envelope, prob.measurement,
+                             prob.psi0, prob.T, cfg, n_seeds=args.seeds)
+    e_vqe = float(res.best_loss) + prob.e_nuc
+    err = 1000 * (e_vqe - e_fci)
+    rec = 100 * (e_rhf - e_vqe) / (e_rhf - e_fci)
+    print(f"pulse VQE (best of {args.seeds}): {e_vqe:.6f} Ha — "
+          f"{err:.2f} mHa above FCI, {rec:.0f}% of correlation recovered")
+
+
+if __name__ == "__main__":
+    main()

@@ -143,3 +143,18 @@ def test_h3_plus_vqe_near_sector_ground():
     # near chemical accuracy (nearest-neighbor-only drives plateau
     # ~12 mHa above; best-of-8 x 400 epochs reaches 1.9 mHa)
     assert err < 8e-3, err
+
+
+def test_h4_chain_builder_and_correlation():
+    """H4 chain (8 qubits): builder produces a valid problem; FCI sits a
+    chemically sensible 40-70 mHa below RHF (the strong-correlation
+    regime the demo trains on — training itself is TPU-budget,
+    demos/demo_h4_chain.py)."""
+    coords = [(0.0, 0.0, 0.9 * i) for i in range(4)]
+    prob = mol.build_hydrogen_cluster(coords, T=5.0, n_basis=6)
+    _, _, e_rhf = mol.cluster_electronic_hamiltonian(coords)
+    e_fci = prob.exact_ground_energy + prob.e_nuc
+    corr = e_rhf - e_fci
+    assert 0.04 < corr < 0.07, corr
+    assert prob.ham.n_controls == 55  # 16 X/Y + 13 pairs x 3 kinds
+    assert prob.psi0.re[0b11110000] == 1.0  # RHF determinant
