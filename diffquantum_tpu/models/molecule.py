@@ -417,6 +417,127 @@ def pauli_decompose_fast(H: np.ndarray, tol: float = 1e-10):
     return terms
 
 
+# ---------------------------------------------------------------------------
+# symbolic Jordan-Wigner: Pauli terms straight from MO integrals — no dense
+# 2^n x 2^n ladder matrices, so molecules scale to 12+ spin orbitals (H6+)
+# ---------------------------------------------------------------------------
+
+def _string_mul(s1, s2):
+    """Product of symplectic Pauli reps (xmask, zmask, coeff):
+    (X^a Z^b)(X^c Z^d) = (-1)^{|b & c|} X^{a^c} Z^{b^d} per site."""
+    a, b, c1 = s1
+    c, d, c2 = s2
+    sign = -1.0 if (bin(b & c).count("1") & 1) else 1.0
+    return (a ^ c, b ^ d, c1 * c2 * sign)
+
+
+def _ladder_strings(p: int, n_so: int, dagger: bool):
+    """a_p (or a^dag_p) as two symplectic strings: Zchain X_p (I -/+ Z_p)/2
+    (qubit 0 = MSB, matching the dense ladder construction)."""
+    bit = 1 << (n_so - 1 - p)
+    chain = 0
+    for q in range(p):
+        chain |= 1 << (n_so - 1 - q)
+    s = 0.5 if dagger else -0.5
+    return [(bit, chain, 0.5), (bit, chain ^ bit, s)]
+
+
+def _accumulate(acc: dict, strings, weight):
+    for (x, z, c) in strings:
+        key = (x, z)
+        acc[key] = acc.get(key, 0.0 + 0.0j) + weight * c
+
+
+def _product(*lists):
+    out = [(0, 0, 1.0 + 0.0j)]
+    for lst in lists:
+        out = [_string_mul(s, t) for s in out for t in lst]
+    return out
+
+
+def jw_pauli_terms(h_mo: np.ndarray, g_mo: np.ndarray, tol: float = 1e-10):
+    """(label, weight) Pauli terms of the second-quantized Hamiltonian by
+    SYMBOLIC Jordan-Wigner (mask algebra, no 2^n matrices): O(n_so^4)
+    string products. Matches the dense-ladder + trace-decomposition path
+    exactly (tests/test_molecule.py) and is the only feasible route at
+    12+ spin orbitals."""
+    n_mo = h_mo.shape[0]
+    n_so = 2 * n_mo
+    acc: dict = {}
+    lad = {(p, dg): _ladder_strings(p, n_so, dg)
+           for p in range(n_so) for dg in (False, True)}
+    for p in range(n_so):
+        for q in range(n_so):
+            if p % 2 != q % 2:
+                continue
+            w = h_mo[p // 2, q // 2]
+            if abs(w) > 1e-14:
+                _accumulate(acc, _product(lad[(p, True)], lad[(q, False)]),
+                            w)
+    for p in range(n_so):
+        for q in range(n_so):
+            if p == q:
+                continue
+            for r in range(n_so):
+                if p % 2 != r % 2:
+                    continue
+                for s in range(n_so):
+                    if q % 2 != s % 2 or s == r:
+                        continue
+                    v = g_mo[p // 2, r // 2, q // 2, s // 2]
+                    if abs(v) < 1e-14:
+                        continue
+                    _accumulate(
+                        acc,
+                        _product(lad[(p, True)], lad[(q, True)],
+                                 lad[(s, False)], lad[(r, False)]),
+                        0.5 * v)
+
+    terms = []
+    for (x, z), c in acc.items():
+        if abs(c) < tol:
+            continue
+        label = []
+        n_y = 0
+        for qb in range(n_so):
+            bit = 1 << (n_so - 1 - qb)
+            xb, zb = bool(x & bit), bool(z & bit)
+            if xb and zb:
+                label.append("Y")
+                n_y += 1
+            elif xb:
+                label.append("X")
+            elif zb:
+                label.append("Z")
+            else:
+                label.append("I")
+        w = c * (-1j) ** n_y   # XZ = -i Y per Y site
+        if abs(w.imag) > 1e-9:
+            raise ValueError(f"non-Hermitian accumulation at {label}: {w}")
+        terms.append(("".join(label), float(w.real)))
+    return terms
+
+
+def sector_fci_from_strings(terms, n_so: int, n_elec: int) -> float:
+    """FCI ground energy in the n_elec sector using only the Pauli strings:
+    project H onto the C(n_so, n_elec) determinant basis by batched
+    matrix-free string application — no 2^n x 2^n matrix, so this is the
+    oracle that still works at 12+ spin orbitals."""
+    from ..measure import PauliStringSet
+    d = 2**n_so
+    idx = np.array([j for j in range(d)
+                    if bin(j).count("1") == n_elec])
+    m = len(idx)
+    basis = np.zeros((m, d))
+    basis[np.arange(m), idx] = 1.0
+    ps = PauliStringSet.create(terms, dtype=jnp.float64)
+    out = ps.apply(cpx.CP(jnp.asarray(basis), jnp.zeros_like(basis)))
+    h_re = np.asarray(out.re)[:, idx]           # [m(j), m(i)] = <i|H|j>
+    h_im = np.asarray(out.im)[:, idx]
+    h_sector = (h_re + 1j * h_im).T
+    return float(np.linalg.eigvalsh(h_sector)[0])
+
+
 def sector_ground_energy(H: np.ndarray, n_elec: int) -> float:
     """Ground energy restricted to the ``n_elec`` particle-number sector.
     The Fock-space Hamiltonian contains every sector, and for clusters the
@@ -462,17 +583,45 @@ def build_hydrogen_cluster(coords_angstrom, charge: int = 0,
                            T: float = 2.0, omega: float = np.pi,
                            dtype=jnp.float32, sampling: bool = False,
                            noisy: bool = False,
-                           number_penalty: float = 2.0) -> MoleculeProblem:
+                           number_penalty: float = 2.0,
+                           compute_exact: bool = True) -> MoleculeProblem:
     """Pulse-level VQE for an arbitrary hydrogen cluster (2 qubits per
     atom, JW in the RHF-MO basis). Initial state: the RHF determinant
     (lowest n_elec spin orbitals occupied). The measured cost is
     ``H_elec + number_penalty (N_hat - n_elec)^2`` (penalty vanishes on the
     physical sector); ``exact_ground_energy`` is the sector-projected FCI
-    value the training gap is reported against."""
-    H, e_nuc, _ = cluster_electronic_hamiltonian(coords_angstrom, charge)
-    n_so = int(round(np.log2(H.shape[0])))
-    n_elec = len(coords_angstrom) - charge
-    terms = pauli_decompose_fast(H.real)  # real-symmetric in the RHF basis
+    value the training gap is reported against.
+
+    Beyond 8 spin orbitals (H4) everything goes matrix-free: Pauli terms by
+    SYMBOLIC Jordan-Wigner (:func:`jw_pauli_terms` — no 2^n ladder
+    matrices), the FCI oracle by sector projection of the strings, and a
+    structure-tagged drive set {X_q, Y_q, ZZ pairs} so the product/FUSED
+    engines evolve the state (2q XX/YY entanglers need dense operators and
+    are only used at <= 8 spin orbitals)."""
+    n_atoms = len(coords_angstrom)
+    n_so = 2 * n_atoms
+    n_elec = n_atoms - charge
+    big = n_so > 8
+    if big:
+        centers = [np.asarray(c, dtype=float) * ANGSTROM_TO_BOHR
+                   for c in coords_angstrom]
+        if n_elec % 2:
+            raise ValueError("closed-shell RHF needs an even electron count")
+        S, h_ao, g_ao, e_nuc = cluster_integrals(centers)
+        _, C = rhf_scf(S, h_ao, g_ao, n_elec // 2)
+        h_mo = C.T @ h_ao @ C
+        g_mo = np.einsum("ijkl,ip,jq,kr,ls->pqrs", g_ao, C, C, C, C)
+        terms = jw_pauli_terms(h_mo, g_mo)
+        # the sector-FCI oracle costs ~1.5 min at 12 spin orbitals
+        # (C(12,6)=924 batched string applications); skip via
+        # compute_exact=False and pass lam_min yourself if known
+        exact = sector_fci_from_strings(terms, n_so, n_elec) \
+            if compute_exact else float("nan")
+    else:
+        H, e_nuc, _ = cluster_electronic_hamiltonian(coords_angstrom,
+                                                     charge)
+        terms = pauli_decompose_fast(H.real)  # real-symmetric (RHF basis)
+        exact = sector_ground_energy(H, n_elec)
     if number_penalty:
         terms = terms + number_penalty_terms(n_so, n_elec, number_penalty)
         # merge duplicate labels (penalty shares I/Z strings with H)
@@ -480,31 +629,48 @@ def build_hydrogen_cluster(coords_angstrom, charge: int = 0,
         for lbl, w in terms:
             acc[lbl] = acc.get(lbl, 0.0) + w
         terms = [(lbl, w) for lbl, w in acc.items() if abs(w) > 1e-12]
-    exact = sector_ground_energy(H, n_elec)
     meas = Measurement.create_strings(terms, dtype=dtype, sampling=sampling,
                                       noisy=noisy)
-    # drive set: X/Y per qubit + XX/YY/ZZ on nearest AND next-nearest
-    # pairs. The YY and next-nearest entanglers matter: with only
-    # nearest-neighbor XX/ZZ the H3+ VQE plateaus ~12 mHa above the sector
-    # ground (an expressivity limit measured across seeds/horizons); this
-    # set reaches < 2 mHa.
-    Hs, omegas = [], []
-    for q in range(n_so):
-        for ax in ("X", "Y"):
-            Hs.append(linalg.pauli_string("".join(
-                ax if p == q else "I" for p in range(n_so))))
-            omegas.append(omega)
+    d = 2**n_so
     pairs = [(i, i + 1) for i in range(n_so - 1)] + \
             [(i, i + 2) for i in range(n_so - 2)]
-    for (i, j) in pairs:
-        for kind in ("XX", "YY", "ZZ"):
-            Hs.append(linalg.pauli_string("".join(
-                kind[0] if p in (i, j) else "I" for p in range(n_so))))
+    if big:
+        # structure-tagged drives (fused/product eligible): X/Y per qubit
+        # + diagonal ZZ on nearest/next-nearest pairs
+        from ..dynamics.hamiltonian import TermStructure
+        structure, omegas = [], []
+        for q in range(n_so):
+            for local in (linalg.X, linalg.Y):
+                structure.append(TermStructure(kind="1q", qubit=q,
+                                               local=local))
+                omegas.append(omega)
+        for (i, j) in pairs:
+            structure.append(TermStructure(
+                kind="diag", diag=linalg.zz_diagonal(n_so, i, j)))
             omegas.append(omega)
-    d = 2**n_so
-    ham = ControlledHamiltonian.create(np.zeros((d, d)), Hs, dtype=dtype)
+        ham = ControlledHamiltonian.create_structured(
+            d, structure, h0_structure=TermStructure(kind="diag",
+                                                     diag=np.zeros(d)),
+            dtype=dtype)
+    else:
+        # drive set: X/Y per qubit + XX/YY/ZZ on nearest AND next-nearest
+        # pairs. The YY and next-nearest entanglers matter: with only
+        # nearest-neighbor XX/ZZ the H3+ VQE plateaus ~12 mHa above the
+        # sector ground (an expressivity limit measured across
+        # seeds/horizons); this set reaches < 2 mHa.
+        Hs, omegas = [], []
+        for q in range(n_so):
+            for ax in ("X", "Y"):
+                Hs.append(linalg.pauli_string("".join(
+                    ax if p == q else "I" for p in range(n_so))))
+                omegas.append(omega)
+        for (i, j) in pairs:
+            for kind in ("XX", "YY", "ZZ"):
+                Hs.append(linalg.pauli_string("".join(
+                    kind[0] if p in (i, j) else "I" for p in range(n_so))))
+                omegas.append(omega)
+        ham = ControlledHamiltonian.create(np.zeros((d, d)), Hs, dtype=dtype)
     env = SimpleEnvelope(basis=basis, n_basis=n_basis, omegas=tuple(omegas))
-    n_elec = len(coords_angstrom) - charge
     hf = sum(1 << (n_so - 1 - p) for p in range(n_elec))
     psi0 = cpx.from_complex(linalg.basis_state(hf, d), dtype=dtype)
     return MoleculeProblem(ham=ham, envelope=env, measurement=meas,

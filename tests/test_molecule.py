@@ -158,3 +158,44 @@ def test_h4_chain_builder_and_correlation():
     assert 0.04 < corr < 0.07, corr
     assert prob.ham.n_controls == 55  # 16 X/Y + 13 pairs x 3 kinds
     assert prob.psi0.re[0b11110000] == 1.0  # RHF determinant
+
+
+def test_symbolic_jw_matches_dense_ladders():
+    """jw_pauli_terms (mask algebra, no 2^n matrices) must reproduce the
+    dense-ladder + trace-decomposition terms exactly — H2 and H3+."""
+    cases = [([(0, 0, 0), (0, 0, R_EQ)], 0),
+             ([(0, 0, 0), (0.9, 0, 0), (0.45, 0.45 * np.sqrt(3), 0)], 1)]
+    for coords, charge in cases:
+        centers = [np.asarray(c) * mol.ANGSTROM_TO_BOHR for c in coords]
+        S, h, g, _ = mol.cluster_integrals(centers)
+        _, C = mol.rhf_scf(S, h, g, (len(coords) - charge) // 2)
+        h_mo = C.T @ h @ C
+        g_mo = np.einsum("ijkl,ip,jq,kr,ls->pqrs", g, C, C, C, C)
+        sym = dict(mol.jw_pauli_terms(h_mo, g_mo))
+        H, _, _ = mol.cluster_electronic_hamiltonian(coords, charge)
+        dense = dict(mol.pauli_decompose_fast(H.real))
+        assert set(sym) == set(dense)
+        for k in sym:
+            np.testing.assert_allclose(sym[k], dense[k], atol=1e-12)
+        # strings-projected sector FCI == dense sector FCI
+        ne = len(coords) - charge
+        f1 = mol.sector_fci_from_strings(list(sym.items()),
+                                         2 * len(coords), ne)
+        f2 = mol.sector_ground_energy(H, ne)
+        np.testing.assert_allclose(f1, f2, atol=1e-10)
+
+
+def test_h6_chain_builder_matrix_free():
+    """H6 (12 spin orbitals): fully matrix-free construction — symbolic JW
+    terms, structure-tagged (fused-eligible) drives, sector-FCI oracle
+    from the strings. Correlation energy must be chemically sensible."""
+    from diffquantum_tpu.dynamics.product import fused_eligible
+    coords = [(0.0, 0.0, 0.9 * i) for i in range(6)]
+    prob = mol.build_hydrogen_cluster(coords, T=5.0, n_basis=6)
+    assert prob.ham.is_structured_only
+    assert fused_eligible(prob.ham)       # 12q X/Y + diag -> fused kernel
+    centers = [np.asarray(c) * mol.ANGSTROM_TO_BOHR for c in coords]
+    S, h, g, e_nuc = mol.cluster_integrals(centers)
+    e_rhf, _ = mol.rhf_scf(S, h, g, 3)
+    corr = (e_rhf + e_nuc) - (prob.exact_ground_energy + prob.e_nuc)
+    assert 0.06 < corr < 0.11, corr       # ~84 mHa at R = 0.9 A
