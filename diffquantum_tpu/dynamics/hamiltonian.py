@@ -51,6 +51,10 @@ class TermStructure:
       - 'diag': term is diagonal; ``diag`` holds the length-d real diagonal.
       - '1q'  : single-qubit operator; ``qubit`` is the site (0 = MSB in the
                 kron ordering), ``local`` the 2x2 complex matrix.
+      - 'hop' : the hopping / exchange pair ``X_i X_j + Y_i Y_j`` on sites
+                (``qubit``, ``qubit2``) — conserves particle number; its
+                exponential is a closed-form rotation on the {01, 10}
+                subspace (used by molecular drive sets).
       - 'dense': no structure (fallback to dense matvec).
     """
 
@@ -58,6 +62,7 @@ class TermStructure:
     qubit: int = -1
     local: Optional[np.ndarray] = None
     diag: Optional[np.ndarray] = None
+    qubit2: int = -1
 
 
 def classify_operator(m: np.ndarray, tol: float = 1e-10) -> TermStructure:
@@ -173,8 +178,11 @@ class ControlledHamiltonian:
                 norms.append(float(np.max(np.abs(st.diag))))
             elif st.kind == "1q":
                 norms.append(spectral_norm_bound(st.local))
+            elif st.kind == "hop":
+                norms.append(2.0)   # ||XX + YY|| = 2
             else:
-                raise ValueError("structured terms must be 'diag' or '1q'")
+                raise ValueError(
+                    "structured terms must be 'diag', '1q' or 'hop'")
         h0_norm = float(np.max(np.abs(h0_structure.diag))) \
             if h0_structure.kind == "diag" else spectral_norm_bound(
                 h0_structure.local)

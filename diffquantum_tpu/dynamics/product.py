@@ -43,16 +43,39 @@ _HP = jax.lax.Precision.HIGHEST  # TPU matmul default is bf16 — never ok here
 
 def split_structure(ham: ControlledHamiltonian):
     """Partition control terms into (diag_indices, diag_table) and
-    (oneq_indices, qubits, locals). Raises if any term is unstructured."""
+    (oneq_indices, qubits, locals). Raises if any term is unstructured or a
+    'hop' pair (engines that support hops use
+    :func:`split_structure_ext`)."""
+    out = split_structure_ext(ham)
+    if out[6]:
+        raise ValueError(
+            "this engine does not support 'hop' (XX+YY) terms; use the "
+            "product backend (evolve_product)")
+    return out[:6]
+
+
+def split_structure_ext(ham: ControlledHamiltonian):
+    """Like :func:`split_structure` plus the hopping terms:
+    (..., hop_idx, hop_pairs) with hop_pairs a list of (i, j) site pairs
+    for ``X_i X_j + Y_i Y_j`` generators."""
     if ham.structure is None:
         raise ValueError("product backend needs TermStructure metadata")
     diag_idx, diag_rows = [], []
     oneq_idx, oneq_qubits, oneq_locals = [], [], []
+    hop_idx, hop_pairs = [], []
     n = ham.n_qubits
     for k, st in enumerate(ham.structure):
         if st.kind == "diag":
             diag_idx.append(k)
             diag_rows.append(np.asarray(st.diag, dtype=np.float64))
+        elif st.kind == "hop":
+            if not (0 <= st.qubit < n and 0 <= st.qubit2 < n
+                    and st.qubit != st.qubit2):
+                raise ValueError(f"term {k}: bad hop pair "
+                                 f"({st.qubit}, {st.qubit2})")
+            hop_idx.append(k)
+            hop_pairs.append((min(st.qubit, st.qubit2),
+                              max(st.qubit, st.qubit2)))
         elif st.kind == "1q":
             g = np.asarray(st.local, dtype=np.complex128)
             gd = np.diagonal(g)
@@ -83,7 +106,7 @@ def split_structure(ham: ControlledHamiltonian):
     if h0 is None or h0.kind != "diag":
         raise ValueError("product backend needs a diagonal (or zero) H0")
     return (diag_idx, diag_rows, np.asarray(h0.diag, dtype=np.float64),
-            oneq_idx, oneq_qubits, oneq_locals)
+            oneq_idx, oneq_qubits, oneq_locals, hop_idx, hop_pairs)
 
 
 def _phase(theta: jnp.ndarray) -> CP:
@@ -121,6 +144,62 @@ def apply_1q_pauli_rot(psi: CP, theta, qubit: int, n_qubits: int,
     return CP(out_re.reshape(flat), out_im.reshape(flat))
 
 
+def _hop_slices(psi: CP, qi: int, qj: int, n_qubits: int):
+    """Reshape CP [..., 2^n] to expose the (qi, qj) qubit axes (qi < qj):
+    returns arrays of shape [..., L, 2, M, 2, R]."""
+    lead = psi.re.shape[:-1]
+    L = 2**qi
+    M = 2 ** (qj - qi - 1)
+    R = 2 ** (n_qubits - qj - 1)
+    shape = lead + (L, 2, M, 2, R)
+    return psi.re.reshape(shape), psi.im.reshape(shape)
+
+
+def apply_hop_rot(psi: CP, theta, qi: int, qj: int, n_qubits: int) -> CP:
+    """exp(-i theta (X_i X_j + Y_i Y_j)) exactly: G = XX + YY acts as
+    2*SWAP on the {|01>, |10>} subspace and 0 on {|00>, |11>}, so the
+    exponential rotates |01>,|10> by 2 theta and leaves 00/11 untouched.
+    Number-conserving — the natural molecular hopping drive."""
+    pre, pim = _hop_slices(psi, qi, qj, n_qubits)
+    c = jnp.cos(2.0 * theta)
+    s = jnp.sin(2.0 * theta)
+    a_re, a_im = pre[..., :, 0, :, 1, :], pim[..., :, 0, :, 1, :]  # |01>
+    b_re, b_im = pre[..., :, 1, :, 0, :], pim[..., :, 1, :, 0, :]  # |10>
+    na_re = c * a_re + s * b_im
+    na_im = c * a_im - s * b_re
+    nb_re = c * b_re + s * a_im
+    nb_im = c * b_im - s * a_re
+    # reassemble along the two qubit axes
+    z_re = jnp.stack([
+        jnp.stack([pre[..., :, 0, :, 0, :], na_re], axis=-2),
+        jnp.stack([nb_re, pre[..., :, 1, :, 1, :]], axis=-2),
+    ], axis=-4)
+    z_im = jnp.stack([
+        jnp.stack([pim[..., :, 0, :, 0, :], na_im], axis=-2),
+        jnp.stack([nb_im, pim[..., :, 1, :, 1, :]], axis=-2),
+    ], axis=-4)
+    flat = psi.re.shape
+    return CP(z_re.reshape(flat), z_im.reshape(flat))
+
+
+def apply_hop_operator(psi: CP, qi: int, qj: int, n_qubits: int) -> CP:
+    """((X_i X_j + Y_i Y_j) psi): 2x subspace swap, zero on 00/11."""
+    pre, pim = _hop_slices(psi, qi, qj, n_qubits)
+    a_re, a_im = pre[..., :, 0, :, 1, :], pim[..., :, 0, :, 1, :]
+    b_re, b_im = pre[..., :, 1, :, 0, :], pim[..., :, 1, :, 0, :]
+    zero_re = jnp.zeros_like(a_re)
+    z_re = jnp.stack([
+        jnp.stack([zero_re, 2.0 * b_re], axis=-2),
+        jnp.stack([2.0 * a_re, zero_re], axis=-2),
+    ], axis=-4)
+    z_im = jnp.stack([
+        jnp.stack([zero_re, 2.0 * b_im], axis=-2),
+        jnp.stack([2.0 * a_im, zero_re], axis=-2),
+    ], axis=-4)
+    flat = psi.re.shape
+    return CP(z_re.reshape(flat), z_im.reshape(flat))
+
+
 def apply_1q_operator(psi: CP, qubit: int, n_qubits: int,
                       local_re: jnp.ndarray, local_im: jnp.ndarray) -> CP:
     """(G psi) for a single-qubit operator G on tensor axis ``qubit``."""
@@ -156,6 +235,11 @@ def apply_structured_terms(ham: ControlledHamiltonian, psi: CP):
                 psi, st.qubit, n,
                 jnp.asarray(g.real, dtype=psi.re.dtype),
                 jnp.asarray(g.imag, dtype=psi.re.dtype))
+            res_re.append(out.re)
+            res_im.append(out.im)
+        elif st.kind == "hop":
+            out = apply_hop_operator(psi, min(st.qubit, st.qubit2),
+                                     max(st.qubit, st.qubit2), n)
             res_re.append(out.re)
             res_im.append(out.im)
         else:
@@ -347,7 +431,8 @@ def evolve_product(
     dt_bound: Optional[float] = None,
     t_sample: str = "left",
 ) -> CP:
-    """Strang-split evolution for diag + single-qubit structured H.
+    """Strang-split evolution for diag + single-qubit (+ hopping-pair)
+    structured H.
 
     Same grid semantics as :func:`..dynamics.propagator.evolve` (left
     endpoint, n_steps static); interchangeable for structured problems.
@@ -356,7 +441,7 @@ def evolve_product(
     if n < 0:
         raise ValueError("dimension is not a power of two")
     (diag_idx, diag_rows, h0_diag, oneq_idx, oneq_qubits,
-     oneq_locals) = split_structure(ham)
+     oneq_locals, hop_idx, hop_pairs) = split_structure_ext(ham)
 
     from .propagator import time_grid
     dt = (T - T0) / n_steps
@@ -371,6 +456,8 @@ def evolve_product(
         jnp.zeros((0, n_steps), dtype=u.dtype)
     u_oneq = u[jnp.asarray(oneq_idx, dtype=jnp.int32)] if oneq_idx else \
         jnp.zeros((0, n_steps), dtype=u.dtype)
+    u_hop = u[jnp.asarray(hop_idx, dtype=jnp.int32)] if hop_idx else \
+        jnp.zeros((0, n_steps), dtype=u.dtype)
 
     locals_re = [jnp.asarray(g.real, dtype=rdt) for g in oneq_locals]
     locals_im = [jnp.asarray(g.imag, dtype=rdt) for g in oneq_locals]
@@ -378,36 +465,42 @@ def evolve_product(
     psi0 = psi0.astype(rdt)
     u_diag = u_diag.astype(rdt)
     u_oneq = u_oneq.astype(rdt)
+    u_hop = u_hop.astype(rdt)
     dt = jnp.asarray(dt, dtype=rdt)
 
-    # Two non-commuting 1q drives on the SAME qubit (e.g. the X+Y
-    # two-quadrature pair) break the naive sequential sub-step product's
-    # palindrome and silently degrade the splitting to first order; a
-    # half-angle forward + half-angle reversed sweep restores O(dt^2)
-    # global error. Distinct-qubit terms commute, so the cheap single
-    # sweep is kept for them (static decision at trace time).
-    palindromic = len(set(oneq_qubits)) < len(oneq_qubits)
+    # Two non-commuting drives sharing a qubit (the X+Y two-quadrature
+    # pair, or a hop overlapping a 1q drive) break the naive sequential
+    # sub-step product's palindrome and silently degrade the splitting to
+    # first order; a half-angle forward + half-angle reversed sweep
+    # restores O(dt^2) global error. Disjoint terms commute, so the cheap
+    # single sweep is kept for them (static decision at trace time).
+    rot_ops = [("1q", i) for i in range(len(oneq_qubits))] \
+        + [("hop", j) for j in range(len(hop_pairs))]
+    used = list(oneq_qubits) + [q for pr in hop_pairs for q in pr]
+    palindromic = len(set(used)) < len(used)
 
     @jax.checkpoint
     def step(psi, xs):
-        ud, uq = xs  # [n_diag], [n_oneq]
+        ud, uq, uh = xs  # [n_diag], [n_oneq], [n_hop]
         # total diagonal this step: h0 + sum_k ud[k] diag_k → [d]
         theta_half = (0.5 * dt) * (h0_vec + jnp.matmul(ud, diag_table, precision=_HP))
         ph = _phase(theta_half)
         psi = cpx.mul(CP(jnp.broadcast_to(ph.re, psi.re.shape),
                          jnp.broadcast_to(ph.im, psi.im.shape)), psi)
-        m = len(oneq_qubits)
-        order = list(range(m)) + list(reversed(range(m))) if palindromic \
-            else list(range(m))
+        order = rot_ops + rot_ops[::-1] if palindromic else rot_ops
         frac = 0.5 * dt if palindromic else dt
-        for i in order:
-            psi = apply_1q_pauli_rot(psi, frac * uq[i], oneq_qubits[i], n,
-                                     locals_re[i], locals_im[i])
+        for kind, i in order:
+            if kind == "1q":
+                psi = apply_1q_pauli_rot(psi, frac * uq[i], oneq_qubits[i],
+                                         n, locals_re[i], locals_im[i])
+            else:
+                qi, qj = hop_pairs[i]
+                psi = apply_hop_rot(psi, frac * uh[i], qi, qj, n)
         psi = cpx.mul(CP(jnp.broadcast_to(ph.re, psi.re.shape),
                          jnp.broadcast_to(ph.im, psi.im.shape)), psi)
         return psi, None
 
-    psi, _ = jax.lax.scan(step, psi0, (u_diag.T, u_oneq.T))
+    psi, _ = jax.lax.scan(step, psi0, (u_diag.T, u_oneq.T, u_hop.T))
     return psi
 
 

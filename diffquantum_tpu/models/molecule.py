@@ -635,8 +635,11 @@ def build_hydrogen_cluster(coords_angstrom, charge: int = 0,
     pairs = [(i, i + 1) for i in range(n_so - 1)] + \
             [(i, i + 2) for i in range(n_so - 2)]
     if big:
-        # structure-tagged drives (fused/product eligible): X/Y per qubit
-        # + diagonal ZZ on nearest/next-nearest pairs
+        # structure-tagged drives (product-engine eligible): X/Y per
+        # qubit + number-conserving HOPPING (XX+YY) pairs + diagonal ZZ
+        # pairs. The hop entanglers are decisive: with only {X, Y, ZZ}
+        # the 12-qubit H6 VQE recovers ~20% of the correlation energy;
+        # hopping moves electron pairs directly between orbitals.
         from ..dynamics.hamiltonian import TermStructure
         structure, omegas = [], []
         for q in range(n_so):
@@ -645,6 +648,8 @@ def build_hydrogen_cluster(coords_angstrom, charge: int = 0,
                                                local=local))
                 omegas.append(omega)
         for (i, j) in pairs:
+            structure.append(TermStructure(kind="hop", qubit=i, qubit2=j))
+            omegas.append(omega)
             structure.append(TermStructure(
                 kind="diag", diag=linalg.zz_diagonal(n_so, i, j)))
             omegas.append(omega)

@@ -189,11 +189,11 @@ def test_h6_chain_builder_matrix_free():
     """H6 (12 spin orbitals): fully matrix-free construction — symbolic JW
     terms, structure-tagged (fused-eligible) drives, sector-FCI oracle
     from the strings. Correlation energy must be chemically sensible."""
-    from diffquantum_tpu.dynamics.product import fused_eligible
     coords = [(0.0, 0.0, 0.9 * i) for i in range(6)]
     prob = mol.build_hydrogen_cluster(coords, T=5.0, n_basis=6)
     assert prob.ham.is_structured_only
-    assert fused_eligible(prob.ham)       # 12q X/Y + diag -> fused kernel
+    kinds = {st.kind for st in prob.ham.structure}
+    assert kinds == {"1q", "hop", "diag"}  # hopping entanglers present
     centers = [np.asarray(c) * mol.ANGSTROM_TO_BOHR for c in coords]
     S, h, g, e_nuc = mol.cluster_integrals(centers)
     e_rhf, _ = mol.rhf_scf(S, h, g, 3)

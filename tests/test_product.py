@@ -132,3 +132,69 @@ def test_1q_z_drive_normalized_to_diag():
                                               diag=np.zeros(1024)),
         dtype=jnp.float32)
     assert fused_eligible(ham10)
+
+
+def test_hop_term_matches_dense():
+    """'hop' (XX+YY) structured drives: exact subspace-rotation exponential
+    vs the dense expm backend, including non-adjacent pairs, palindromic
+    mixing with overlapping 1q drives, and (H_k psi) application."""
+    from diffquantum_tpu.dynamics.hamiltonian import (ControlledHamiltonian,
+                                                      TermStructure)
+    from diffquantum_tpu.dynamics.product import (apply_hop_operator,
+                                                  evolve_product)
+    from diffquantum_tpu.dynamics.propagator import evolve
+    from diffquantum_tpu.ops import linalg
+    from diffquantum_tpu.pulses.envelope import SimpleEnvelope
+
+    n, d = 3, 8
+    hop02 = linalg.pauli_string("XIX") + linalg.pauli_string("YIY")
+    Hs = [hop02, linalg.pauli_string("IXI"), linalg.pauli_string("XII")]
+    structure = (TermStructure(kind="hop", qubit=0, qubit2=2),
+                 TermStructure(kind="1q", qubit=1, local=linalg.X),
+                 TermStructure(kind="1q", qubit=0, local=linalg.X))
+    ham = ControlledHamiltonian.create(
+        np.zeros((d, d)), Hs, dtype=jnp.float64, structure=structure,
+        h0_structure=TermStructure(kind="diag", diag=np.zeros(d)))
+    env = SimpleEnvelope(basis="bspline", n_basis=4, omegas=(np.pi,) * 3)
+    rng = np.random.default_rng(0)
+    coeff = jnp.asarray(rng.standard_normal((3, 4)) * 0.5)
+    psi0 = cpx.from_complex(linalg.uniform_superposition(3), jnp.float64)
+    a = evolve_product(ham, env, coeff, psi0, 0.0, 2.0, horizon=2.0,
+                       n_steps=800)
+    b = evolve(ham, env, coeff, psi0, 0.0, 2.0, horizon=2.0, n_steps=800,
+               backend="expm")
+    err = np.abs(cpx.to_complex(a) - cpx.to_complex(b)).max()
+    assert err < 2e-5, err
+    # norm preserved (unitary subspace rotation)
+    np.testing.assert_allclose(float(cpx.norm2(a)), 1.0, atol=1e-10)
+    # (H_k psi) application for the MC estimator
+    v = rng.standard_normal(d) + 1j * rng.standard_normal(d)
+    got = cpx.to_complex(apply_hop_operator(
+        cpx.from_complex(v, jnp.float64), 0, 2, 3))
+    np.testing.assert_allclose(got, hop02 @ v, atol=1e-12)
+
+
+def test_hop_conserves_particle_number():
+    """Hopping drives keep the state exactly in its occupation sector."""
+    from diffquantum_tpu.dynamics.hamiltonian import (ControlledHamiltonian,
+                                                      TermStructure)
+    from diffquantum_tpu.dynamics.product import evolve_product
+    from diffquantum_tpu.ops import linalg
+    from diffquantum_tpu.pulses.envelope import SimpleEnvelope
+    n, d = 4, 16
+    structure = tuple(TermStructure(kind="hop", qubit=i, qubit2=i + 1)
+                      for i in range(3))
+    ham = ControlledHamiltonian.create_structured(
+        d, structure, h0_structure=TermStructure(kind="diag",
+                                                 diag=np.zeros(d)),
+        dtype=jnp.float64)
+    env = SimpleEnvelope(basis="bspline", n_basis=4, omegas=(np.pi,) * 3)
+    rng = np.random.default_rng(1)
+    coeff = jnp.asarray(rng.standard_normal((3, 4)))
+    psi0 = cpx.from_complex(linalg.basis_state(0b1100, d), jnp.float64)
+    psi = evolve_product(ham, env, coeff, psi0, 0.0, 2.0, horizon=2.0,
+                         n_steps=100)
+    p2 = np.asarray(cpx.abs2(psi))
+    out_of_sector = sum(p2[j] for j in range(d)
+                        if bin(j).count("1") != 2)
+    assert out_of_sector < 1e-20, out_of_sector
