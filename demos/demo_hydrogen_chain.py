@@ -14,7 +14,7 @@ terms, structure-tagged {X, Y, hop, ZZ} drives on the product engine, and
 a strings-projected sector-FCI oracle. Measured: best-of-16 recovers 55%
 of the 84 mHa correlation energy (37 mHa above FCI, 46 mHa below RHF).
 
-Usage: python demos/demo_h4_chain.py [--atoms 4|6] [--r 0.9]
+Usage: python demos/demo_hydrogen_chain.py [--atoms 4|6] [--r 0.9]
                                      [--epochs 2000] [--seeds 16]
 """
 import argparse

@@ -313,7 +313,9 @@ def evolve_mcwf_structured(
 
     n = ham.n_qubits
     (diag_idx, diag_rows, h0_diag, oneq_idx, oneq_qubits,
-     oneq_locals) = split_structure(ham)
+     oneq_locals) = split_structure(
+        ham, hop_msg="the structured MCWF/trajectory engine does not "
+        "support 'hop' (XX+YY) terms yet")
     if noise.n_qubits != n:
         raise ValueError("noise qubit count mismatch")
 

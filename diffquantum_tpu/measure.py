@@ -306,8 +306,11 @@ def stochastic_measure_strings(strings: PauliStringSet, psi: CP,
                 rot = _apply_local(rot, q, n, local)
         probs = cpx.abs2(rot).reshape(-1, d)  # flatten batch dims
         logp = jnp.log(jnp.maximum(probs, 1e-30))
+        # one categorical call with a shape argument — no [batch,
+        # per_pauli, d] logits materialization (tens of MB/term at 16+q)
         draws = jax.random.categorical(
-            keys[t], logp[:, None, :].repeat(per_pauli, axis=1), axis=-1)
+            keys[t], logp[:, None, :], axis=-1,
+            shape=(probs.shape[0], per_pauli))
         ev = (1.0 - 2.0 * _bit_parity(draws.astype(jnp.int32)
                                       & jnp.int32(support))
               ).astype(probs.dtype)

@@ -277,11 +277,12 @@ def cluster_integrals(centers_bohr, charges=None):
             h[i, j] = h[j, i] = t + v
 
     g = np.zeros((m, m, m, m))
+    done = np.zeros((m, m, m, m), dtype=bool)
     for i in range(m):
         for j in range(m):
             for k_ in range(m):
                 for l in range(m):
-                    if g[i, j, k_, l] != 0.0:
+                    if done[i, j, k_, l]:
                         continue
                     A, B, C, D = centers[i], centers[j], centers[k_], \
                         centers[l]
@@ -311,6 +312,7 @@ def cluster_integrals(centers_bohr, charges=None):
                                          (k_, l, i, j), (l, k_, i, j),
                                          (k_, l, j, i), (l, k_, j, i)):
                         g[w, x, y, z] = out
+                        done[w, x, y, z] = True
     e_nuc = sum(charges[i] * charges[j]
                 / float(np.linalg.norm(centers[i] - centers[j]))
                 for i in range(m) for j in range(i + 1, m))

@@ -145,7 +145,10 @@ def evolve_product_sharded(
     """
     n = ham.n_qubits
     (diag_idx, diag_rows, h0_diag, oneq_idx, oneq_qubits,
-     oneq_locals) = split_structure(ham)
+     oneq_locals) = split_structure(
+        ham, hop_msg="the state-sharded engine does not support 'hop' "
+        "(XX+YY) terms yet; use the single-device product backend "
+        "(evolve_product)")
 
     axis_size = mesh.shape[state_axis]
     k = int(round(np.log2(axis_size)))

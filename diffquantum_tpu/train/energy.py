@@ -230,9 +230,10 @@ def train_energy(
     elif jax.default_backend() in ("tpu", "axon"):
         # a 50-epoch block at 2^20 amplitudes crashed the TPU worker
         # (resource exhaustion in the compiled mega-program; measured —
-        # block=10 runs fine at 20 qubits). Scale the block down for
-        # large states; the dispatch amortization loss is ~2 ms/epoch.
-        EPOCH_BLOCK = 10 if ham.dim >= 2**18 else 50
+        # block=10 runs fine at 20 qubits). Scale the block down at the
+        # amplitude count that crashed (single seed here: batch=1), the
+        # same threshold parallel/mesh.py uses for n_seeds * dim.
+        EPOCH_BLOCK = 10 if ham.dim >= 2**20 else 50
     else:
         EPOCH_BLOCK = 1
 
