@@ -41,16 +41,17 @@ from .hamiltonian import ControlledHamiltonian, TermStructure
 _HP = jax.lax.Precision.HIGHEST  # TPU matmul default is bf16 — never ok here
 
 
-def split_structure(ham: ControlledHamiltonian):
+def split_structure(ham: ControlledHamiltonian, hop_msg: str = None):
     """Partition control terms into (diag_indices, diag_table) and
     (oneq_indices, qubits, locals). Raises if any term is unstructured or a
     'hop' pair (engines that support hops use
-    :func:`split_structure_ext`)."""
+    :func:`split_structure_ext`). ``hop_msg`` lets a caller that cannot
+    support hops explain its own limitation instead of the generic hint."""
     out = split_structure_ext(ham)
     if out[6]:
-        raise ValueError(
+        raise ValueError(hop_msg or (
             "this engine does not support 'hop' (XX+YY) terms; use the "
-            "product backend (evolve_product)")
+            "product backend (evolve_product)"))
     return out[:6]
 
 
@@ -272,13 +273,27 @@ def _symmetrize_rots(qubits, kinds, theta_x, axis: int):
             jnp.concatenate([half, rev], axis=axis))
 
 
+# Largest size the VMEM-resident packed kernels carry on chip (state +
+# adjoint + temporaries vs the ~128 MiB physical VMEM; validated by the
+# tpu_tests lane). Past this the chunked HBM-state engine takes over.
+_VMEM_PACKED_MAX = 20
+
+
 def fused_eligible(ham: ControlledHamiltonian) -> bool:
-    """Whether the fused Pallas whole-evolution kernel applies: 10-17 qubits
-    (sublane-aligned [2^(n-7), 128] state block; beyond 17 the backward
-    kernel's ~14 state-sized VMEM buffers exceed the 16 MiB budget — use the
-    XLA product backend or the sharded engine there), diagonal H0, and every
-    1q term a Pauli X or Y."""
-    if ham.structure is None or not (10 <= ham.n_qubits <= 17):
+    """Whether a fused Pallas evolution engine applies: 10-24 qubits,
+    diagonal H0, and every 1q term a Pauli X or Y.
+
+    - 10-17: always (VMEM-resident whole-evolution kernels, streamed or
+      packed-phase form);
+    - 18-19: additionally need the packed-phase form (every diagonal
+      control row two-valued, ≤30 terms — Pauli-Z strings qualify) so the
+      kernel computes phases in-kernel and keeps HBM-resident boundary
+      buffers, staying under the 16 MiB VMEM budget
+      (:mod:`..ops.fused_product` packed kernels);
+    - 20-24: packed-phase form on the chunked HBM-state engine
+      (:mod:`..ops.fused_chunked`) — the state streams through VMEM slabs
+      in two Pallas passes per Strang step."""
+    if ham.structure is None or not (10 <= ham.n_qubits <= 24):
         return False
     if ham.h0_structure is None or ham.h0_structure.kind != "diag":
         return False
@@ -291,6 +306,14 @@ def fused_eligible(ham: ControlledHamiltonian) -> bool:
             if not diag_local:  # diagonal 1q (Z-like) folds into the phases
                 return False
         if st.kind not in ("diag", "1q"):
+            return False
+    if ham.n_qubits >= 18:
+        from ..ops.fused_product import pack_diag_signs
+        try:
+            _, diag_rows, *_ = split_structure(ham)
+        except ValueError:
+            return False
+        if pack_diag_signs(diag_rows) is None:
             return False
     return True
 
@@ -320,8 +343,16 @@ def evolve_product_fused(
     ``precision``: 'full' (3-pass f32 in-kernel matmuls, default) or 'fast'
     (single-pass bf16 MXU — ~25% faster 16q chains / ~40% faster 64-seed
     epochs, amplitude error ~6e-5 vs 1.6e-6 over 30 steps; see
-    docs/PERFORMANCE.md)."""
-    from ..ops.fused_product import fused_product_evolve
+    docs/PERFORMANCE.md).
+
+    When every diagonal control row is two-valued (Pauli-Z strings — the
+    whole QAOA/TFIM/XXZ family), the phase angles are computed IN-KERNEL
+    from one packed int32 sign plane instead of streaming [n_steps, d]
+    angle tables (packed kernels, :mod:`..ops.fused_product`); that form
+    also carries 18-19 qubit states (HBM-resident boundary buffers)."""
+    from ..ops.fused_product import (fused_product_evolve,
+                                     fused_product_evolve_packed,
+                                     pack_diag_signs)
 
     if precision not in ("full", "fast"):
         raise ValueError(f"precision must be 'full' or 'fast', "
@@ -338,11 +369,48 @@ def evolve_product_fused(
     rdt = jnp.float32
     dtc = jnp.asarray(dt, rdt)
 
+    packed = pack_diag_signs(diag_rows)
+    if packed is None and n >= 18:
+        raise ValueError(
+            "18+ qubit fused evolution needs the packed-phase form "
+            "(every diagonal control row two-valued, ≤30 terms); use "
+            "backend='product' for general diagonals at this size")
+
+    def packed_evolve(psi_b, ud_full, th_x, h0th, signs_arr, qubits, kinds):
+        """Packed dispatch: VMEM whole-evolution kernel while the state
+        fits physical VMEM (_VMEM_PACKED_MAX), the chunked HBM-state
+        engine past that. psi_b/ud_full/th_x carry a leading batch dim
+        (chunked engine runs per-seed)."""
+        if n <= _VMEM_PACKED_MAX:
+            return fused_product_evolve_packed(
+                psi_b, ud_full, th_x, h0th, signs_arr, qubits, n, kinds,
+                fast)
+        from ..ops.fused_chunked import chunked_evolve
+        outs = [chunked_evolve(
+            CP(psi_b.re[i], psi_b.im[i]), ud_full[:, i], th_x[:, i],
+            h0th, signs_arr, qubits, n, kinds, fast)
+            for i in range(psi_b.re.shape[0])]
+        return CP(jnp.stack([o.re for o in outs]),
+                  jnp.stack([o.im for o in outs]))
+
     diag_table = jnp.asarray(np.stack(diag_rows), dtype=rdt) if diag_rows \
         else jnp.zeros((0, ham.dim), dtype=rdt)
     h0_vec = jnp.asarray(h0_diag, dtype=rdt)
     di = jnp.asarray(diag_idx, dtype=jnp.int32)
     qi = jnp.asarray(oneq_idx, dtype=jnp.int32)
+
+    def packed_tables(u_diag_tk):
+        """[T, ..., n_diag] diag controls → (ud_full [T, ..., n_diag+1],
+        h0th [d], signs [d]) for the packed kernels."""
+        signs_np, consts, scales = packed
+        half = 0.5 * dtc
+        ud_core = half * u_diag_tk * jnp.asarray(scales, rdt)
+        off = half * jnp.einsum("...k,k->...", u_diag_tk,
+                                jnp.asarray(consts, rdt), precision=_HP)
+        ud_full = jnp.concatenate([ud_core, off[..., None]], axis=-1)
+        signs_arr = jnp.asarray(signs_np) if signs_np.size else \
+            jnp.zeros((ham.dim,), jnp.int32)
+        return ud_full, (half * h0_vec).astype(rdt), signs_arr
 
     batched = psi0.ndim > 1
     per_seed = coeff.ndim == len(envelope.coeff_shape) + 1
@@ -357,9 +425,6 @@ def evolve_product_fused(
         # u: [B, n_controls, n_steps]
         u_diag = jnp.take(u, di, axis=1).astype(rdt)   # [B, n_diag, T]
         u_oneq = jnp.take(u, qi, axis=1).astype(rdt)   # [B, n_x, T]
-        theta_half = 0.5 * dtc * (h0_vec[None, None, :]
-                                  + jnp.einsum("bkt,kd->tbd", u_diag,
-                                               diag_table, precision=_HP))
         theta_x = dtc * jnp.moveaxis(u_oneq, 2, 0)     # [T, B, n_x]
         kinds = tuple(_pauli_kind(g) for g in oneq_locals)
         if any(k is None for k in kinds):
@@ -370,25 +435,44 @@ def evolve_product_fused(
         oneq_qubits, kinds, theta_x = _symmetrize_rots(
             oneq_qubits, kinds, theta_x, axis=2)
 
-        # chunk the batch so the backward kernel's VMEM footprint
-        # (~14 state-sized buffers) stays under the ~16 MiB budget
+        if packed is not None:
+            ud_full, h0th, signs_arr = packed_tables(
+                jnp.moveaxis(u_diag, 2, 0))  # [T, B, n_diag(+1)]
+
+            def run(p, th_x, s0=None, s1=None):
+                return packed_evolve(
+                    p, ud_full if s0 is None else ud_full[:, s0:s1],
+                    th_x, h0th, signs_arr, tuple(oneq_qubits), kinds)
+            planes = 10  # y/l/temps + in-VMEM boundary; no table streams
+        else:
+            theta_half = 0.5 * dtc * (
+                h0_vec[None, None, :] + jnp.einsum(
+                    "bkt,kd->tbd", u_diag, diag_table, precision=_HP))
+
+            def run(p, th_x, s0=None, s1=None):
+                return fused_product_evolve_batched(
+                    p, theta_half if s0 is None else theta_half[:, s0:s1],
+                    th_x, tuple(oneq_qubits), n, kinds, fast)
+            planes = 14  # + streamed angle/gradient table double-buffers
+
+        # chunk the batch so the backward kernel's VMEM footprint stays
+        # within budget: the packed kernels raise Mosaic's scoped-vmem
+        # window toward the ~128 MiB physical VMEM (measured, round 3);
+        # the streamed kernels keep the conservative default window
         r_rows = ham.dim // 128
-        bytes_per_seed = r_rows * 128 * 4 * 14
-        b_max = max(1, int((12 * 2**20) // bytes_per_seed))
+        bytes_per_seed = r_rows * 128 * 4 * planes
+        budget = (64 if packed is not None else 12) * 2**20
+        b_max = max(1, int(budget // bytes_per_seed))
         chunk = 1
         while chunk * 2 <= min(b, b_max):
             chunk *= 2
-        if chunk >= b:
-            return fused_product_evolve_batched(
-                psi0.astype(rdt), theta_half, theta_x, tuple(oneq_qubits),
-                n, kinds, fast)
-        outs = []
         psi32 = psi0.astype(rdt)
+        if chunk >= b:
+            return run(psi32, theta_x)
+        outs = []
         for s0 in range(0, b, chunk):
-            sl = slice(s0, min(s0 + chunk, b))
-            outs.append(fused_product_evolve_batched(
-                psi32[sl], theta_half[:, sl], theta_x[:, sl],
-                tuple(oneq_qubits), n, kinds, fast))
+            s1 = min(s0 + chunk, b)
+            outs.append(run(psi32[s0:s1], theta_x[:, s0:s1], s0, s1))
         return CP(jnp.concatenate([o.re for o in outs], axis=0),
                   jnp.concatenate([o.im for o in outs], axis=0))
 
@@ -398,8 +482,6 @@ def evolve_product_fused(
     u_oneq = (u[qi] if oneq_idx else
               jnp.zeros((0, n_steps), dtype=u.dtype)).astype(rdt)
 
-    # per-step angle tables for the kernel
-    theta_half = 0.5 * dtc * (h0_vec[None, :] + jnp.matmul(u_diag.T, diag_table, precision=_HP))
     theta_x = dtc * u_oneq.T  # [n_steps, n_x]
 
     kinds = tuple(_pauli_kind(g) for g in oneq_locals)
@@ -410,9 +492,94 @@ def evolve_product_fused(
             "general involutory generators")
     oneq_qubits, kinds, theta_x = _symmetrize_rots(
         oneq_qubits, kinds, theta_x, axis=1)
+
+    if packed is not None:
+        ud_full, h0th, signs_arr = packed_tables(u_diag.T)  # [T, n_diag+1]
+        out = packed_evolve(
+            CP(psi0.re[None], psi0.im[None]).astype(rdt),
+            ud_full[:, None, :], theta_x[:, None, :], h0th, signs_arr,
+            tuple(oneq_qubits), kinds)
+        return CP(out.re[0], out.im[0])
+
+    theta_half = 0.5 * dtc * (h0_vec[None, :]
+                              + jnp.matmul(u_diag.T, diag_table,
+                                           precision=_HP))
     out = fused_product_evolve(psi0.astype(rdt), theta_half, theta_x,
                                tuple(oneq_qubits), n, kinds, fast)
     return out
+
+
+def _prepare_product_inputs(ham, envelope, coeff, T0, T, horizon, n_steps,
+                            t_sample):
+    """Shared setup for the XLA product engines: split the structure,
+    evaluate the envelopes on the time grid, and build the per-step control
+    tables. Returns (n, dt, h0_vec, diag_table, oneq data, hop data,
+    u-tables transposed to [n_steps, ...])."""
+    n = ham.n_qubits
+    (diag_idx, diag_rows, h0_diag, oneq_idx, oneq_qubits,
+     oneq_locals, hop_idx, hop_pairs) = split_structure_ext(ham)
+
+    from .propagator import time_grid
+    dt = (T - T0) / n_steps
+    ts = time_grid(T0, dt, n_steps, t_sample)
+    u = envelope.amplitudes(coeff, ts, horizon)  # [n_controls, n_steps]
+    rdt = ham.dtype
+
+    diag_table = jnp.asarray(np.stack(diag_rows), dtype=rdt) if diag_rows \
+        else jnp.zeros((0, ham.dim), dtype=rdt)
+    h0_vec = jnp.asarray(h0_diag, dtype=rdt)
+
+    def pick(idx):
+        return (u[jnp.asarray(idx, dtype=jnp.int32)] if idx else
+                jnp.zeros((0, n_steps), dtype=u.dtype)).astype(rdt)
+
+    u_diag, u_oneq, u_hop = pick(diag_idx), pick(oneq_idx), pick(hop_idx)
+    locals_re = [jnp.asarray(g.real, dtype=rdt) for g in oneq_locals]
+    locals_im = [jnp.asarray(g.imag, dtype=rdt) for g in oneq_locals]
+    return (n, jnp.asarray(dt, dtype=rdt), h0_vec, diag_table,
+            oneq_qubits, locals_re, locals_im, hop_pairs,
+            u_diag, u_oneq, u_hop)
+
+
+def _make_strang_step(n, dt, h0_vec, diag_table, oneq_qubits, locals_re,
+                      locals_im, hop_pairs):
+    """The ONE Strang step body shared by :func:`evolve_product` and
+    :func:`evolve_product_trajectory`: half diagonal phase, 1q/hop
+    rotations (palindromic when drives share a qubit), half phase.
+
+    Two non-commuting drives sharing a qubit (the X+Y two-quadrature pair,
+    or a hop overlapping a 1q drive) break the naive sequential sub-step
+    product's palindrome and silently degrade the splitting to first
+    order; a half-angle forward + half-angle reversed sweep restores
+    O(dt^2) global error. Disjoint terms commute, so the cheap single
+    sweep is kept for them (static decision at trace time)."""
+    rot_ops = [("1q", i) for i in range(len(oneq_qubits))] \
+        + [("hop", j) for j in range(len(hop_pairs))]
+    used = list(oneq_qubits) + [q for pr in hop_pairs for q in pr]
+    palindromic = len(set(used)) < len(used)
+    order = rot_ops + rot_ops[::-1] if palindromic else rot_ops
+    frac = 0.5 * dt if palindromic else dt
+
+    def step(psi, xs):
+        ud, uq, uh = xs  # [n_diag], [n_oneq], [n_hop]
+        # total diagonal this step: h0 + sum_k ud[k] diag_k → [d]
+        theta_half = (0.5 * dt) * (h0_vec + jnp.matmul(ud, diag_table,
+                                                       precision=_HP))
+        ph = _phase(theta_half)
+        psi = cpx.mul(CP(jnp.broadcast_to(ph.re, psi.re.shape),
+                         jnp.broadcast_to(ph.im, psi.im.shape)), psi)
+        for kind, i in order:
+            if kind == "1q":
+                psi = apply_1q_pauli_rot(psi, frac * uq[i], oneq_qubits[i],
+                                         n, locals_re[i], locals_im[i])
+            else:
+                qi, qj = hop_pairs[i]
+                psi = apply_hop_rot(psi, frac * uh[i], qi, qj, n)
+        psi = cpx.mul(CP(jnp.broadcast_to(ph.re, psi.re.shape),
+                         jnp.broadcast_to(ph.im, psi.im.shape)), psi)
+        return psi
+
+    return step
 
 
 @functools.partial(
@@ -437,70 +604,19 @@ def evolve_product(
     Same grid semantics as :func:`..dynamics.propagator.evolve` (left
     endpoint, n_steps static); interchangeable for structured problems.
     """
-    n = ham.n_qubits
-    if n < 0:
-        raise ValueError("dimension is not a power of two")
-    (diag_idx, diag_rows, h0_diag, oneq_idx, oneq_qubits,
-     oneq_locals, hop_idx, hop_pairs) = split_structure_ext(ham)
+    (n, dt, h0_vec, diag_table, oneq_qubits, locals_re, locals_im,
+     hop_pairs, u_diag, u_oneq, u_hop) = _prepare_product_inputs(
+        ham, envelope, coeff, T0, T, horizon, n_steps, t_sample)
 
-    from .propagator import time_grid
-    dt = (T - T0) / n_steps
-    ts = time_grid(T0, dt, n_steps, t_sample)
-    u = envelope.amplitudes(coeff, ts, horizon)  # [n_controls, n_steps]
-    rdt = ham.dtype
-
-    diag_table = jnp.asarray(np.stack(diag_rows), dtype=rdt) if diag_rows \
-        else jnp.zeros((0, ham.dim), dtype=rdt)
-    h0_vec = jnp.asarray(h0_diag, dtype=rdt)
-    u_diag = u[jnp.asarray(diag_idx, dtype=jnp.int32)] if diag_idx else \
-        jnp.zeros((0, n_steps), dtype=u.dtype)
-    u_oneq = u[jnp.asarray(oneq_idx, dtype=jnp.int32)] if oneq_idx else \
-        jnp.zeros((0, n_steps), dtype=u.dtype)
-    u_hop = u[jnp.asarray(hop_idx, dtype=jnp.int32)] if hop_idx else \
-        jnp.zeros((0, n_steps), dtype=u.dtype)
-
-    locals_re = [jnp.asarray(g.real, dtype=rdt) for g in oneq_locals]
-    locals_im = [jnp.asarray(g.imag, dtype=rdt) for g in oneq_locals]
-
-    psi0 = psi0.astype(rdt)
-    u_diag = u_diag.astype(rdt)
-    u_oneq = u_oneq.astype(rdt)
-    u_hop = u_hop.astype(rdt)
-    dt = jnp.asarray(dt, dtype=rdt)
-
-    # Two non-commuting drives sharing a qubit (the X+Y two-quadrature
-    # pair, or a hop overlapping a 1q drive) break the naive sequential
-    # sub-step product's palindrome and silently degrade the splitting to
-    # first order; a half-angle forward + half-angle reversed sweep
-    # restores O(dt^2) global error. Disjoint terms commute, so the cheap
-    # single sweep is kept for them (static decision at trace time).
-    rot_ops = [("1q", i) for i in range(len(oneq_qubits))] \
-        + [("hop", j) for j in range(len(hop_pairs))]
-    used = list(oneq_qubits) + [q for pr in hop_pairs for q in pr]
-    palindromic = len(set(used)) < len(used)
+    body = _make_strang_step(n, dt, h0_vec, diag_table, oneq_qubits,
+                             locals_re, locals_im, hop_pairs)
 
     @jax.checkpoint
     def step(psi, xs):
-        ud, uq, uh = xs  # [n_diag], [n_oneq], [n_hop]
-        # total diagonal this step: h0 + sum_k ud[k] diag_k → [d]
-        theta_half = (0.5 * dt) * (h0_vec + jnp.matmul(ud, diag_table, precision=_HP))
-        ph = _phase(theta_half)
-        psi = cpx.mul(CP(jnp.broadcast_to(ph.re, psi.re.shape),
-                         jnp.broadcast_to(ph.im, psi.im.shape)), psi)
-        order = rot_ops + rot_ops[::-1] if palindromic else rot_ops
-        frac = 0.5 * dt if palindromic else dt
-        for kind, i in order:
-            if kind == "1q":
-                psi = apply_1q_pauli_rot(psi, frac * uq[i], oneq_qubits[i],
-                                         n, locals_re[i], locals_im[i])
-            else:
-                qi, qj = hop_pairs[i]
-                psi = apply_hop_rot(psi, frac * uh[i], qi, qj, n)
-        psi = cpx.mul(CP(jnp.broadcast_to(ph.re, psi.re.shape),
-                         jnp.broadcast_to(ph.im, psi.im.shape)), psi)
-        return psi, None
+        return body(psi, xs), None
 
-    psi, _ = jax.lax.scan(step, psi0, (u_diag.T, u_oneq.T, u_hop.T))
+    psi, _ = jax.lax.scan(step, psi0.astype(ham.dtype),
+                          (u_diag.T, u_oneq.T, u_hop.T))
     return psi
 
 
@@ -525,46 +641,18 @@ def evolve_product_trajectory(
     evolve_trajectory` needs dense operators). Memory: (n_steps+1) states
     — at 16 qubits x 1000 steps that is ~0.5 GB f32; slice the segment if
     that matters."""
-    n = ham.n_qubits
-    (diag_idx, diag_rows, h0_diag, oneq_idx, oneq_qubits,
-     oneq_locals) = split_structure(ham)
-    from .propagator import time_grid
-    dt = (T - T0) / n_steps
-    ts = time_grid(T0, dt, n_steps, t_sample)
-    u = envelope.amplitudes(coeff, ts, horizon)
-    rdt = ham.dtype
+    (n, dt, h0_vec, diag_table, oneq_qubits, locals_re, locals_im,
+     hop_pairs, u_diag, u_oneq, u_hop) = _prepare_product_inputs(
+        ham, envelope, coeff, T0, T, horizon, n_steps, t_sample)
 
-    diag_table = jnp.asarray(np.stack(diag_rows), dtype=rdt) if diag_rows \
-        else jnp.zeros((0, ham.dim), dtype=rdt)
-    h0_vec = jnp.asarray(h0_diag, dtype=rdt)
-    u_diag = (u[jnp.asarray(diag_idx, jnp.int32)] if diag_idx else
-              jnp.zeros((0, n_steps), dtype=u.dtype)).astype(rdt)
-    u_oneq = (u[jnp.asarray(oneq_idx, jnp.int32)] if oneq_idx else
-              jnp.zeros((0, n_steps), dtype=u.dtype)).astype(rdt)
-    locals_re = [jnp.asarray(g.real, dtype=rdt) for g in oneq_locals]
-    locals_im = [jnp.asarray(g.imag, dtype=rdt) for g in oneq_locals]
-    psi0 = psi0.astype(rdt)
-    dt_c = jnp.asarray(dt, dtype=rdt)
-    palindromic = len(set(oneq_qubits)) < len(oneq_qubits)
-    m = len(oneq_qubits)
-    order = list(range(m)) + list(reversed(range(m))) if palindromic \
-        else list(range(m))
-    frac = 0.5 * dt_c if palindromic else dt_c
+    body = _make_strang_step(n, dt, h0_vec, diag_table, oneq_qubits,
+                             locals_re, locals_im, hop_pairs)
 
     def step(psi, xs):
-        ud, uq = xs
-        theta_half = (0.5 * dt_c) * (h0_vec + jnp.matmul(
-            ud, diag_table, precision=_HP))
-        ph = _phase(theta_half)
-        psi = cpx.mul(CP(jnp.broadcast_to(ph.re, psi.re.shape),
-                         jnp.broadcast_to(ph.im, psi.im.shape)), psi)
-        for i in order:
-            psi = apply_1q_pauli_rot(psi, frac * uq[i], oneq_qubits[i], n,
-                                     locals_re[i], locals_im[i])
-        psi = cpx.mul(CP(jnp.broadcast_to(ph.re, psi.re.shape),
-                         jnp.broadcast_to(ph.im, psi.im.shape)), psi)
+        psi = body(psi, xs)
         return psi, psi
 
-    _, traj = jax.lax.scan(step, psi0, (u_diag.T, u_oneq.T))
+    psi0 = psi0.astype(ham.dtype)
+    _, traj = jax.lax.scan(step, psi0, (u_diag.T, u_oneq.T, u_hop.T))
     return CP(jnp.concatenate([psi0.re[None], traj.re], axis=0),
               jnp.concatenate([psi0.im[None], traj.im], axis=0))

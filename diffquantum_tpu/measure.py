@@ -274,48 +274,85 @@ class PauliStringSet:
         return CP(out_re, out_im)
 
 
+import functools as _functools
+
+
+@_functools.lru_cache(maxsize=None)
+def qwc_groups(flips: tuple, yz_masks: tuple):
+    """Greedy qubit-wise-commuting (QWC) grouping of Pauli strings.
+
+    Two strings are QWC iff on every qubit their Paulis agree or at least
+    one is identity — then ONE single-qubit basis rotation diagonalizes the
+    whole group and one shot batch measures every member simultaneously.
+    Returns a tuple of groups ``(x_mask, y_mask, z_mask, term_indices)``;
+    masks are the union basis assignment of the group. Greedy first-fit in
+    descending-support order (large strings constrain most, so place them
+    first — measurably fewer groups than input order on molecular JW
+    sums): O(n_terms * n_groups)."""
+    order = sorted(range(len(flips)),
+                   key=lambda t: -bin(flips[t] | yz_masks[t]).count("1"))
+    groups = []  # [x_mask, y_mask, z_mask, [term indices]]
+    for t in order:
+        flip, yz = flips[t], yz_masks[t]
+        xt, yt, zt = flip & ~yz, flip & yz, yz & ~flip
+        for g in groups:
+            conflict = ((xt & (g[1] | g[2])) | (yt & (g[0] | g[2]))
+                        | (zt & (g[0] | g[1])))
+            if not conflict:
+                g[0] |= xt
+                g[1] |= yt
+                g[2] |= zt
+                g[3].append(t)
+                break
+        else:
+            groups.append([xt, yt, zt, [t]])
+    return tuple((g[0], g[1], g[2], tuple(g[3])) for g in groups)
+
+
 def stochastic_measure_strings(strings: PauliStringSet, psi: CP,
                                key: jax.Array,
                                per_pauli: int = 100) -> jnp.ndarray:
-    """Finite-shot estimate of a Pauli-sum expectation, matrix-free.
-
-    Per term: rotate the string's support into the computational basis with
-    single-qubit gates (X -> H, Y -> H S^dag), Born-sample ``per_pauli``
-    shots, average the string eigenvalue ``(-1)^{par(j & support)}`` — the
-    scalable analog of :func:`stochastic_measure` (which eigendecomposes
-    dense terms, `/root/reference/sim_plain.py:101-117`)."""
+    """Finite-shot estimate of a Pauli-sum expectation, matrix-free and
+    GROUPED: strings are partitioned into qubit-wise-commuting families
+    (:func:`qwc_groups`); each family costs ONE basis rotation (X -> H,
+    Y -> H S^dag per supported qubit) + ONE batch of ``per_pauli``
+    computational-basis shots, and every member's eigenvalue
+    ``(-1)^{par(j & support)}`` is read off the SAME draws — exactly how
+    shots are spent on hardware. vs the naive per-term loop (the round-2
+    form, and the scalable analog of the reference's per-term sampling,
+    `/root/reference/sim_plain.py:101-117`): orders fewer sequential
+    rotation+sample blocks for molecular JW sums, at the price of
+    within-group shot covariance (still unbiased)."""
     import numpy as _np
 
     h = _np.array([[1, 1], [1, -1]]) / _np.sqrt(2)
     hsdag = h @ _np.diag([1.0, -1j])
     n = strings.n_qubits
     d = 2**n
-    keys = jax.random.split(key, strings.n_terms)
+    groups = qwc_groups(strings.flips, strings.yz_masks)
+    keys = jax.random.split(key, len(groups))
     total = 0.0
-    for t in range(strings.n_terms):
-        flip, yz = strings.flips[t], strings.yz_masks[t]
+    for gi, (x_mask, y_mask, _, terms_idx) in enumerate(groups):
         rot = psi
-        support = 0
         for q in range(n):
             bit = 1 << (n - 1 - q)
-            if not (flip | yz) & bit:
-                continue
-            support |= bit
-            if flip & bit:
-                local = hsdag if (yz & bit) else h   # Y or X
-                rot = _apply_local(rot, q, n, local)
+            if x_mask & bit:
+                rot = _apply_local(rot, q, n, h)
+            elif y_mask & bit:
+                rot = _apply_local(rot, q, n, hsdag)
         probs = cpx.abs2(rot).reshape(-1, d)  # flatten batch dims
         logp = jnp.log(jnp.maximum(probs, 1e-30))
         # one categorical call with a shape argument — no [batch,
         # per_pauli, d] logits materialization (tens of MB/term at 16+q)
         draws = jax.random.categorical(
-            keys[t], logp[:, None, :], axis=-1,
-            shape=(probs.shape[0], per_pauli))
-        ev = (1.0 - 2.0 * _bit_parity(draws.astype(jnp.int32)
-                                      & jnp.int32(support))
-              ).astype(probs.dtype)
-        total = total + strings.weights[t] * ev.mean(axis=-1).reshape(
-            psi.re.shape[:-1])
+            keys[gi], logp[:, None, :], axis=-1,
+            shape=(probs.shape[0], per_pauli)).astype(jnp.int32)
+        for t in terms_idx:
+            support = strings.flips[t] | strings.yz_masks[t]
+            ev = (1.0 - 2.0 * _bit_parity(draws & jnp.int32(support))
+                  ).astype(probs.dtype)
+            total = total + strings.weights[t] * ev.mean(axis=-1).reshape(
+                psi.re.shape[:-1])
     return total
 
 

@@ -1,0 +1,586 @@
+"""Chunked HBM-state fused evolution: 20+ qubits on one chip.
+
+The whole-evolution kernels (:mod:`.fused_product`) keep the state resident
+in VMEM — a hard wall at 19 qubits (state + adjoint + temporaries vs the
+~16 MiB budget). This engine keeps the state in HBM as a ``[C, F, 128]``
+array (C = 2^c chunk rows = the TOP c row bits, F = 2^f free rows) and
+streams VMEM-sized slabs through two Pallas passes per Strang step:
+
+- **pass A** — grid over the C axis, blocks ``[1, F, 128]``: diagonal
+  phases (computed IN-KERNEL from the packed sign bit-plane, exactly as the
+  packed VMEM kernels do) + rotations on free row bits and lane bits;
+- **pass B** — grid over F-axis slices, blocks ``[C, Bf, 128]``: rotations
+  on the chunk bits. A block holds ALL chunk-row values for a slice of free
+  rows, so chunk-bit pair mixes are block-local — no transposes, no
+  host round-trips.
+
+Regrouping rotations between the passes is exact: rotations on distinct
+qubits commute, and the palindromic same-qubit pairs stay within one pass
+(same argument as the row/lane partition of the VMEM kernels). Adjacent
+half-phases merge for free — exp(-i th_t)·exp(-i th_{t+1}) needs only the
+SUM of the per-step control scalars, since the in-kernel phase is linear in
+them — so the steady state costs exactly one A pass + one B pass per step
+(2 state read+writes of HBM traffic).
+
+The backward pass mirrors the structure with the O(1)-memory adjoint of the
+VMEM kernels: the state is reconstructed by inverting each pass while the
+cotangent evolves alongside it, and the per-step gradients are reduced
+in-kernel to the ≤128 control scalars (accumulated across chunk
+iterations).
+
+The reference's dense-expm propagator stops near 12-13 qubits on any
+hardware (`/root/reference/diffqc.cc:190-200`, O(4^n) matrices); the
+round-2 XLA product path reached 20 qubits but crashed the TPU worker in
+50-epoch compiled blocks. This engine trains 20-24 qubits with bounded
+VMEM (~a dozen 0.5 MiB slabs) at HBM-bandwidth speed.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .cpx import CP
+from .fused_product import _pdot, _perm_stack, _split_qubits
+
+_LANES = 128
+_LANE_QUBITS = 7
+_F_BITS = 10  # free row bits per pass-A slab: 2^10 x 128 x 4 B = 0.5 MiB
+
+
+def _plan(n_qubits: int):
+    """(c, f): chunk row bits (top) and free row bits."""
+    row_bits = n_qubits - _LANE_QUBITS
+    f = min(row_bits, _F_BITS)
+    c = row_bits - f
+    if c > _F_BITS - 3:  # pass-B block [2^c, Bf, 128] needs Bf >= 8
+        raise ValueError(f"chunked engine supports up to "
+                         f"{_LANE_QUBITS + _F_BITS + _F_BITS - 3} qubits, "
+                         f"got {n_qubits}")
+    return c, f
+
+
+def _partition_rots(x_qubits, kinds, n_qubits, c):
+    """Split rotations into (chunk_rots, free_rots, lane_rots) preserving
+    order within each group; j = original index into the theta_x row."""
+    rows, lanes = _split_qubits(x_qubits, kinds, n_qubits)
+    chunk = [(j, q, kd) for (j, q, kd) in rows if q < c]
+    free = [(j, q, kd) for (j, q, kd) in rows if q >= c]
+    return chunk, free, lanes
+
+
+def _flip2(x, hi, axis_len, tail_shape, sign=False):
+    """Pair-swap the bit with ``hi`` blocks above it on the leading axis of
+    ``x`` (shape [axis_len, *tail]); sign=True negates the upper half into
+    the lower (the Y 'K' operator)."""
+    lo = axis_len // (hi * 2)
+    y = x.reshape((hi, 2, lo) + tail_shape)
+    top = -y[:, 1:2] if sign else y[:, 1:2]
+    y = jnp.concatenate([top, y[:, 0:1]], axis=1)
+    return y.reshape((axis_len,) + tail_shape)
+
+
+def _theta_slab(ud_ref, h0_blk, signs_blk, n_diag):
+    """Per-slab diagonal phase: ud row layout = [a_0..a_{n_diag-1}, offset,
+    h0_mult]; returns [F, 128] (or the slab's 2-D shape)."""
+    off = ud_ref[0, 0, n_diag]
+    mult = ud_ref[0, 0, n_diag + 1]
+    th = mult * h0_blk + off
+    for k in range(n_diag):
+        a = ud_ref[0, 0, k]
+        bit = jnp.bitwise_and(
+            jax.lax.shift_right_logical(signs_blk, np.int32(k)),
+            np.int32(1)).astype(jnp.float32)
+        th = th + a - (2.0 * a) * bit
+    return th
+
+
+# ---------------------------------------------------------------------------
+# forward kernels
+# ---------------------------------------------------------------------------
+
+def _make_passA_fwd(free_rots, lane_rots, n_diag, c, f, fast):
+    fdim = 2**f
+
+    def kernel(ud_ref, tx_ref, h0_ref, sg_ref, in_re, in_im, perms_ref,
+               out_re, out_im):
+        th = _theta_slab(ud_ref, h0_ref[0], sg_ref[0], n_diag)
+        cph, sph = jnp.cos(th), jnp.sin(th)
+        re = cph * in_re[0] + sph * in_im[0]
+        im = cph * in_im[0] - sph * in_re[0]
+
+        def rot(j, kind, g_of, re, im):
+            thx = tx_ref[0, 0, j]
+            cx, sx = jnp.cos(thx), jnp.sin(thx)
+            if kind == "x":
+                return (cx * re + sx * g_of(im), cx * im - sx * g_of(re))
+            return (cx * re + sx * g_of(re), cx * im + sx * g_of(im))
+
+        for (j, q, kind) in free_rots:
+            lb = q - c  # local bit on the F axis (0 = MSB)
+            re, im = rot(j, kind,
+                         lambda v, lb=lb, kd=kind: _flip2(
+                             v, 2**lb, fdim, (_LANES,), sign=(kd == "y")),
+                         re, im)
+        for li, (j, q, kind) in enumerate(lane_rots):
+            p = perms_ref[li]
+            re, im = rot(j, kind, lambda v, p=p: _pdot(v, p, fast), re, im)
+        out_re[0] = re
+        out_im[0] = im
+
+    return kernel
+
+
+def _make_passB_fwd(chunk_rots, c, fast):
+    cdim = 2**c
+
+    def kernel(tx_ref, in_re, in_im, out_re, out_im):
+        re, im = in_re[:], in_im[:]
+        tail = re.shape[1:]
+
+        for (j, q, kind) in chunk_rots:
+            thx = tx_ref[0, 0, j]
+            cx, sx = jnp.cos(thx), jnp.sin(thx)
+
+            def g_of(v, q=q, kd=kind):
+                return _flip2(v, 2**q, cdim, tail, sign=(kd == "y"))
+
+            if kind == "x":
+                re, im = (cx * re + sx * g_of(im), cx * im - sx * g_of(re))
+            else:
+                re, im = (cx * re + sx * g_of(re), cx * im + sx * g_of(im))
+        out_re[:] = re
+        out_im[:] = im
+
+    return kernel
+
+
+# ---------------------------------------------------------------------------
+# backward kernels: reconstruct x by inversion, evolve lam, reduce grads
+# ---------------------------------------------------------------------------
+
+def _make_passA_bwd(free_rots, lane_rots, n_diag, c, f, fast):
+    fdim = 2**f
+
+    def kernel(ud_ref, tx_ref, h0_ref, sg_ref, y_re_i, y_im_i, l_re_i,
+               l_im_i, perms_ref, y_re_o, y_im_o, l_re_o, l_im_o,
+               gud_ref, gtx_ref):
+        i = pl.program_id(0)
+        y_re, y_im = y_re_i[0], y_im_i[0]
+        l_re, l_im = l_re_i[0], l_im_i[0]
+        lane_ids = jax.lax.broadcasted_iota(jnp.int32, (1, _LANES), 1)
+        g_rot = {}
+
+        def undo_rot(j, kind, g_of, y_re, y_im, l_re, l_im):
+            thx = tx_ref[0, 0, j]
+            cx, sx = jnp.cos(thx), jnp.sin(thx)
+            if kind == "x":
+                x_re = cx * y_re - sx * g_of(y_im)
+                x_im = cx * y_im + sx * g_of(y_re)
+                gx_re = g_of(x_re)
+                gx_im = g_of(x_im)
+                contrib = (l_re * (-sx * x_re + cx * gx_im)
+                           + l_im * (-sx * x_im - cx * gx_re))
+                nl_re = cx * l_re - sx * g_of(l_im)
+                nl_im = cx * l_im + sx * g_of(l_re)
+            else:
+                x_re = cx * y_re - sx * g_of(y_re)
+                x_im = cx * y_im - sx * g_of(y_im)
+                gx_re = g_of(x_re)
+                gx_im = g_of(x_im)
+                contrib = (l_re * (-sx * x_re + cx * gx_re)
+                           + l_im * (-sx * x_im + cx * gx_im))
+                nl_re = cx * l_re - sx * g_of(l_re)
+                nl_im = cx * l_im - sx * g_of(l_im)
+            g_rot[j] = jnp.sum(contrib)
+            return x_re, x_im, nl_re, nl_im
+
+        # undo rotations (reverse forward order: lanes then free rows)
+        for li in range(len(lane_rots) - 1, -1, -1):
+            j, q, kind = lane_rots[li]
+            p = perms_ref[li]
+            y_re, y_im, l_re, l_im = undo_rot(
+                j, kind, lambda v, p=p: _pdot(v, p, fast),
+                y_re, y_im, l_re, l_im)
+        for (j, q, kind) in reversed(free_rots):
+            lb = q - c
+            y_re, y_im, l_re, l_im = undo_rot(
+                j, kind, lambda v, lb=lb, kd=kind: _flip2(
+                    v, 2**lb, fdim, (_LANES,), sign=(kd == "y")),
+                y_re, y_im, l_re, l_im)
+
+        # undo the phase; diag gradients reduced to per-term scalars
+        th = _theta_slab(ud_ref, h0_ref[0], sg_ref[0], n_diag)
+        cph, sph = jnp.cos(th), jnp.sin(th)
+        gth = l_re * y_im - l_im * y_re
+        s0 = jnp.sum(gth)
+        row = jnp.zeros((1, _LANES), jnp.float32)
+        p_blk = sg_ref[0]
+        for k in range(n_diag):
+            bit = jnp.bitwise_and(
+                jax.lax.shift_right_logical(p_blk, np.int32(k)),
+                np.int32(1)).astype(jnp.float32)
+            sk = jnp.sum(gth * bit)
+            row = jnp.where(lane_ids == k, s0 - 2.0 * sk, row)
+        row = jnp.where(lane_ids == n_diag, s0, row)
+
+        re = cph * y_re - sph * y_im
+        im = sph * y_re + cph * y_im
+        y_re_o[0] = re
+        y_im_o[0] = im
+        re = cph * l_re - sph * l_im
+        im = sph * l_re + cph * l_im
+        l_re_o[0] = re
+        l_im_o[0] = im
+
+        rrow = jnp.zeros((1, _LANES), jnp.float32)
+        for j, g in g_rot.items():
+            rrow = jnp.where(lane_ids == j, g, rrow)
+
+        @pl.when(i == 0)
+        def _():
+            gud_ref[:] = row
+            gtx_ref[:] = rrow
+
+        @pl.when(i > 0)
+        def _():
+            gud_ref[:] = gud_ref[:] + row
+            gtx_ref[:] = gtx_ref[:] + rrow
+
+    return kernel
+
+
+def _make_passB_bwd(chunk_rots, c, fast):
+    cdim = 2**c
+
+    def kernel(tx_ref, y_re_i, y_im_i, l_re_i, l_im_i,
+               y_re_o, y_im_o, l_re_o, l_im_o, gtx_ref):
+        i = pl.program_id(0)
+        y_re, y_im = y_re_i[:], y_im_i[:]
+        l_re, l_im = l_re_i[:], l_im_i[:]
+        tail = y_re.shape[1:]
+        lane_ids = jax.lax.broadcasted_iota(jnp.int32, (1, _LANES), 1)
+        rrow = jnp.zeros((1, _LANES), jnp.float32)
+
+        for (j, q, kind) in reversed(chunk_rots):
+            thx = tx_ref[0, 0, j]
+            cx, sx = jnp.cos(thx), jnp.sin(thx)
+
+            def g_of(v, q=q, kd=kind):
+                return _flip2(v, 2**q, cdim, tail, sign=(kd == "y"))
+
+            if kind == "x":
+                x_re = cx * y_re - sx * g_of(y_im)
+                x_im = cx * y_im + sx * g_of(y_re)
+                gx_re = g_of(x_re)
+                gx_im = g_of(x_im)
+                contrib = (l_re * (-sx * x_re + cx * gx_im)
+                           + l_im * (-sx * x_im - cx * gx_re))
+                nl_re = cx * l_re - sx * g_of(l_im)
+                nl_im = cx * l_im + sx * g_of(l_re)
+            else:
+                x_re = cx * y_re - sx * g_of(y_re)
+                x_im = cx * y_im - sx * g_of(y_im)
+                gx_re = g_of(x_re)
+                gx_im = g_of(x_im)
+                contrib = (l_re * (-sx * x_re + cx * gx_re)
+                           + l_im * (-sx * x_im + cx * gx_im))
+                nl_re = cx * l_re - sx * g_of(l_re)
+                nl_im = cx * l_im - sx * g_of(l_im)
+            rrow = rrow + jnp.where(lane_ids == j, jnp.sum(contrib), 0.0)
+            y_re, y_im, l_re, l_im = x_re, x_im, nl_re, nl_im
+
+        y_re_o[:] = y_re
+        y_im_o[:] = y_im
+        l_re_o[:] = l_re
+        l_im_o[:] = l_im
+
+        @pl.when(i == 0)
+        def _():
+            gtx_ref[:] = rrow
+
+        @pl.when(i > 0)
+        def _():
+            gtx_ref[:] = gtx_ref[:] + rrow
+
+    return kernel
+
+
+# ---------------------------------------------------------------------------
+# pallas_call plumbing
+# ---------------------------------------------------------------------------
+
+def _row3(v):
+    """[128] → [1, 1, 128] angle-row block."""
+    return v.reshape(1, 1, _LANES)
+
+
+def _passA_call(kernel, state, rowu, rowx, h0th3, signs3, perms, c, f,
+                interp):
+    cdim, fdim = 2**c, 2**f
+    re, im = state
+    slab = pl.BlockSpec((1, fdim, _LANES), lambda i: (i, 0, 0),
+                        memory_space=pltpu.VMEM)
+    row = pl.BlockSpec((1, 1, _LANES), lambda i: (0, 0, 0),
+                       memory_space=pltpu.VMEM)
+    out_re, out_im = pl.pallas_call(
+        kernel,
+        grid=(cdim,),
+        in_specs=[row, row, slab, slab, slab, slab,
+                  pl.BlockSpec(perms.shape, lambda i: (0, 0, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=(slab, slab),
+        out_shape=(jax.ShapeDtypeStruct((cdim, fdim, _LANES), jnp.float32),
+                   jax.ShapeDtypeStruct((cdim, fdim, _LANES), jnp.float32)),
+        input_output_aliases={4: 0, 5: 1},
+        interpret=interp,
+    )(_row3(rowu), _row3(rowx), h0th3, signs3, re, im, perms)
+    return out_re, out_im
+
+
+def _passB_call(kernel, state, rowx, c, f, interp):
+    cdim, fdim = 2**c, 2**f
+    bf = 2 ** (_F_BITS - c) if c > 0 else fdim
+    bf = min(bf, fdim)
+    re, im = state
+    slab = pl.BlockSpec((cdim, bf, _LANES), lambda i: (0, i, 0),
+                        memory_space=pltpu.VMEM)
+    row = pl.BlockSpec((1, 1, _LANES), lambda i: (0, 0, 0),
+                       memory_space=pltpu.VMEM)
+    out_re, out_im = pl.pallas_call(
+        kernel,
+        grid=(fdim // bf,),
+        in_specs=[row, slab, slab],
+        out_specs=(slab, slab),
+        out_shape=(jax.ShapeDtypeStruct((cdim, fdim, _LANES), jnp.float32),
+                   jax.ShapeDtypeStruct((cdim, fdim, _LANES), jnp.float32)),
+        input_output_aliases={1: 0, 2: 1},
+        interpret=interp,
+    )(_row3(rowx), re, im)
+    return out_re, out_im
+
+
+def _passA_bwd_call(kernel, yl, rowu, rowx, h0th3, signs3, perms, c, f,
+                    interp):
+    cdim, fdim = 2**c, 2**f
+    y_re, y_im, l_re, l_im = yl
+    slab = pl.BlockSpec((1, fdim, _LANES), lambda i: (i, 0, 0),
+                        memory_space=pltpu.VMEM)
+    row = pl.BlockSpec((1, 1, _LANES), lambda i: (0, 0, 0),
+                       memory_space=pltpu.VMEM)
+    grow = pl.BlockSpec((1, _LANES), lambda i: (0, 0),
+                        memory_space=pltpu.VMEM)
+    st = jax.ShapeDtypeStruct((cdim, fdim, _LANES), jnp.float32)
+    outs = pl.pallas_call(
+        kernel,
+        grid=(cdim,),
+        in_specs=[row, row, slab, slab, slab, slab, slab, slab,
+                  pl.BlockSpec(perms.shape, lambda i: (0, 0, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=(slab, slab, slab, slab, grow, grow),
+        out_shape=(st, st, st, st,
+                   jax.ShapeDtypeStruct((1, _LANES), jnp.float32),
+                   jax.ShapeDtypeStruct((1, _LANES), jnp.float32)),
+        input_output_aliases={4: 0, 5: 1, 6: 2, 7: 3},
+        interpret=interp,
+    )(_row3(rowu), _row3(rowx), h0th3, signs3, y_re, y_im, l_re, l_im,
+      perms)
+    return outs[:4], outs[4][0], outs[5][0]
+
+
+def _passB_bwd_call(kernel, yl, rowx, c, f, interp):
+    cdim, fdim = 2**c, 2**f
+    bf = 2 ** (_F_BITS - c) if c > 0 else fdim
+    bf = min(bf, fdim)
+    y_re, y_im, l_re, l_im = yl
+    slab = pl.BlockSpec((cdim, bf, _LANES), lambda i: (0, i, 0),
+                        memory_space=pltpu.VMEM)
+    row = pl.BlockSpec((1, 1, _LANES), lambda i: (0, 0, 0),
+                       memory_space=pltpu.VMEM)
+    grow = pl.BlockSpec((1, _LANES), lambda i: (0, 0),
+                        memory_space=pltpu.VMEM)
+    st = jax.ShapeDtypeStruct((cdim, fdim, _LANES), jnp.float32)
+    outs = pl.pallas_call(
+        kernel,
+        grid=(fdim // bf,),
+        in_specs=[row, slab, slab, slab, slab],
+        out_specs=(slab, slab, slab, slab, grow),
+        out_shape=(st, st, st, st,
+                   jax.ShapeDtypeStruct((1, _LANES), jnp.float32)),
+        input_output_aliases={1: 0, 2: 1, 3: 2, 4: 3},
+        interpret=interp,
+    )(_row3(rowx), y_re, y_im, l_re, l_im)
+    return outs[:4], outs[4][0]
+
+
+# ---------------------------------------------------------------------------
+# evolution driver (custom VJP)
+# ---------------------------------------------------------------------------
+
+def _setup(ud, theta_x, h0th, signs, x_qubits, n_qubits, kinds, fast):
+    kinds = kinds or ("x",) * len(x_qubits)
+    c, f = _plan(n_qubits)
+    cdim, fdim = 2**c, 2**f
+    chunk_rots, free_rots, lane_rots = _partition_rots(
+        x_qubits, kinds, n_qubits, c)
+    perms = jnp.asarray(_perm_stack(lane_rots, n_qubits))
+    n_steps, n_slots = ud.shape
+    n_diag = n_slots - 1
+    interp = jax.default_backend() == "cpu"
+
+    # per-step angle rows, padded to 128 lanes; ud gains an h0-multiplier
+    # slot (1 for the boundary half-phases, 2 for merged interior phases)
+    def pad_row(v, extra=None):
+        row = jnp.zeros(v.shape[:-1] + (_LANES,), jnp.float32)
+        row = row.at[..., :v.shape[-1]].set(v.astype(jnp.float32))
+        if extra is not None:
+            row = row.at[..., v.shape[-1]].set(extra)
+        return row
+
+    ud_rows = pad_row(ud, extra=1.0)            # [T, 128], mult slot = 1
+    if n_steps > 1:
+        merged = pad_row(ud[:-1] + ud[1:], extra=2.0)  # [T-1, 128]
+    else:
+        merged = jnp.zeros((0, _LANES), jnp.float32)
+    tx_rows = pad_row(theta_x)                  # [T, 128]
+    zeros_row = jnp.zeros(_LANES, jnp.float32)
+
+    h0th3 = h0th.reshape(cdim, fdim, _LANES).astype(jnp.float32)
+    signs3 = signs.reshape(cdim, fdim, _LANES)
+    return (c, f, chunk_rots, free_rots, lane_rots, perms, n_steps, n_diag,
+            interp, ud_rows, merged, tx_rows, zeros_row, h0th3, signs3)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8))
+def chunked_evolve(psi0: CP, ud: jnp.ndarray, theta_x: jnp.ndarray,
+                   h0th: jnp.ndarray, signs: jnp.ndarray, x_qubits: tuple,
+                   n_qubits: int, kinds: tuple = None,
+                   fast_math: bool = False) -> CP:
+    """psi(T) for 20+ qubit states, HBM-resident, two Pallas passes/step.
+
+    psi0: CP [2^n]; ud: [n_steps, n_diag+1] scaled diag controls (slot
+    k = dt/2·u_k·w_k, last = offset; see the packed kernels); theta_x:
+    [n_steps, n_x]; h0th: [2^n] drift half-angles (zero cotangent); signs:
+    [2^n] int32 packed sign bits (float0 cotangent)."""
+    return _forward_ck(psi0, ud, theta_x, h0th, signs, x_qubits, n_qubits,
+                       kinds, fast_math)
+
+
+def _forward_ck(psi0, ud, theta_x, h0th, signs, x_qubits, n_qubits,
+                kinds=None, fast_math=False):
+    (c, f, chunk_rots, free_rots, lane_rots, perms, n_steps, n_diag,
+     interp, ud_rows, merged, tx_rows, zeros_row, h0th3,
+     signs3) = _setup(ud, theta_x, h0th, signs, x_qubits, n_qubits, kinds,
+                      fast_math)
+    cdim, fdim = 2**c, 2**f
+    ka = _make_passA_fwd(free_rots, lane_rots, n_diag, c, f, fast_math)
+    kb = _make_passB_fwd(chunk_rots, c, fast_math)
+    has_b = bool(chunk_rots)
+
+    def A(s, rowu, rowx):
+        return _passA_call(ka, s, rowu, rowx, h0th3, signs3, perms, c, f,
+                           interp)
+
+    def B(s, rowx):
+        if not has_b:
+            return s
+        return _passB_call(kb, s, rowx, c, f, interp)
+
+    shp = (cdim, fdim, _LANES)
+    s = (psi0.re.reshape(shp).astype(jnp.float32),
+         psi0.im.reshape(shp).astype(jnp.float32))
+    s = A(s, ud_rows[0], tx_rows[0])  # leading half-phase + rots of step 0
+
+    def body(s, xs):
+        rowm, rowx_next, rowx_cur = xs
+        s = B(s, rowx_cur)            # chunk rots of step t
+        s = A(s, rowm, rowx_next)     # merged phases + rots of step t+1
+        return s, None
+
+    if n_steps > 1:
+        s, _ = jax.lax.scan(body, s, (merged, tx_rows[1:], tx_rows[:-1]))
+    s = B(s, tx_rows[n_steps - 1])
+    s = A(s, ud_rows[n_steps - 1], zeros_row)  # trailing half-phase only
+    d = 2**n_qubits
+    return CP(s[0].reshape(d), s[1].reshape(d))
+
+
+def _fwd_ck(psi0, ud, theta_x, h0th, signs, x_qubits, n_qubits, kinds=None,
+            fast_math=False):
+    out = _forward_ck(psi0, ud, theta_x, h0th, signs, x_qubits, n_qubits,
+                      kinds, fast_math)
+    return out, (out, ud, theta_x, h0th, signs)
+
+
+def _bwd_ck(x_qubits, n_qubits, kinds, fast_math, residuals, lam):
+    psi_T, ud, theta_x, h0th, signs = residuals
+    (c, f, chunk_rots, free_rots, lane_rots, perms, n_steps, n_diag,
+     interp, ud_rows, merged, tx_rows, zeros_row, h0th3,
+     signs3) = _setup(ud, theta_x, h0th, signs, x_qubits, n_qubits, kinds,
+                      fast_math)
+    cdim, fdim = 2**c, 2**f
+    ka = _make_passA_bwd(free_rots, lane_rots, n_diag, c, f, fast_math)
+    kb = _make_passB_bwd(chunk_rots, c, fast_math)
+    has_b = bool(chunk_rots)
+
+    def Ainv(yl, rowu, rowx):
+        return _passA_bwd_call(ka, yl, rowu, rowx, h0th3, signs3, perms,
+                               c, f, interp)
+
+    def Binv(yl, rowx):
+        if not has_b:
+            return yl, jnp.zeros(_LANES, jnp.float32)
+        return _passB_bwd_call(kb, yl, rowx, c, f, interp)
+
+    shp = (cdim, fdim, _LANES)
+    yl = (psi_T.re.reshape(shp).astype(jnp.float32),
+          psi_T.im.reshape(shp).astype(jnp.float32),
+          lam.re.reshape(shp).astype(jnp.float32),
+          lam.im.reshape(shp).astype(jnp.float32))
+
+    # reverse of: A0, [B_t, A_merge_t]_{t=0..T-2}, B_{T-1}, A_fin
+    yl, g_fin, _ = Ainv(yl, ud_rows[n_steps - 1], zeros_row)
+    yl, gb_last = Binv(yl, tx_rows[n_steps - 1])
+
+    def body(yl, xs):
+        rowm, rowx_next, rowx_cur = xs
+        yl, gm, ga_next = Ainv(yl, rowm, rowx_next)
+        yl, gb_cur = Binv(yl, rowx_cur)
+        return yl, (gm, ga_next, gb_cur)
+
+    if n_steps > 1:
+        yl, (gm_rows, ga_rows, gb_rows) = jax.lax.scan(
+            body, yl, (merged, tx_rows[1:], tx_rows[:-1]), reverse=True)
+    else:
+        gm_rows = jnp.zeros((0, _LANES), jnp.float32)
+        ga_rows = jnp.zeros((0, _LANES), jnp.float32)
+        gb_rows = jnp.zeros((0, _LANES), jnp.float32)
+    yl, g_a0, ga0_row = Ainv(yl, ud_rows[0], tx_rows[0])
+
+    # ud gradients: merged row s touches ud[s] and ud[s+1]
+    gud = jnp.zeros((n_steps, _LANES), jnp.float32)
+    if n_steps > 1:
+        gud = gud.at[:-1].add(gm_rows)
+        gud = gud.at[1:].add(gm_rows)
+    gud = gud.at[0].add(g_a0)
+    gud = gud.at[n_steps - 1].add(g_fin)
+
+    # rotation gradients: free/lane part from the A pass that consumed
+    # tx_t (A0 for t=0, A_merge_{t-1} for t>=1) + chunk part from B_t;
+    # disjoint lane slots, so rows add
+    gtx = jnp.concatenate([ga0_row[None], ga_rows], axis=0)
+    gtx = jnp.concatenate([gb_rows, gb_last[None]], axis=0) + gtx
+
+    d = 2**n_qubits
+    return (CP(yl[2].reshape(d), yl[3].reshape(d)),
+            gud[:, :ud.shape[1]].astype(ud.dtype),
+            gtx[:, :theta_x.shape[1]].astype(theta_x.dtype),
+            jnp.zeros_like(h0th),
+            np.zeros(signs.shape, dtype=jax.dtypes.float0))
+
+
+chunked_evolve.defvjp(_fwd_ck, _bwd_ck)

@@ -541,9 +541,14 @@ def _make_backward_kernel_b(n_steps, row_rots, lane_rots, fast=False):
                            + l_im[:] * (-sx * x_im + cx * gx_im))
                 nl_re = cx * l_re[:] - sx * g_of(l_re[:])
                 nl_im = cx * l_im[:] - sx * g_of(l_im[:])
-            # rank-2 all the way (Mosaic dislikes rank-1 intermediates)
-            g_rot[j] = jnp.sum(jnp.sum(contrib, axis=2), axis=1,
-                               keepdims=True)  # [B, 1]
+            # rank-2 all the way (Mosaic dislikes rank-1 intermediates);
+            # b=1 reduces to a full scalar — the [1, r] intermediate trips
+            # a Mosaic relayout bug
+            if contrib.shape[0] == 1:
+                g_rot[j] = jnp.sum(contrib)
+            else:
+                g_rot[j] = jnp.sum(jnp.sum(contrib, axis=2), axis=1,
+                                   keepdims=True)  # [B, 1]
             y_re[:] = x_re
             y_im[:] = x_im
             l_re[:] = nl_re
@@ -714,6 +719,461 @@ def _bwd_b(x_qubits, n_qubits, kinds, fast_math, residuals, lam):
 
 
 fused_product_evolve_batched.defvjp(_fwd_b, _bwd_b)
+
+
+# ===========================================================================
+# Packed-phase kernels: the diagonal phase is computed IN-KERNEL from a
+# single int32 sign bit-plane + per-step control scalars, instead of
+# streaming a precomputed [n_steps, (B,) d] angle table from HBM.
+#
+# Any diagonal control row that takes at most TWO distinct values
+# decomposes as  row = c + w * s  with s ∈ {−1, +1} — Pauli-Z strings
+# (ZZ couplers ±1), projectors/number operators (0/1), and Z drives all
+# qualify. Bit k of the packed plane stores s_k(d) < 0; in-kernel
+#     theta(d) = h0_half(d) + Σ_k a_k·s_k(d) + offset
+# with a_k = dt/2·u_k(t)·w_k and offset = dt/2·Σ_k u_k(t)·c_k streamed as
+# ≤ 128 scalars per step. Wins vs the streamed kernels:
+#   - HBM traffic per step drops from 2 state-sized planes (read theta +
+#     write d(theta)) to ~1 KB — the streamed tables were the dominant
+#     bandwidth term (docs/PERFORMANCE.md roofline);
+#   - the XLA-side [n_steps, d] table build + its [n_steps, d] gradient
+#     chain disappear (the kernel returns [n_steps, n_diag+1] directly);
+#   - backward VMEM drops by the 4 double-buffered table planes, and with
+#     HBM-resident boundary buffers (manual DMA at the first/last grid
+#     step) the whole-evolution kernel fits 18-19 qubits — past the
+#     16 MiB wall that capped round 2 at 17 (docs/STATUS.md).
+#
+# The reference hits its scale wall at ~12-13 qubits from dense expm
+# (`/root/reference/diffqc.cc:190-200`); this path trains 19 qubits in one
+# fused kernel on one chip.
+# ===========================================================================
+
+_MAX_PACKED_TERMS = 30  # int32 bit budget (sign bit kept clear)
+
+# Mosaic's DEFAULT scoped-vmem window is 16 MiB, but the v5e core has
+# ~128 MiB of physical VMEM (measured: 120 MiB of live pallas buffers
+# compile and run; see docs/PERFORMANCE.md round 3). Raising
+# vmem_limit_bytes is what lets the whole-evolution kernels carry 18-20
+# qubit states VMEM-resident.
+_VMEM_HW_BYTES = 110 * 2**20
+
+
+def _vmem_params(n_planes: int, b: int, r: int):
+    """compiler_params kwargs for kernels whose working set may exceed the
+    16 MiB default scoped window: ask for the estimated live-buffer bytes
+    (with headroom), capped at the measured hardware budget."""
+    need = n_planes * b * r * _LANES * 4
+    if need <= 14 * 2**20:
+        return {}
+    return {"compiler_params": pltpu.CompilerParams(
+        vmem_limit_bytes=int(min(need * 1.25, _VMEM_HW_BYTES)))}
+
+
+def pack_diag_signs(diag_rows):
+    """Decompose two-valued diagonal rows as ``row_k = c_k + w_k * s_k``
+    with s_k ∈ {−1, +1}; pack the signs bitwise into one int32 vector
+    (bit k set ⇔ s_k < 0). Returns (signs[d] int32, consts[n], scales[n])
+    or None if any row has >2 distinct values or n > 30."""
+    rows = [np.asarray(r, dtype=np.float64) for r in diag_rows]
+    if len(rows) > _MAX_PACKED_TERMS:
+        return None
+    if not rows:
+        return (np.zeros(0, np.int32), np.zeros(0), np.zeros(0))
+    d = rows[0].shape[0]
+    signs = np.zeros(d, np.int32)
+    consts, scales = [], []
+    for k, row in enumerate(rows):
+        lo, hi = float(row.min()), float(row.max())
+        c, w = 0.5 * (hi + lo), 0.5 * (hi - lo)
+        if w == 0.0:
+            s_neg = np.zeros(d, bool)
+        else:
+            s = (row - c) / w
+            if np.max(np.abs(np.abs(s) - 1.0)) > 1e-9:
+                return None  # more than two distinct values
+            s_neg = s < 0
+        consts.append(c)
+        scales.append(w)
+        signs |= (s_neg.astype(np.int32) << k)
+    return signs, np.asarray(consts), np.asarray(scales)
+
+
+def _theta_packed(ud_ref, h0th_ref, signs_ref, n_diag, b, r):
+    """In-kernel per-step diagonal phase: [B, r, 128] from the packed sign
+    plane and the step's ≤128 control scalars (slot n_diag = offset)."""
+    off = ud_ref[0, n_diag]  # [B, 1, 128] lane-replicated offset
+    th = jnp.broadcast_to(h0th_ref[:][None], (b, r, _LANES)) + off
+    p = signs_ref[:]  # [r, 128] int32
+    for k in range(n_diag):
+        a = ud_ref[0, k]  # [B, 1, 128]
+        bit = jnp.bitwise_and(jax.lax.shift_right_logical(p, np.int32(k)),
+                              np.int32(1)).astype(jnp.float32)
+        # a * s_k = a - 2 a bit
+        th = th + a - (2.0 * a) * jnp.broadcast_to(bit[None],
+                                                   (b, r, _LANES))
+    return th
+
+
+def _make_forward_kernel_pk(n_steps, row_rots, lane_rots, n_diag,
+                            fast=False, dma_boundary=False):
+    def kernel(ud_ref, tx_ref, h0th_ref, signs_ref, pin_re, pin_im,
+               perms_ref, out_re, out_im, s_re, s_im, *sems):
+        i = pl.program_id(0)
+
+        @pl.when(i == 0)
+        def _():
+            if dma_boundary:
+                sem = sems[0]
+                c1 = pltpu.make_async_copy(pin_re, s_re, sem.at[0])
+                c2 = pltpu.make_async_copy(pin_im, s_im, sem.at[1])
+                c1.start()
+                c2.start()
+                c1.wait()
+                c2.wait()
+            else:
+                s_re[:] = pin_re[:]
+                s_im[:] = pin_im[:]
+
+        b, r = s_re.shape[0], s_re.shape[1]
+
+        def phase():
+            th = _theta_packed(ud_ref, h0th_ref, signs_ref, n_diag, b, r)
+            c, s = jnp.cos(th), jnp.sin(th)
+            re = c * s_re[:] + s * s_im[:]
+            im = c * s_im[:] - s * s_re[:]
+            s_re[:] = re
+            s_im[:] = im
+
+        def rot(j, kind, g_of):
+            th = tx_ref[0, j]  # [B, 1, 128]
+            c, s = jnp.cos(th), jnp.sin(th)
+            if kind == "x":
+                re = c * s_re[:] + s * g_of(s_im[:])
+                im = c * s_im[:] - s * g_of(s_re[:])
+            else:  # Y
+                re = c * s_re[:] + s * g_of(s_re[:])
+                im = c * s_im[:] + s * g_of(s_im[:])
+            s_re[:] = re
+            s_im[:] = im
+
+        phase()
+        for (j, q, kind) in row_rots:
+            flip = _bflip_row if kind == "x" else _bsflip_row
+            rot(j, kind, lambda v, q=q, f=flip: f(v, q))
+        for li, (j, q, kind) in enumerate(lane_rots):
+            p = perms_ref[li]
+            rot(j, kind, lambda v, p=p: _blane_dot(v, p, fast))
+        phase()
+
+        @pl.when(i == n_steps - 1)
+        def _():
+            if dma_boundary:
+                sem = sems[0]
+                c1 = pltpu.make_async_copy(s_re, out_re, sem.at[2])
+                c2 = pltpu.make_async_copy(s_im, out_im, sem.at[3])
+                c1.start()
+                c2.start()
+                c1.wait()
+                c2.wait()
+            else:
+                out_re[:] = s_re[:]
+                out_im[:] = s_im[:]
+
+    return kernel
+
+
+def _make_backward_kernel_pk(n_steps, row_rots, lane_rots, n_diag,
+                             fast=False, dma_boundary=False):
+    """Packed-phase adjoint: reconstructs the state by inverting each op
+    (O(1) memory in n_steps); per-step diag gradients are reduced in-kernel
+    to the ≤128 control scalars (no [n_steps, d] gradient stream)."""
+
+    def kernel(ud_ref, tx_ref, h0th_ref, signs_ref, pT_re, pT_im,
+               lamT_re, lamT_im, perms_ref, gud_ref, gtx_ref,
+               gp0_re, gp0_im, y_re, y_im, l_re, l_im, *sems):
+        i = pl.program_id(0)  # i-th reversed step
+
+        @pl.when(i == 0)
+        def _():
+            if dma_boundary:
+                sem = sems[0]
+                cps = [pltpu.make_async_copy(pT_re, y_re, sem.at[0]),
+                       pltpu.make_async_copy(pT_im, y_im, sem.at[1]),
+                       pltpu.make_async_copy(lamT_re, l_re, sem.at[2]),
+                       pltpu.make_async_copy(lamT_im, l_im, sem.at[3])]
+                for c in cps:
+                    c.start()
+                for c in cps:
+                    c.wait()
+            else:
+                y_re[:] = pT_re[:]
+                y_im[:] = pT_im[:]
+                l_re[:] = lamT_re[:]
+                l_im[:] = lamT_im[:]
+
+        b, r = y_re.shape[0], y_re.shape[1]
+        p_plane = signs_ref[:]
+
+        def red(v):  # [B, r, 128] → per-seed scalars
+            if v.shape[0] == 1:
+                # b=1: a full scalar reduce — the [1, r] intermediate of
+                # the two-stage reduction trips a Mosaic relayout bug
+                # ("non-singleton dimension replicated in destination")
+                return jnp.sum(v)
+            return jnp.sum(jnp.sum(v, axis=2), axis=1, keepdims=True)
+
+        # per-term diag-gradient accumulators ([B,1] each), two phase
+        # stages per step: gud[k] = S0 − 2·Σ(gth·bit_k), offset slot = S0
+        g_bits = [None] * n_diag
+        g_s0 = [None]
+
+        def undo_phase():
+            th = _theta_packed(ud_ref, h0th_ref, signs_ref, n_diag, b, r)
+            c, s = jnp.cos(th), jnp.sin(th)
+            # dL/dth at the OUTPUT side of the phase op
+            gth = l_re[:] * y_im[:] - l_im[:] * y_re[:]
+            s0 = red(gth)
+            g_s0[0] = s0 if g_s0[0] is None else g_s0[0] + s0
+            for k in range(n_diag):
+                bit = jnp.bitwise_and(jax.lax.shift_right_logical(p_plane, np.int32(k)),
+                                      np.int32(1)).astype(jnp.float32)
+                sk = red(gth * jnp.broadcast_to(bit[None], (b, r, _LANES)))
+                g_bits[k] = sk if g_bits[k] is None else g_bits[k] + sk
+            # x = e^{+i th} y ; lam_x = e^{+i th} lam_y
+            re = c * y_re[:] - s * y_im[:]
+            im = s * y_re[:] + c * y_im[:]
+            y_re[:] = re
+            y_im[:] = im
+            re = c * l_re[:] - s * l_im[:]
+            im = s * l_re[:] + c * l_im[:]
+            l_re[:] = re
+            l_im[:] = im
+
+        g_rot = {}
+
+        def undo_rot(j, kind, g_of):
+            thx = tx_ref[0, j]  # [B, 1, 128]
+            cx, sx = jnp.cos(thx), jnp.sin(thx)
+            if kind == "x":
+                gy_re = g_of(y_re[:])
+                gy_im = g_of(y_im[:])
+                x_re = cx * y_re[:] - sx * gy_im
+                x_im = cx * y_im[:] + sx * gy_re
+                gx_re = g_of(x_re)
+                gx_im = g_of(x_im)
+                contrib = (l_re[:] * (-sx * x_re + cx * gx_im)
+                           + l_im[:] * (-sx * x_im - cx * gx_re))
+                nl_re = cx * l_re[:] - sx * g_of(l_im[:])
+                nl_im = cx * l_im[:] + sx * g_of(l_re[:])
+            else:  # Y: inverse = transpose = c I − s K (same map for x, lam)
+                x_re = cx * y_re[:] - sx * g_of(y_re[:])
+                x_im = cx * y_im[:] - sx * g_of(y_im[:])
+                gx_re = g_of(x_re)
+                gx_im = g_of(x_im)
+                contrib = (l_re[:] * (-sx * x_re + cx * gx_re)
+                           + l_im[:] * (-sx * x_im + cx * gx_im))
+                nl_re = cx * l_re[:] - sx * g_of(l_re[:])
+                nl_im = cx * l_im[:] - sx * g_of(l_im[:])
+            g_rot[j] = red(contrib)
+            y_re[:] = x_re
+            y_im[:] = x_im
+            l_re[:] = nl_re
+            l_im[:] = nl_im
+
+        undo_phase()  # trailing half-phase
+        for li in range(len(lane_rots) - 1, -1, -1):
+            j, q, kind = lane_rots[li]
+            p = perms_ref[li]
+            undo_rot(j, kind, lambda v, p=p: _blane_dot(v, p, fast))
+        for (j, q, kind) in reversed(row_rots):
+            flip = _bflip_row if kind == "x" else _bsflip_row
+            undo_rot(j, kind, lambda v, q=q, f=flip: f(v, q))
+        undo_phase()  # leading half-phase
+
+        lane_ids = jax.lax.broadcasted_iota(jnp.int32, (b, _LANES), 1)
+        row = jnp.zeros((b, _LANES), jnp.float32)
+        s0 = g_s0[0]
+        for k in range(n_diag):
+            row = jnp.where(lane_ids == k, s0 - 2.0 * g_bits[k], row)
+        row = jnp.where(lane_ids == n_diag, s0, row)
+        gud_ref[0] = row
+
+        rrow = jnp.zeros((b, _LANES), jnp.float32)
+        for j, g in g_rot.items():
+            rrow = jnp.where(lane_ids == j, g, rrow)
+        gtx_ref[0] = rrow
+
+        @pl.when(i == n_steps - 1)
+        def _():
+            if dma_boundary:
+                sem = sems[0]
+                c1 = pltpu.make_async_copy(l_re, gp0_re, sem.at[0])
+                c2 = pltpu.make_async_copy(l_im, gp0_im, sem.at[1])
+                c1.start()
+                c2.start()
+                c1.wait()
+                c2.wait()
+            else:
+                gp0_re[:] = l_re[:]
+                gp0_im[:] = l_im[:]
+
+    return kernel
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8))
+def fused_product_evolve_packed(psi0: CP, ud: jnp.ndarray,
+                                theta_x: jnp.ndarray, h0th: jnp.ndarray,
+                                signs: jnp.ndarray, x_qubits: tuple,
+                                n_qubits: int, kinds: tuple = None,
+                                fast_math: bool = False) -> CP:
+    """Fused evolution with IN-KERNEL diagonal phases (packed-sign form).
+
+    psi0: CP [B, 2^n]; ud: [n_steps, B, n_diag+1] per-step scaled diag
+    controls (slot k = dt/2·u_k·w_k, last slot = the scalar offset
+    dt/2·Σ u_k·c_k); theta_x: [n_steps, B, n_x] rotation angles; h0th:
+    [2^n] f32 drift half-angles dt/2·h0 (constant per problem, zero
+    cotangent); signs: [2^n] int32 packed sign bits from
+    :func:`pack_diag_signs` (integer — float0 cotangent)."""
+    return _forward_pk(psi0, ud, theta_x, h0th, signs, x_qubits, n_qubits,
+                       kinds, fast_math)
+
+
+def _pk_common(ud, theta_x, x_qubits, kinds, n_qubits):
+    kinds = kinds or ("x",) * len(x_qubits)
+    n_steps, b, n_slots = ud.shape
+    row_rots, lane_rots = _split_qubits(x_qubits, kinds, n_qubits)
+    perms = _perm_stack(lane_rots, n_qubits)
+    return n_steps, b, n_slots - 1, row_rots, lane_rots, perms
+
+
+def _forward_pk(psi0, ud, theta_x, h0th, signs, x_qubits, n_qubits,
+                kinds=None, fast_math=False):
+    n_steps, b, n_diag, row_rots, lane_rots, perms = _pk_common(
+        ud, theta_x, x_qubits, kinds, n_qubits)
+    d = h0th.shape[-1]
+    r = d // _LANES
+    interp = jax.default_backend() == "cpu"
+    dma = n_qubits >= 18 and not interp
+    kernel = _make_forward_kernel_pk(n_steps, row_rots, lane_rots, n_diag,
+                                     fast_math, dma)
+    n_x = max(theta_x.shape[2], 1)
+    bspace = pl.ANY if dma else pltpu.VMEM
+    state_spec = pl.BlockSpec((b, r, _LANES), lambda i: (0, 0, 0),
+                              memory_space=bspace)
+    scratch = [pltpu.VMEM((b, r, _LANES), jnp.float32),
+               pltpu.VMEM((b, r, _LANES), jnp.float32)]
+    if dma:
+        scratch.append(pltpu.SemaphoreType.DMA((4,)))
+    out_re, out_im = pl.pallas_call(
+        kernel,
+        grid=(n_steps,),
+        in_specs=[
+            pl.BlockSpec((1, n_diag + 1, b, 1, _LANES),
+                         lambda i: (i, 0, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n_x, b, 1, _LANES),
+                         lambda i: (i, 0, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((r, _LANES), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((r, _LANES), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            state_spec, state_spec,
+            pl.BlockSpec(perms.shape, lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(state_spec, state_spec),
+        out_shape=(jax.ShapeDtypeStruct((b, r, _LANES), jnp.float32),
+                   jax.ShapeDtypeStruct((b, r, _LANES), jnp.float32)),
+        scratch_shapes=scratch,
+        interpret=interp,
+        **_vmem_params(6 if dma else 10, b, r),
+    )(_pad_tx_b(ud),
+      _pad_tx_b(theta_x),
+      h0th.reshape(r, _LANES).astype(jnp.float32),
+      signs.reshape(r, _LANES),
+      psi0.re.reshape(b, r, _LANES).astype(jnp.float32),
+      psi0.im.reshape(b, r, _LANES).astype(jnp.float32),
+      jnp.asarray(perms))
+    return CP(out_re.reshape(b, d), out_im.reshape(b, d))
+
+
+def _fwd_pk(psi0, ud, theta_x, h0th, signs, x_qubits, n_qubits, kinds=None,
+            fast_math=False):
+    out = _forward_pk(psi0, ud, theta_x, h0th, signs, x_qubits, n_qubits,
+                      kinds, fast_math)
+    return out, (out, ud, theta_x, h0th, signs)
+
+
+def _bwd_pk(x_qubits, n_qubits, kinds, fast_math, residuals, lam):
+    psi_T, ud, theta_x, h0th, signs = residuals
+    n_steps, b, n_diag, row_rots, lane_rots, perms = _pk_common(
+        ud, theta_x, x_qubits, kinds, n_qubits)
+    d = h0th.shape[-1]
+    r = d // _LANES
+    interp = jax.default_backend() == "cpu"
+    dma = n_qubits >= 18 and not interp
+    kernel = _make_backward_kernel_pk(n_steps, row_rots, lane_rots, n_diag,
+                                      fast_math, dma)
+    n_x = max(theta_x.shape[2], 1)
+    rev5 = lambda i: (n_steps - 1 - i, 0, 0, 0, 0)  # noqa: E731
+    rev3 = lambda i: (n_steps - 1 - i, 0, 0)  # noqa: E731
+    bspace = pl.ANY if dma else pltpu.VMEM
+    state_spec = pl.BlockSpec((b, r, _LANES), lambda i: (0, 0, 0),
+                              memory_space=bspace)
+    scratch = [pltpu.VMEM((b, r, _LANES), jnp.float32),
+               pltpu.VMEM((b, r, _LANES), jnp.float32),
+               pltpu.VMEM((b, r, _LANES), jnp.float32),
+               pltpu.VMEM((b, r, _LANES), jnp.float32)]
+    if dma:
+        scratch.append(pltpu.SemaphoreType.DMA((4,)))
+    gud, gtx, gp_re, gp_im = pl.pallas_call(
+        kernel,
+        grid=(n_steps,),
+        in_specs=[
+            pl.BlockSpec((1, n_diag + 1, b, 1, _LANES), rev5,
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n_x, b, 1, _LANES), rev5,
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((r, _LANES), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((r, _LANES), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            state_spec, state_spec, state_spec, state_spec,
+            pl.BlockSpec(perms.shape, lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, b, _LANES), rev3, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, b, _LANES), rev3, memory_space=pltpu.VMEM),
+            state_spec, state_spec,
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((n_steps, b, _LANES), jnp.float32),
+            jax.ShapeDtypeStruct((n_steps, b, _LANES), jnp.float32),
+            jax.ShapeDtypeStruct((b, r, _LANES), jnp.float32),
+            jax.ShapeDtypeStruct((b, r, _LANES), jnp.float32),
+        ),
+        scratch_shapes=scratch,
+        interpret=interp,
+        **_vmem_params(12 if dma else 18, b, r),
+    )(_pad_tx_b(ud),
+      _pad_tx_b(theta_x),
+      h0th.reshape(r, _LANES).astype(jnp.float32),
+      signs.reshape(r, _LANES),
+      psi_T.re.reshape(b, r, _LANES).astype(jnp.float32),
+      psi_T.im.reshape(b, r, _LANES).astype(jnp.float32),
+      lam.re.reshape(b, r, _LANES).astype(jnp.float32),
+      lam.im.reshape(b, r, _LANES).astype(jnp.float32),
+      jnp.asarray(perms))
+    return (CP(gp_re.reshape(b, d), gp_im.reshape(b, d)),
+            gud[:, :, :ud.shape[2]].astype(ud.dtype),
+            gtx[:, :, :theta_x.shape[2]].astype(theta_x.dtype),
+            jnp.zeros_like(h0th),
+            np.zeros(signs.shape, dtype=jax.dtypes.float0))
+
+
+fused_product_evolve_packed.defvjp(_fwd_pk, _bwd_pk)
 
 
 def fused_rot_block(psi: CP, theta_x: jnp.ndarray, x_qubits: tuple,

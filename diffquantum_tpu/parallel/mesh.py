@@ -160,24 +160,43 @@ def train_energy_seeds(
     if use_mc:
         from ..gradients.mc import mc_energy_grad
 
-        # under a mesh, 'auto' must not route to the fused Pallas kernel:
-        # a pallas_call is not auto-shardable by GSPMD (see the shard_map
-        # comment above), so the vmapped estimator would replicate instead
-        # of partitioning — use the XLA product path for structured hams
-        mc_backend = config.backend
-        if mesh is not None and config.backend == "auto" \
-                and ham.structure is not None:
-            mc_backend = "product"
-
         def seed_mc_grad(c, p, k):
             return mc_energy_grad(ham, envelope, measurement, c, p, T, k,
-                                  config.n_step, backend=mc_backend,
+                                  config.n_step, backend=config.backend,
                                   chain=config.mc_chain,
                                   sampling=config.sampling_measure,
                                   noisy=config.is_noisy,
                                   per_pauli=config.per_pauli,
                                   precision=config.precision,
                                   t_sample=config.t_sample)
+
+        # Under a mesh, a pallas_call is not auto-shardable by GSPMD (a
+        # vmapped estimator would replicate instead of partitioning), so
+        # the hardware-realistic MC estimator gets the SAME shard_map
+        # treatment as the adjoint energies: each device runs the (vmapped,
+        # fused-kernel) estimator on ITS seed shard. Gradients are
+        # per-seed outputs (no cross-seed terms), so out_specs shard
+        # cleanly over the data axis.
+        mc_sharded = (mesh is not None
+                      and n_seeds % mesh.shape[data_axis] == 0)
+        if mc_sharded:
+            from jax import shard_map
+            cspec = P(*((data_axis,) + (None,) * (coeffs.ndim - 1)))
+
+            def _local_mc(cs_l, pre_l, pim_l, ks_l):
+                return jax.vmap(lambda c, pr, pi, k: seed_mc_grad(
+                    c, CP(pr, pi), k))(cs_l, pre_l, pim_l, ks_l)
+
+            def batch_mc_grads(cs, ks):
+                return shard_map(
+                    _local_mc, mesh=mesh,
+                    in_specs=(cspec, P(data_axis, None), P(data_axis, None),
+                              P(data_axis)),
+                    out_specs=cspec, check_vma=False,
+                )(cs, psi_batch.re, psi_batch.im, ks)
+        else:
+            def batch_mc_grads(cs, ks):
+                return jax.vmap(seed_mc_grad)(cs, psi_batch, ks)
 
     def one_step(cs, opt_state, key):
         # sum over seeds decouples: the gradient retains per-seed blocks,
@@ -186,8 +205,7 @@ def train_energy_seeds(
         if use_mc:
             energies = batch_energies(cs)
             keys = jax.random.split(key, n_seeds)
-            g = jax.vmap(seed_mc_grad)(cs, psi_batch, keys)
-            g = g.astype(cs.dtype)
+            g = batch_mc_grads(cs, keys).astype(cs.dtype)
         else:
             def total(c):
                 e = batch_energies(c)

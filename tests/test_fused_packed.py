@@ -1,0 +1,188 @@
+"""Packed-phase fused kernels: in-kernel diagonal phases from one int32
+sign bit-plane (ops/fused_product.py packed variants) vs the XLA product
+backend — decomposition unit tests, 10q parity, the 18-19 qubit sizes the
+streamed kernels could not fit, and the streamed fallback for non-packable
+diagonals (interpret mode on CPU; real-chip coverage in tpu_tests)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from diffquantum_tpu.dynamics.hamiltonian import (ControlledHamiltonian,
+                                                  TermStructure)
+from diffquantum_tpu.dynamics.product import (evolve_product,
+                                              evolve_product_fused,
+                                              fused_eligible)
+from diffquantum_tpu.models import maxcut
+from diffquantum_tpu.ops import cpx, linalg
+from diffquantum_tpu.ops.fused_product import pack_diag_signs
+from diffquantum_tpu.pulses.envelope import SimpleEnvelope
+
+
+def test_pack_diag_signs_decomposition():
+    rows = [np.array([1.0, -1.0, -1.0, 1.0]),     # Pauli ZZ: c=0, w=1
+            np.array([0.0, 1.0, 0.0, 1.0]),       # number op: c=w=0.5
+            np.array([3.0, 3.0, 3.0, 3.0])]       # constant: w=0
+    out = pack_diag_signs(rows)
+    assert out is not None
+    signs, consts, scales = out
+    np.testing.assert_allclose(consts, [0.0, 0.5, 3.0])
+    np.testing.assert_allclose(scales, [1.0, 0.5, 0.0])
+    # reconstruct each row from c + w * (1 - 2*bit)
+    for k, row in enumerate(rows):
+        s = 1.0 - 2.0 * ((signs >> k) & 1)
+        np.testing.assert_allclose(consts[k] + scales[k] * s, row)
+
+
+def test_pack_diag_signs_rejects():
+    assert pack_diag_signs([np.array([0.0, 1.0, 2.0, 1.0])]) is None
+    many = [np.array([1.0, -1.0])] * 31
+    assert pack_diag_signs(many) is None
+    signs, consts, scales = pack_diag_signs([])
+    assert signs.size == 0 and consts.size == 0
+
+
+def _loss_fns(prob, n_steps):
+    def f(evolver):
+        def loss(c):
+            psi = evolver(prob.ham, prob.envelope, c, prob.psi0, 0.0,
+                          prob.T, horizon=prob.T, n_steps=n_steps)
+            return jnp.sum(cpx.abs2(psi) * prob.measurement.diag, axis=-1)
+        return loss
+    return f(evolve_product_fused), f(evolve_product)
+
+
+@pytest.mark.parametrize("n", [18, 19])
+def test_packed_18_19q_matches_xla(n):
+    """The sizes past the streamed kernels' VMEM wall: packed phases +
+    HBM-resident boundary buffers (boundary DMA is a no-op in interpret
+    mode on CPU; the real-chip path is covered by tpu_tests)."""
+    prob = maxcut.build_maxcut(n, maxcut.ring_graph(n), n_basis=4,
+                               dense=False)
+    assert fused_eligible(prob.ham)
+    rng = np.random.default_rng(n)
+    coeff = jnp.asarray(
+        rng.standard_normal(prob.envelope.coeff_shape).astype(np.float32)
+        * 0.3)
+    n_steps = 4
+    loss_f, loss_x = _loss_fns(prob, n_steps)
+    v_f, g_f = jax.value_and_grad(loss_f)(coeff)
+    v_x, g_x = jax.value_and_grad(loss_x)(coeff)
+    assert abs(float(v_f) - float(v_x)) < 1e-5
+    np.testing.assert_allclose(np.asarray(g_f), np.asarray(g_x),
+                               rtol=2e-3, atol=2e-5)
+
+
+def _custom_problem(rows_fn, n=10):
+    """10q problem with custom diagonal control rows + X drives."""
+    d = 2**n
+    structure = [TermStructure(kind="diag", diag=r) for r in rows_fn(n)]
+    omegas = [np.pi] * len(structure)
+    for q in range(n):
+        structure.append(TermStructure(kind="1q", qubit=q, local=linalg.X))
+        omegas.append(np.pi)
+    ham = ControlledHamiltonian.create_structured(
+        d, tuple(structure),
+        h0_structure=TermStructure(kind="diag",
+                                   diag=np.linspace(-1, 1, d)),
+        dtype=jnp.float32)
+    env = SimpleEnvelope(basis="bspline", n_basis=4, omegas=tuple(omegas))
+    rng = np.random.default_rng(5)
+    coeff = jnp.asarray(rng.standard_normal(env.coeff_shape)
+                        .astype(np.float32) * 0.3)
+    psi0 = cpx.from_complex(linalg.uniform_superposition(n), jnp.float32)
+    meas_diag = jnp.asarray(np.linspace(0, 1, d), jnp.float32)
+    return ham, env, coeff, psi0, meas_diag
+
+
+def _parity(ham, env, coeff, psi0, meas_diag, T=2.0, n_steps=6):
+    def f(evolver):
+        def loss(c):
+            psi = evolver(ham, env, c, psi0, 0.0, T, horizon=T,
+                          n_steps=n_steps)
+            return jnp.sum(cpx.abs2(psi) * meas_diag, axis=-1)
+        return loss
+    v_f, g_f = jax.value_and_grad(f(evolve_product_fused))(coeff)
+    v_x, g_x = jax.value_and_grad(f(evolve_product))(coeff)
+    assert abs(float(v_f) - float(v_x)) < 1e-5
+    np.testing.assert_allclose(np.asarray(g_f), np.asarray(g_x),
+                               rtol=2e-3, atol=2e-5)
+
+
+def test_packed_two_valued_rows():
+    """{0,1} projector-style diagonals (c=w=0.5) and a nonzero drift
+    diagonal pack correctly — values and gradients match XLA."""
+    def rows(n):
+        d = 2**n
+        num0 = np.kron([1.0, 0.0], np.ones(d // 2))     # |0><0| on qubit 0
+        zz = linalg.zz_diagonal(n, 0, 1)
+        return [num0, zz]
+
+    args = _custom_problem(rows)
+    assert pack_diag_signs([np.asarray(st.diag) for st in args[0].structure
+                            if st.kind == "diag"]) is not None
+    _parity(*args)
+
+
+def test_streamed_fallback_three_valued_rows():
+    """A 3-valued diagonal row cannot pack — the wrapper must fall back to
+    the streamed-table kernels and still match XLA."""
+    def rows(n):
+        d = 2**n
+        r = np.zeros(d)
+        r[: d // 4] = 2.0
+        r[d // 4: d // 2] = 1.0
+        return [r, linalg.zz_diagonal(n, 2, 3)]
+
+    args = _custom_problem(rows)
+    assert pack_diag_signs([np.asarray(st.diag) for st in args[0].structure
+                            if st.kind == "diag"]) is None
+    _parity(*args)
+
+
+def test_packed_batched_per_seed():
+    """Batched packed kernel: per-seed coefficients, values + summed-energy
+    gradients vs vmapped XLA product."""
+    prob = maxcut.build_maxcut(10, maxcut.ring_graph(10), n_basis=4,
+                               dense=False)
+    rng = np.random.default_rng(7)
+    b, n_steps = 3, 6
+    coeffs = jnp.asarray(rng.standard_normal(
+        (b,) + prob.envelope.coeff_shape).astype(np.float32) * 0.3)
+    batch = jax.tree_util.tree_map(lambda x: jnp.stack([x] * b), prob.psi0)
+
+    def loss_f(cs):
+        psi = evolve_product_fused(prob.ham, prob.envelope, cs, batch, 0.0,
+                                   prob.T, horizon=prob.T, n_steps=n_steps)
+        return jnp.sum(cpx.abs2(psi) * prob.measurement.diag)
+
+    def loss_x(cs):
+        psi = jax.vmap(lambda c, p: evolve_product(
+            prob.ham, prob.envelope, c, p, 0.0, prob.T, horizon=prob.T,
+            n_steps=n_steps))(cs, batch)
+        return jnp.sum(cpx.abs2(psi) * prob.measurement.diag)
+
+    v_f, g_f = jax.value_and_grad(loss_f)(coeffs)
+    v_x, g_x = jax.value_and_grad(loss_x)(coeffs)
+    assert abs(float(v_f) - float(v_x)) < 1e-5
+    np.testing.assert_allclose(np.asarray(g_f), np.asarray(g_x),
+                               rtol=2e-3, atol=2e-5)
+
+
+def test_fused_eligible_18q_requires_packable():
+    """18-19q eligibility is conditional on the packed-phase form."""
+    prob = maxcut.build_maxcut(18, maxcut.ring_graph(18), n_basis=4,
+                               dense=False)
+    assert fused_eligible(prob.ham)
+
+    n, d = 18, 2**18
+    r = np.zeros(d)
+    r[: d // 4] = 2.0
+    r[d // 4: d // 2] = 1.0
+    structure = (TermStructure(kind="diag", diag=r),
+                 TermStructure(kind="1q", qubit=0, local=linalg.X))
+    ham = ControlledHamiltonian.create_structured(
+        d, structure, h0_structure=TermStructure(kind="diag",
+                                                 diag=np.zeros(d)),
+        dtype=jnp.float32)
+    assert not fused_eligible(ham)

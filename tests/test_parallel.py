@@ -156,3 +156,38 @@ def test_train_energy_seeds_meshed_fused_kernel():
     np.testing.assert_allclose(np.asarray(res_f.coeffs),
                                np.asarray(res_x.coeffs), rtol=1e-3,
                                atol=1e-5)
+
+
+def test_train_energy_seeds_meshed_fused_mc():
+    """Round-3: the MC estimator (the paper's hardware-realistic mode) is
+    shard_mapped over the data axis with the FUSED kernels inside — it
+    previously degraded to the XLA product path under a mesh. Identical
+    RNG streams ⇒ the meshed-fused run must match (a) the meshed XLA
+    product run and (b) the single-device fused run."""
+    n = 10
+    prob = maxcut.build_maxcut(n, maxcut.ring_graph(n), n_basis=4,
+                               dense=False)
+    mesh = make_mesh({"data": 4})
+    cfg = TrainConfig(n_epoch=3, lr=5e-2, per_step=2, seed=11,
+                      grad_mode="mc", n_step=8)
+    res_f = train_energy_seeds(prob.ham, prob.envelope, prob.measurement,
+                               prob.psi0, prob.T,
+                               cfg.replace(backend="product_fused"),
+                               n_seeds=8, mesh=mesh)
+    res_x = train_energy_seeds(prob.ham, prob.envelope, prob.measurement,
+                               prob.psi0, prob.T,
+                               cfg.replace(backend="product"),
+                               n_seeds=8, mesh=mesh)
+    res_1 = train_energy_seeds(prob.ham, prob.envelope, prob.measurement,
+                               prob.psi0, prob.T,
+                               cfg.replace(backend="product_fused"),
+                               n_seeds=8, mesh=None)
+    np.testing.assert_allclose(res_f.losses, res_x.losses, rtol=1e-4,
+                               atol=1e-5)
+    # kernel-vs-XLA op ordering drifts coeffs at f32 roundoff, amplified
+    # over epochs through the sigmoid chain — looser than the loss check
+    np.testing.assert_allclose(np.asarray(res_f.coeffs),
+                               np.asarray(res_x.coeffs), rtol=2e-2,
+                               atol=3e-4)
+    np.testing.assert_allclose(res_f.losses, res_1.losses, rtol=1e-4,
+                               atol=1e-5)

@@ -180,6 +180,79 @@ def test_fast_precision_close_to_full_and_unitary():
     assert abs(float(cpx.norm2(psi)) - 1.0) < 5e-3
 
 
+def test_packed_18q_and_19q_on_chip():
+    """Round-3 scale frontier: the packed-phase kernels (in-kernel diagonal
+    phases from one int32 sign bit-plane + HBM-resident boundary buffers
+    via manual DMA) carry 18/19-qubit whole-evolution chains that the
+    streamed kernels could not fit in VMEM. Compiles the REAL Mosaic
+    lowering of the int32 shift/and sign unpacking and the
+    pltpu.make_async_copy boundary path, and cross-checks values+grads
+    against the XLA product engine on chip. 20 qubits = the raised
+    scoped-vmem ceiling (~128 MiB physical VMEM, measured)."""
+    for n in (18, 19, 20):
+        prob = maxcut.build_maxcut(n, maxcut.ring_graph(n), n_basis=4,
+                                   dense=False)
+        f_fused, f_xla = _energy_fns(prob, 8)
+        c = _coeff(prob.envelope, seed=n)
+        vf, gf = jax.jit(jax.value_and_grad(f_fused))(c)
+        vx, gx = jax.jit(jax.value_and_grad(f_xla))(c)
+        np.testing.assert_allclose(float(vf), float(vx), rtol=1e-5,
+                                   atol=1e-6)
+        np.testing.assert_allclose(np.asarray(gf), np.asarray(gx),
+                                   rtol=1e-3, atol=1e-4)
+
+
+def test_chunked_21q_on_chip():
+    """The chunked HBM-state engine (two Pallas passes per Strang step,
+    state streamed through VMEM slabs) at 21 qubits — past the VMEM
+    ceiling entirely. Values + grads vs the XLA product backend on chip."""
+    prob = maxcut.build_maxcut(21, maxcut.ring_graph(21), n_basis=4,
+                               dense=False)
+    f_fused, f_xla = _energy_fns(prob, 6)
+    c = _coeff(prob.envelope, seed=21)
+    vf, gf = jax.jit(jax.value_and_grad(f_fused))(c)
+    vx, gx = jax.jit(jax.value_and_grad(f_xla))(c)
+    np.testing.assert_allclose(float(vf), float(vx), rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(gf), np.asarray(gx),
+                               rtol=1e-3, atol=1e-4)
+
+
+def test_streamed_fallback_non_packable_on_chip():
+    """A 3-valued diagonal row cannot pack into the sign bit-plane — the
+    wrapper must keep using the streamed-table kernels (the pre-round-3
+    path) on chip."""
+    n, d = 10, 2**10
+    r0 = np.zeros(d)
+    r0[: d // 4] = 2.0
+    r0[d // 4: d // 2] = 1.0
+    structure = [TermStructure(kind="diag", diag=r0)]
+    omegas = [np.pi]
+    for q in range(n):
+        structure.append(TermStructure(kind="1q", qubit=q, local=linalg.X))
+        omegas.append(np.pi)
+    ham = ControlledHamiltonian.create_structured(
+        d, tuple(structure),
+        h0_structure=TermStructure(kind="diag", diag=np.zeros(d)),
+        dtype=jnp.float32)
+    env = SimpleEnvelope(basis="bspline", n_basis=4, omegas=tuple(omegas))
+    c = _coeff(env, seed=2)
+    psi0 = cpx.from_complex(linalg.uniform_superposition(n), jnp.float32)
+    w = jnp.asarray(np.random.default_rng(4).standard_normal(d), jnp.float32)
+
+    def e(evolver):
+        def f(cc):
+            psi = evolver(ham, env, cc, psi0, 0.0, 2.0, horizon=2.0,
+                          n_steps=12)
+            return jnp.sum(cpx.abs2(psi) * w, axis=-1)
+        return f
+
+    vf, gf = jax.jit(jax.value_and_grad(e(evolve_product_fused)))(c)
+    vx, gx = jax.jit(jax.value_and_grad(e(evolve_product)))(c)
+    np.testing.assert_allclose(float(vf), float(vx), rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(gf), np.asarray(gx),
+                               rtol=1e-3, atol=1e-4)
+
+
 def test_strings_measurement_and_tfim_on_chip():
     """Matrix-free Pauli-string expectation (XOR gathers + parity signs)
     on the real chip, cross-checked against the diagonal+1q decomposition
