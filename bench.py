@@ -225,6 +225,80 @@ def main():
     except Exception as e:
         print(f"stretch bench failed: {e}", file=sys.stderr)
 
+    # round-3 scale frontier: 18q (packed VMEM kernel, past the round-2
+    # 17q wall) and 20q (the raised scoped-vmem ceiling); amortized over
+    # a chained scan like the headline
+    for nq, chain_n, label in ((18, 20, "fused18q_grad_step"),
+                               (20, 10, "fused20q_grad_step")):
+        try:
+            prob_n = maxcut.build_maxcut(nq, maxcut.ring_graph(nq),
+                                         n_basis=6, dense=False)
+            ns_n = reference_n_steps(per_step, 0.0, prob_n.T)
+
+            def loss_n(c, _p=prob_n, _ns=ns_n):
+                psi = evolve_product_fused(_p.ham, _p.envelope, c, _p.psi0,
+                                           0.0, _p.T, horizon=_p.T,
+                                           n_steps=_ns)
+                return jnp.sum(cpx.abs2(psi) * _p.measurement.diag, axis=-1)
+
+            c_n = jnp.asarray(rng.standard_normal(
+                prob_n.envelope.coeff_shape).astype(np.float32) * 1e-3)
+            per_n, _ = amortized_step_latency(
+                jax.value_and_grad(loss_n), c_n, chain=chain_n, n_runs=6)
+            print(json.dumps({"metric": label,
+                              "value": round(per_n * 1e3, 3),
+                              "unit": f"ms ({nq}q full pulse-grad step)"}),
+                  file=sys.stderr)
+        except Exception as e:
+            print(f"{label} bench failed: {e}", file=sys.stderr)
+
+    # channel (carrier / two-quadrature, IBM-pulse-style) model end-to-end:
+    # 12q structured ring driven through per-control carriers
+    try:
+        from diffquantum_tpu.dynamics.hamiltonian import TermStructure
+        from diffquantum_tpu.ops import linalg as _lin
+        from diffquantum_tpu.pulses.envelope import ChannelEnvelope
+        nch = 12
+        dch = 2**nch
+        edges = [(i, (i + 1) % nch) for i in range(nch)]
+        structure, nested = [], []
+        cost = np.zeros(dch)
+        for idx, (i, j) in enumerate(edges):
+            diag = _lin.zz_diagonal(nch, i, j)
+            cost += -0.5 * (1.0 - diag)
+            structure.append(TermStructure(kind="diag", diag=diag))
+            nested.append([[0.0, np.pi, 0.7 * idx, idx]])
+        for q in range(nch):
+            structure.append(TermStructure(kind="1q", qubit=q,
+                                           local=_lin.X))
+            nested.append([[0.0, np.pi, 3.0 + 0.5 * q, len(edges) + q]])
+        ham_ch = __import__(
+            "diffquantum_tpu.dynamics.hamiltonian",
+            fromlist=["ControlledHamiltonian"]).ControlledHamiltonian \
+            .create_structured(
+                dch, tuple(structure),
+                h0_structure=TermStructure(kind="diag", diag=np.zeros(dch)),
+                dtype=jnp.float32)
+        env_ch = ChannelEnvelope.from_rows(nested, n_basis=6, func_type=0)
+        psi_ch = prob.psi0  # same 12q uniform superposition
+        cost_j = jnp.asarray(cost, jnp.float32)
+
+        def loss_ch(vv):
+            psi = evolve_product_fused(ham_ch, env_ch, vv, psi_ch, 0.0,
+                                       2.0, horizon=2.0, n_steps=n_steps)
+            return jnp.sum(cpx.abs2(psi) * cost_j, axis=-1)
+
+        vv0 = jnp.asarray(rng.standard_normal(
+            env_ch.coeff_shape).astype(np.float32) * 1e-3)
+        per_ch, _ = amortized_step_latency(
+            jax.value_and_grad(loss_ch), vv0, chain=100, n_runs=8)
+        print(json.dumps({"metric": "channel12q_grad_step",
+                          "value": round(per_ch * 1e3, 3),
+                          "unit": "ms (carrier/2-quadrature pulse model)"}),
+              file=sys.stderr)
+    except Exception as e:
+        print(f"channel bench failed: {e}", file=sys.stderr)
+
     print(json.dumps({
         "metric": "qaoa12_pulse_grad_step_latency",
         "value": round(ms, 3),

@@ -36,6 +36,11 @@ def main():
     p.add_argument("--lr", type=float, default=5e-2)
     p.add_argument("--T", type=float, default=5.0)
     p.add_argument("--n-basis", type=int, default=8)
+    p.add_argument("--sampled", action="store_true",
+                   help="hardware-realistic mode: MC gradients + "
+                        "finite-shot grouped (QWC) Pauli measurement")
+    p.add_argument("--shots", type=int, default=200,
+                   help="shots per QWC measurement setting (--sampled)")
     args = p.parse_args()
 
     coords = [(0.0, 0.0, i * args.r) for i in range(args.atoms)]
@@ -52,9 +57,25 @@ def main():
     print(f"RHF: {e_rhf:.6f} Ha   FCI: {e_fci:.6f} Ha   "
           f"(correlation {1000 * (e_rhf - e_fci):.1f} mHa)")
 
-    cfg = TrainConfig(n_basis=args.n_basis, n_epoch=args.epochs, lr=args.lr,
-                      grad_mode="adjoint", seed=0, lr_schedule="cosine",
-                      t_sample="mid")
+    if args.sampled:
+        # the full hardware pipeline: unbiased MC pulse gradients
+        # (forward evolutions + measurements only) with finite-shot
+        # grouped Pauli estimation — the QWC families share one basis
+        # rotation + one shot batch per setting (measure.py::qwc_groups)
+        from diffquantum_tpu.measure import qwc_groups
+        st = prob.measurement.strings
+        n_groups = len(qwc_groups(st.flips, st.yz_masks))
+        print(f"sampled mode: {st.n_terms} Pauli terms -> {n_groups} QWC "
+              f"measurement settings x {args.shots} shots")
+        cfg = TrainConfig(n_basis=args.n_basis, n_epoch=args.epochs,
+                          lr=args.lr, grad_mode="mc", seed=0,
+                          lr_schedule="cosine", t_sample="mid",
+                          sampling_measure=True, per_pauli=args.shots,
+                          n_step=40)
+    else:
+        cfg = TrainConfig(n_basis=args.n_basis, n_epoch=args.epochs,
+                          lr=args.lr, grad_mode="adjoint", seed=0,
+                          lr_schedule="cosine", t_sample="mid")
     res = train_energy_seeds(prob.ham, prob.envelope, prob.measurement,
                              prob.psi0, prob.T, cfg, n_seeds=args.seeds)
     e_vqe = float(res.best_loss) + prob.e_nuc

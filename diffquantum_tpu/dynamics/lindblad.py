@@ -281,6 +281,278 @@ class StructuredNoise:
                    for q, g in self.dephasing])
 
 
+def _rho_phase(rho: CP, theta: jnp.ndarray) -> CP:
+    """rho <- diag(e^{-i th}) rho diag(e^{+i th}): elementwise multiply by
+    e^{-i (th_i - th_j)} (broadcast row/col angle difference)."""
+    dth = theta[:, None] - theta[None, :]
+    c, s = jnp.cos(dth), jnp.sin(dth)
+    return CP(c * rho.re + s * rho.im, c * rho.im - s * rho.re)
+
+
+def _apply_axis(rho: CP, m_re, m_im, qubit: int, n: int, axis: int) -> CP:
+    """Contract a 2x2 complex matrix with the ``qubit`` tensor slot of the
+    row (axis=0) or column (axis=1) index of rho [d, d]:
+    axis=0: y[i,:] = sum_b M[a_i, b] rho[b,:];  axis=1: y[:,j] = sum_b
+    rho[:,b] M[b, a_j]."""
+    d = rho.re.shape[0]
+    left, right = 2**qubit, 2 ** (n - qubit - 1)
+    if axis == 0:
+        shape = (left, 2, right, d)
+        pat = "ab,lbrj->larj"
+    else:
+        shape = (d, left, 2, right)
+        pat = "ba,ilbr->ilar"
+    rr = rho.re.reshape(shape)
+    ri = rho.im.reshape(shape)
+    hp = jax.lax.Precision.HIGHEST
+    re = jnp.einsum(pat, m_re, rr, precision=hp) \
+        - jnp.einsum(pat, m_im, ri, precision=hp)
+    im = jnp.einsum(pat, m_re, ri, precision=hp) \
+        + jnp.einsum(pat, m_im, rr, precision=hp)
+    return CP(re.reshape(d, d), im.reshape(d, d))
+
+
+def _rho_1q_rot(rho: CP, theta, qubit: int, n: int, g_re, g_im) -> CP:
+    """rho <- U rho U^dag with U = exp(-i th G), G involutory Hermitian:
+    U = cos th I - i sin th G."""
+    c, s = jnp.cos(theta), jnp.sin(theta)
+    eye = jnp.eye(2, dtype=rho.re.dtype)
+    u_re = c * eye + s * g_im          # Re(cI - isG) = cI + s Im(G)
+    u_im = -s * g_re
+    # U rho (rows), then rho U^dag (cols): (U^dag)_re = U_re^T,
+    # (U^dag)_im = -U_im^T
+    rho = _apply_axis(rho, u_re, u_im, qubit, n, axis=0)
+    return _apply_axis(rho, u_re.T, -u_im.T, qubit, n, axis=1)
+
+
+def _channel_half(rho: CP, noise: "StructuredNoise", tau, j_idx, rdt) -> CP:
+    """Exact per-qubit noise channels applied for time ``tau``:
+
+    - pure dephasing (c = sqrt(g/2) Z): coherences with differing qubit
+      bit decay by e^{-g tau} — one elementwise mask multiply;
+    - amplitude damping (c = sqrt(g) |0><1|): the exact Kraus map — scale
+      by eta^{(row bit)+(col bit)} (eta = e^{-g tau / 2}) plus the
+      population transfer rho[i0,j0] += (1 - eta^2) rho[i1,j1] (a masked
+      double gather).
+
+    Channels on distinct qubits commute exactly; everything is O(d^2)
+    elementwise — no operators materialized, so the Hamiltonian can stay
+    fully structured."""
+    n = noise.n_qubits
+    re, im = rho.re, rho.im
+    for q, g in noise.dephasing:
+        bit = 1 << (n - 1 - q)
+        b = (j_idx & bit) > 0
+        f = jnp.where(b[:, None] ^ b[None, :],
+                      jnp.exp(jnp.asarray(-g, rdt) * tau), 1.0).astype(rdt)
+        re = re * f
+        im = im * f
+    for q, g in noise.t1:
+        bit = 1 << (n - 1 - q)
+        b = (j_idx & bit) > 0
+        eta = jnp.exp(-0.5 * jnp.asarray(g, rdt) * tau)
+        s_row = jnp.where(b, eta, 1.0).astype(rdt)
+        f = s_row[:, None] * s_row[None, :]
+        src = j_idx | jnp.int32(bit)
+        keep = (~b[:, None]) & (~b[None, :])
+        tr_re = jnp.take(jnp.take(re, src, axis=0), src, axis=1)
+        tr_im = jnp.take(jnp.take(im, src, axis=0), src, axis=1)
+        gain = (1.0 - eta * eta)
+        re = re * f + jnp.where(keep, gain * tr_re, 0.0)
+        im = im * f + jnp.where(keep, gain * tr_im, 0.0)
+    return CP(re, im)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("envelope", "horizon", "n_steps", "t_sample"))
+def evolve_lindblad_structured(
+    ham,                         # structured ControlledHamiltonian
+    envelope,
+    coeff: jnp.ndarray,
+    rho0: CP,                    # [d, d]
+    noise: "StructuredNoise",
+    T0,
+    T,
+    horizon: float,
+    n_steps: int,
+    t_sample: str = "left",
+) -> CP:
+    """Differentiable master-equation evolution for STRUCTURED problems:
+    Strang split of the Lindbladian into (exact per-qubit channel maps,
+    half time) x (structured unitary step, two-sided) x (channel maps,
+    half time) — O(dt^3) local error like the closed-system product
+    engine, O(d^2) state memory and O(n d^2) elementwise work per step,
+    and NO dense operators anywhere. This is what removes the
+    dense-operator ceiling of :func:`evolve_lindblad` from the noise-aware
+    training path: 14-qubit pulse optimization under decoherence
+    differentiates through the checkpointed scan (the remaining limit is
+    rho's own d^2 memory, not operator storage)."""
+    from .product import split_structure
+    n = ham.n_qubits
+    (diag_idx, diag_rows, h0_diag, oneq_idx, oneq_qubits,
+     oneq_locals) = split_structure(
+        ham, hop_msg="evolve_lindblad_structured does not support 'hop' "
+        "(XX+YY) terms yet")
+    if noise.n_qubits != n:
+        raise ValueError("noise qubit count mismatch")
+
+    from .propagator import time_grid
+    dt = (T - T0) / n_steps
+    ts = time_grid(T0, dt, n_steps, t_sample)
+    u = envelope.amplitudes(coeff, ts, horizon)
+    rdt = ham.dtype
+
+    diag_table = jnp.asarray(np.stack(diag_rows), dtype=rdt) if diag_rows \
+        else jnp.zeros((0, ham.dim), dtype=rdt)
+    h0_vec = jnp.asarray(h0_diag, dtype=rdt)
+    u_diag = (u[jnp.asarray(diag_idx, jnp.int32)] if diag_idx else
+              jnp.zeros((0, n_steps))).astype(rdt)
+    u_oneq = (u[jnp.asarray(oneq_idx, jnp.int32)] if oneq_idx else
+              jnp.zeros((0, n_steps))).astype(rdt)
+    locals_re = [jnp.asarray(np.asarray(g).real, dtype=rdt)
+                 for g in oneq_locals]
+    locals_im = [jnp.asarray(np.asarray(g).imag, dtype=rdt)
+                 for g in oneq_locals]
+    dt_c = jnp.asarray(dt, rdt)
+    j_idx = jnp.arange(ham.dim, dtype=jnp.int32)
+
+    palindromic = len(set(oneq_qubits)) < len(oneq_qubits)
+    m = len(oneq_qubits)
+    order = list(range(m)) + list(reversed(range(m))) if palindromic \
+        else list(range(m))
+    frac = 0.5 * dt_c if palindromic else dt_c
+
+    @jax.checkpoint
+    def step(rho, xs):
+        ud, uq = xs
+        rho = _channel_half(rho, noise, 0.5 * dt_c, j_idx, rdt)
+        theta_half = (0.5 * dt_c) * (h0_vec + jnp.matmul(
+            ud, diag_table, precision=jax.lax.Precision.HIGHEST))
+        rho = _rho_phase(rho, theta_half)
+        for i in order:
+            rho = _rho_1q_rot(rho, frac * uq[i], oneq_qubits[i], n,
+                              locals_re[i], locals_im[i])
+        rho = _rho_phase(rho, theta_half)
+        rho = _channel_half(rho, noise, 0.5 * dt_c, j_idx, rdt)
+        return rho, None
+
+    rho, _ = jax.lax.scan(step, rho0.astype(rdt), (u_diag.T, u_oneq.T))
+    return rho
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("envelope", "horizon", "n_steps", "n_traj",
+                     "t_sample"))
+def evolve_dephasing_trajectories(
+    ham,                         # structured ControlledHamiltonian
+    envelope,
+    coeff: jnp.ndarray,
+    psi0: CP,                    # [d]
+    noise: "StructuredNoise",
+    T0,
+    T,
+    horizon: float,
+    n_steps: int,
+    key,
+    n_traj: int,
+    t_sample: str = "left",
+) -> CP:
+    """Pure-dephasing open dynamics as an ensemble of UNITARY trajectories
+    with random Z phases — exact in distribution and fully differentiable.
+
+    A dephasing channel (c = sqrt(g/2) Z_q) equals classical Gaussian
+    phase noise: applying exp(-i a Z_q) with a ~ N(0, g dt / 2) each step
+    decays coherences by exactly e^{-g dt} in expectation, for ANY dt (the
+    Gaussian composes). Because the noise does not depend on the pulse
+    coefficients, gradients are pathwise (reparameterized): grad of the
+    trajectory-mean loss is an UNBIASED estimate of the Lindblad-loss
+    gradient — noise-aware training at O(n_traj 2^n) memory, any size the
+    closed-system engine reaches (vs d^2 for the density matrix). T1
+    channels cannot be unraveled this way (use
+    :func:`evolve_lindblad_structured` or the non-differentiable MCWF).
+
+    Returns CP [n_traj, d] endpoint states."""
+    from .product import apply_1q_pauli_rot, split_structure
+    if noise.t1:
+        raise ValueError(
+            "random-phase unraveling covers pure dephasing only; T1 "
+            "channels need evolve_lindblad_structured (differentiable) or "
+            "evolve_mcwf_structured (sampling)")
+    n = ham.n_qubits
+    (diag_idx, diag_rows, h0_diag, oneq_idx, oneq_qubits,
+     oneq_locals) = split_structure(
+        ham, hop_msg="the dephasing-trajectory engine does not support "
+        "'hop' (XX+YY) terms yet")
+    if noise.n_qubits != n:
+        raise ValueError("noise qubit count mismatch")
+
+    from .propagator import time_grid
+    dt = (T - T0) / n_steps
+    ts = time_grid(T0, dt, n_steps, t_sample)
+    u = envelope.amplitudes(coeff, ts, horizon)
+    rdt = ham.dtype
+
+    diag_table = jnp.asarray(np.stack(diag_rows), dtype=rdt) if diag_rows \
+        else jnp.zeros((0, ham.dim), dtype=rdt)
+    h0_vec = jnp.asarray(h0_diag, dtype=rdt)
+    u_diag = (u[jnp.asarray(diag_idx, jnp.int32)] if diag_idx else
+              jnp.zeros((0, n_steps))).astype(rdt)
+    u_oneq = (u[jnp.asarray(oneq_idx, jnp.int32)] if oneq_idx else
+              jnp.zeros((0, n_steps))).astype(rdt)
+    locals_re = [jnp.asarray(np.asarray(g).real, dtype=rdt)
+                 for g in oneq_locals]
+    locals_im = [jnp.asarray(np.asarray(g).imag, dtype=rdt)
+                 for g in oneq_locals]
+    dt_c = jnp.asarray(dt, rdt)
+
+    # per-channel Z diagonals (+/-1 vectors) and noise std per step
+    d = ham.dim
+    j_idx = np.arange(d)
+    z_rows = []
+    gammas = []
+    for q, g in noise.dephasing:
+        bit = 1 << (n - 1 - q)
+        z_rows.append(1.0 - 2.0 * ((j_idx & bit) > 0))
+        gammas.append(g)
+    z_table = jnp.asarray(np.stack(z_rows), rdt)        # [n_ch, d]
+    # a ~ N(0, g dt / 2) — dt may be traced (T is a regular arg)
+    sig = jnp.sqrt(jnp.asarray(gammas, rdt) * jnp.abs(dt_c) / 2.0)
+
+    palindromic = len(set(oneq_qubits)) < len(oneq_qubits)
+    m = len(oneq_qubits)
+    order = list(range(m)) + list(reversed(range(m))) if palindromic \
+        else list(range(m))
+    frac = 0.5 * dt_c if palindromic else dt_c
+
+    # pre-draw all phase kicks: [n_traj, n_steps, n_ch]
+    xi = jax.random.normal(key, (n_traj, n_steps, len(gammas)), dtype=rdt)
+    alphas = xi * sig
+
+    def one_trajectory(alpha_t):
+        @jax.checkpoint
+        def step(psi, xs):
+            ud, uq, al = xs
+            theta_half = (0.5 * dt_c) * (h0_vec + jnp.matmul(
+                ud, diag_table, precision=jax.lax.Precision.HIGHEST)) \
+                + 0.5 * jnp.matmul(al, z_table,
+                                   precision=jax.lax.Precision.HIGHEST)
+            ph = CP(jnp.cos(theta_half), -jnp.sin(theta_half))
+            psi = cpx.mul(ph, psi)
+            for i in order:
+                psi = apply_1q_pauli_rot(psi, frac * uq[i], oneq_qubits[i],
+                                         n, locals_re[i], locals_im[i])
+            psi = cpx.mul(ph, psi)
+            return psi, None
+
+        psi, _ = jax.lax.scan(step, psi0.astype(rdt),
+                              (u_diag.T, u_oneq.T, alpha_t))
+        return psi
+
+    return jax.vmap(one_trajectory)(alphas)
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("envelope", "horizon", "n_steps", "n_traj",

@@ -273,10 +273,11 @@ def _symmetrize_rots(qubits, kinds, theta_x, axis: int):
             jnp.concatenate([half, rev], axis=axis))
 
 
-# Largest size the VMEM-resident packed kernels carry on chip (state +
-# adjoint + temporaries vs the ~128 MiB physical VMEM; validated by the
-# tpu_tests lane). Past this the chunked HBM-state engine takes over.
-_VMEM_PACKED_MAX = 20
+# Largest size the VMEM-resident packed kernels carry on chip: the 18q
+# backward needs a 40 MiB scoped-vmem window (fine); the 19q one needs
+# ~64+ MiB, which crashes the remote compile helper (measured). Past 18
+# the chunked HBM-state engine takes over (validated at 21q on chip).
+_VMEM_PACKED_MAX = 18
 
 
 def fused_eligible(ham: ControlledHamiltonian) -> bool:

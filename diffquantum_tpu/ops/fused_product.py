@@ -753,20 +753,30 @@ _MAX_PACKED_TERMS = 30  # int32 bit budget (sign bit kept clear)
 # Mosaic's DEFAULT scoped-vmem window is 16 MiB, but the v5e core has
 # ~128 MiB of physical VMEM (measured: 120 MiB of live pallas buffers
 # compile and run; see docs/PERFORMANCE.md round 3). Raising
-# vmem_limit_bytes is what lets the whole-evolution kernels carry 18-20
-# qubit states VMEM-resident.
-_VMEM_HW_BYTES = 110 * 2**20
+# vmem_limit_bytes is what lets the whole-evolution kernels carry 18+
+# qubit states VMEM-resident. CAVEATS (all measured on the axon v5e):
+# compile time grows dramatically with the window (110 MiB left the 18q
+# backward compiling >45 min; 48 MiB compiles in ~4 min), and windows
+# >= 64 MiB crash the remote compile helper outright — so 18q (40 MiB
+# appetite) is the largest VMEM-resident size; 19+ qubits run on the
+# chunked HBM-state engine instead (ops/fused_chunked.py).
+_VMEM_HW_BYTES = 48 * 2**20
 
 
 def _vmem_params(n_planes: int, b: int, r: int):
     """compiler_params kwargs for kernels whose working set may exceed the
-    16 MiB default scoped window: ask for the estimated live-buffer bytes
-    (with headroom), capped at the measured hardware budget."""
-    need = n_planes * b * r * _LANES * 4
-    if need <= 14 * 2**20:
+    16 MiB default scoped window. Mosaic's own accounting (scratch +
+    temporaries + double buffers) runs well past naive plane counts — the
+    18q backward asks for 32 MiB — so any kernel touching >= 2048 total
+    state rows (b*r, i.e. 18+ qubit states or large seed batches) simply
+    gets the full measured hardware window."""
+    if b * r < 2048:
         return {}
+    # measured appetite: ~32 plane-equivalents for the backward at 18q;
+    # scale with the state and cap at the hardware budget
+    need = 40 * b * r * _LANES * 4
     return {"compiler_params": pltpu.CompilerParams(
-        vmem_limit_bytes=int(min(need * 1.25, _VMEM_HW_BYTES)))}
+        vmem_limit_bytes=int(min(max(need, 32 * 2**20), _VMEM_HW_BYTES)))}
 
 
 def pack_diag_signs(diag_rows):

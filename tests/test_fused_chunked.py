@@ -105,9 +105,8 @@ def test_chunked_direct_20q():
 
 def test_20q_routing_and_parity():
     """20 qubits through the public evolve_product_fused API (routes to
-    the VMEM packed kernel now that the scoped-vmem window is raised;
-    22+ routes chunked) and matches the XLA product backend, values and
-    coefficient gradients."""
+    the chunked HBM-state engine — the VMEM kernel caps at 18q) and
+    matches the XLA product backend, values and coefficient gradients."""
     n, n_steps = 20, 3
     assert _plan(n) == (3, 10)
     prob = maxcut.build_maxcut(n, maxcut.ring_graph(n), n_basis=4,

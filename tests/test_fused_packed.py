@@ -54,9 +54,10 @@ def _loss_fns(prob, n_steps):
 
 @pytest.mark.parametrize("n", [18, 19])
 def test_packed_18_19q_matches_xla(n):
-    """The sizes past the streamed kernels' VMEM wall: packed phases +
-    HBM-resident boundary buffers (boundary DMA is a no-op in interpret
-    mode on CPU; the real-chip path is covered by tpu_tests)."""
+    """The sizes past the streamed kernels' VMEM wall: 18q = packed
+    phases + HBM-resident boundary buffers in the VMEM kernel, 19q =
+    the chunked HBM-state engine (boundary DMA is a no-op in interpret
+    mode on CPU; the real-chip paths are covered by tpu_tests)."""
     prob = maxcut.build_maxcut(n, maxcut.ring_graph(n), n_basis=4,
                                dense=False)
     assert fused_eligible(prob.ham)
