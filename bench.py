@@ -225,6 +225,52 @@ def main():
     except Exception as e:
         print(f"stretch bench failed: {e}", file=sys.stderr)
 
+    # MC-mode (hardware-realistic estimator) 64-seed epoch: one full
+    # optimizer epoch with per-seed MC pulse gradients through the fused
+    # kernels — the paper's estimator at scale-out shape
+    try:
+        from diffquantum_tpu.gradients.mc import mc_energy_grad
+        import optax as _ox
+        n_seeds_mc = 64
+        psi_mc = jax.tree_util.tree_map(
+            lambda x: jnp.broadcast_to(x, (n_seeds_mc,) + x.shape),
+            prob.psi0)
+        cs_mc = jnp.asarray(rng.standard_normal(
+            (n_seeds_mc,) + prob.envelope.coeff_shape).astype(np.float32)
+            * 1e-3)
+        opt_mc = _ox.adam(2e-2)
+
+        def seed_grad(c, p_re, p_im, k):
+            from diffquantum_tpu.ops.cpx import CP as _CP
+            return mc_energy_grad(prob.ham, prob.envelope,
+                                  prob.measurement, c, _CP(p_re, p_im),
+                                  float(prob.T), k, n_steps,
+                                  backend="product_fused")
+
+        def mc_epoch(carry, k):
+            cs, ost = carry
+            ks = jax.random.split(k, n_seeds_mc)
+            g = jax.vmap(seed_grad)(cs, psi_mc.re, psi_mc.im, ks)
+            updates, ost = opt_mc.update(g.astype(cs.dtype), ost, cs)
+            return (optax.apply_updates(cs, updates), ost), None
+
+        blk_mc = 20
+
+        @jax.jit
+        def run_mc_block(carry, keys):
+            return jax.lax.scan(mc_epoch, carry, keys)[0]
+
+        keys_mc = jax.random.split(jax.random.PRNGKey(0), blk_mc)
+        lat_mc = median_latency(run_mc_block,
+                                ((cs_mc, opt_mc.init(cs_mc)), keys_mc),
+                                n_warmup=2, n_runs=6)
+        print(json.dumps({"metric": "seeds64_mc_epoch_latency",
+                          "value": round(lat_mc / blk_mc * 1e3, 3),
+                          "unit": "ms (64-seed 12q MC-gradient epoch, "
+                                  "fused kernels)"}), file=sys.stderr)
+    except Exception as e:
+        print(f"mc seeds bench failed: {e}", file=sys.stderr)
+
     # round-3 scale frontier: 18q (packed VMEM kernel, past the round-2
     # 17q wall) and 20q (the raised scoped-vmem ceiling); amortized over
     # a chained scan like the headline

@@ -67,11 +67,16 @@ def main():
         n_groups = len(qwc_groups(st.flips, st.yz_masks))
         print(f"sampled mode: {st.n_terms} Pauli terms -> {n_groups} QWC "
               f"measurement settings x {args.shots} shots")
+        # single-sample MC + shot noise is variance-dominated from a cold
+        # start — stratified 4-sample averaging (PERFORMANCE.md: up to
+        # ~30x lower batch-mean variance at this count) and a gentler lr
+        # make the hardware-realistic mode converge
         cfg = TrainConfig(n_basis=args.n_basis, n_epoch=args.epochs,
-                          lr=args.lr, grad_mode="mc", seed=0,
+                          lr=min(args.lr, 2e-2), grad_mode="mc", seed=0,
                           lr_schedule="cosine", t_sample="mid",
                           sampling_measure=True, per_pauli=args.shots,
-                          n_step=40)
+                          n_step=40, mc_samples=4,
+                          mc_strategy="stratified")
     else:
         cfg = TrainConfig(n_basis=args.n_basis, n_epoch=args.epochs,
                           lr=args.lr, grad_mode="adjoint", seed=0,

@@ -279,6 +279,10 @@ def _symmetrize_rots(qubits, kinds, theta_x, axis: int):
 # the chunked HBM-state engine takes over (validated at 21q on chip).
 _VMEM_PACKED_MAX = 18
 
+# Smallest size routed to the packed-phase kernels (tests lower this to
+# exercise the packed machinery at cheap sizes).
+_PACKED_MIN_QUBITS = 18
+
 
 def fused_eligible(ham: ControlledHamiltonian) -> bool:
     """Whether a fused Pallas evolution engine applies: 10-24 qubits,
@@ -370,7 +374,13 @@ def evolve_product_fused(
     rdt = jnp.float32
     dtc = jnp.asarray(dt, rdt)
 
-    packed = pack_diag_signs(diag_rows)
+    # Packed phases are a CAPABILITY form, not a speed win at small n:
+    # on-chip A/B (docs/PERFORMANCE.md round 3) measures the streamed
+    # kernels 5-20% faster for 10-17 qubits (the in-kernel sign unpacking
+    # costs more VPU than the angle tables cost bandwidth there), while
+    # 18+ qubits REQUIRE the packed form (no [n_steps, d] tables fit).
+    packed = pack_diag_signs(diag_rows) if n >= _PACKED_MIN_QUBITS \
+        else None
     if packed is None and n >= 18:
         raise ValueError(
             "18+ qubit fused evolution needs the packed-phase form "

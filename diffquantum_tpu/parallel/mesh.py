@@ -63,17 +63,21 @@ def train_energy_seeds(
     n_seeds: int,
     mesh: Optional[Mesh] = None,
     data_axis: str = "data",
+    init_scale: float = 1e-3,
 ) -> SeedsResult:
     """Train ``n_seeds`` independent pulse initializations in one batched,
     mesh-sharded program (adjoint gradients by default, ``grad_mode='mc'``
-    for the hardware-realistic estimator)."""
+    for the hardware-realistic estimator). ``init_scale``: stddev of the
+    coefficient init (the reference uses 1e-3 for energy training,
+    `sim_plain.py:259`, and 1.0 for fidelity, `sim_plain.py:425`; noisy
+    shot-sampled gradients benefit from a larger init that puts real
+    slope under the estimator from epoch one)."""
     T = float(T)
     n_steps = reference_n_steps(config.per_step, 0.0, T)
     opt = make_optimizer(config)
 
     key = jax.random.PRNGKey(config.seed)
     keys = jax.random.split(key, n_seeds)
-    init_scale = 1e-3
     coeffs = jax.vmap(lambda k: envelope.init_coeff(
         k, scale=init_scale, dtype=config.rdtype))(keys)
 
@@ -160,15 +164,24 @@ def train_energy_seeds(
     if use_mc:
         from ..gradients.mc import mc_energy_grad
 
+        mc_kw = dict(backend=config.backend, chain=config.mc_chain,
+                     sampling=config.sampling_measure,
+                     noisy=config.is_noisy, per_pauli=config.per_pauli,
+                     precision=config.precision, t_sample=config.t_sample)
+
         def seed_mc_grad(c, p, k):
+            if config.mc_samples > 1:
+                # variance-reduced batch mode (stratified by default the
+                # recommended setting, docs/PERFORMANCE.md) — essential
+                # for the shot-sampled (hardware-realistic) mode where
+                # single-sample gradients are noise-dominated
+                from ..gradients.mc import mc_energy_grad_batch
+                return mc_energy_grad_batch(
+                    ham, envelope, measurement, c, p, T, k, config.n_step,
+                    n_samples=config.mc_samples,
+                    strategy=config.mc_strategy, **mc_kw)
             return mc_energy_grad(ham, envelope, measurement, c, p, T, k,
-                                  config.n_step, backend=config.backend,
-                                  chain=config.mc_chain,
-                                  sampling=config.sampling_measure,
-                                  noisy=config.is_noisy,
-                                  per_pauli=config.per_pauli,
-                                  precision=config.precision,
-                                  t_sample=config.t_sample)
+                                  config.n_step, **mc_kw)
 
         # Under a mesh, a pallas_call is not auto-shardable by GSPMD (a
         # vmapped estimator would replicate instead of partitioning), so

@@ -96,6 +96,11 @@ def _custom_problem(rows_fn, n=10):
     return ham, env, coeff, psi0, meas_diag
 
 
+def _force_packed(monkeypatch):
+    import diffquantum_tpu.dynamics.product as dp
+    monkeypatch.setattr(dp, "_PACKED_MIN_QUBITS", 0)
+
+
 def _parity(ham, env, coeff, psi0, meas_diag, T=2.0, n_steps=6):
     def f(evolver):
         def loss(c):
@@ -110,9 +115,10 @@ def _parity(ham, env, coeff, psi0, meas_diag, T=2.0, n_steps=6):
                                rtol=2e-3, atol=2e-5)
 
 
-def test_packed_two_valued_rows():
+def test_packed_two_valued_rows(monkeypatch):
     """{0,1} projector-style diagonals (c=w=0.5) and a nonzero drift
     diagonal pack correctly — values and gradients match XLA."""
+    _force_packed(monkeypatch)
     def rows(n):
         d = 2**n
         num0 = np.kron([1.0, 0.0], np.ones(d // 2))     # |0><0| on qubit 0
@@ -141,9 +147,11 @@ def test_streamed_fallback_three_valued_rows():
     _parity(*args)
 
 
-def test_packed_batched_per_seed():
+def test_packed_batched_per_seed(monkeypatch):
     """Batched packed kernel: per-seed coefficients, values + summed-energy
-    gradients vs vmapped XLA product."""
+    gradients vs vmapped XLA product (router forced — production routes
+    streamed kernels below 18 qubits)."""
+    _force_packed(monkeypatch)
     prob = maxcut.build_maxcut(10, maxcut.ring_graph(10), n_basis=4,
                                dense=False)
     rng = np.random.default_rng(7)

@@ -191,3 +191,17 @@ def test_train_energy_seeds_meshed_fused_mc():
                                atol=3e-4)
     np.testing.assert_allclose(res_f.losses, res_1.losses, rtol=1e-4,
                                atol=1e-5)
+
+
+def test_train_energy_seeds_mc_batch_samples():
+    """config.mc_samples > 1 routes the seeds path through the
+    variance-reduced batch estimator (stratified split times)."""
+    prob = maxcut.demo_problem(dtype=F64)
+    cfg = TrainConfig(n_basis=4, n_epoch=8, lr=5e-2, dtype="float64",
+                      seed=0, grad_mode="mc", n_step=16, mc_samples=4,
+                      mc_strategy="stratified")
+    res = train_energy_seeds(prob.ham, prob.envelope, prob.measurement,
+                             prob.psi0, prob.T, cfg, n_seeds=2)
+    assert res.losses.shape == (8, 2)
+    assert np.all(np.isfinite(res.losses))
+    assert res.losses[-1].min() < res.losses[0].min()
