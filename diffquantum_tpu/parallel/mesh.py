@@ -235,10 +235,19 @@ def train_energy_seeds(
     # ~29 ms per-dispatch cost of kernel-bearing executables on the remote
     # tunnel (docs/PERFORMANCE.md) to ~0.6 ms/epoch.
     if jax.default_backend() in ("tpu", "axon"):
-        # scale the block down when the batched state reaches the size that
-        # crashed the TPU worker (2^20 amplitudes, train/energy.py); the
-        # known-good 64-seed x 12q = 2^18 config keeps the 50-epoch block
-        EPOCH_BLOCK = 10 if n_seeds * ham.dim >= 2**20 else 50
+        # scale the block down when the batched state reaches the size
+        # that crashed the TPU worker on the giant XLA-product program
+        # (2^20 amplitudes, round 2); the fused engines run block=50 at
+        # that size fine (train/energy.py, measured round 3)
+        EPOCH_BLOCK = 10 if (n_seeds * ham.dim >= 2**20
+                             and not fused_eligible(ham)) else 50
+        if use_mc and config.sampling_measure:
+            # the sampled-MC epoch program is enormous (n_groups basis
+            # rotations x 2 n_Hs branches x mc_samples); a 50-epoch
+            # mega-block of it crashed the TPU worker (measured, H4 at
+            # 2000 shots) — same failure class as the round-2 XLA-product
+            # crash. Small blocks keep the compiled program bounded.
+            EPOCH_BLOCK = min(EPOCH_BLOCK, 10)
     else:
         EPOCH_BLOCK = 10
 

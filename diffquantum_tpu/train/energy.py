@@ -228,12 +228,13 @@ def train_energy(
     if config.epoch_block is not None:
         EPOCH_BLOCK = config.epoch_block
     elif jax.default_backend() in ("tpu", "axon"):
-        # a 50-epoch block at 2^20 amplitudes crashed the TPU worker
-        # (resource exhaustion in the compiled mega-program; measured —
-        # block=10 runs fine at 20 qubits). Scale the block down at the
-        # amplitude count that crashed (single seed here: batch=1), the
-        # same threshold parallel/mesh.py uses for n_seeds * dim.
-        EPOCH_BLOCK = 10 if ham.dim >= 2**20 else 50
+        # a 50-epoch block at 2^20 amplitudes crashed the TPU worker in
+        # round 2 — but only on the giant XLA-product mega-program; the
+        # fused engines (VMEM/chunked kernels) run block=50 at 20 qubits
+        # fine (measured round 3: 100 epochs, no crash). Keep the cap
+        # only for big NON-fused problems.
+        from ..dynamics.product import fused_eligible as _fe
+        EPOCH_BLOCK = 10 if (ham.dim >= 2**20 and not _fe(ham)) else 50
     else:
         EPOCH_BLOCK = 1
 
