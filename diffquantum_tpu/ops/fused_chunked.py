@@ -49,7 +49,12 @@ from .fused_product import _pdot, _perm_stack, _split_qubits
 
 _LANES = 128
 _LANE_QUBITS = 7
-_F_BITS = 10  # free row bits per pass-A slab: 2^10 x 128 x 4 B = 0.5 MiB
+_F_BITS = 11  # free row bits per pass-A slab: 2^11 x 128 x 4 B = 1 MiB
+# the backward passes hold ~10 live slabs + temporaries — give Mosaic a
+# window past its 16 MiB default (48 MiB compiles fine; >=64 crashes the
+# remote compile helper, see ops/fused_product.py)
+_CK_VMEM = {"compiler_params": pltpu.CompilerParams(
+    vmem_limit_bytes=40 * 2**20)}
 
 
 def _plan(n_qubits: int):
@@ -338,6 +343,7 @@ def _passA_call(kernel, state, rowu, rowx, h0th3, signs3, perms, c, f,
                    jax.ShapeDtypeStruct((cdim, fdim, _LANES), jnp.float32)),
         input_output_aliases={4: 0, 5: 1},
         interpret=interp,
+        **_CK_VMEM,
     )(_row3(rowu), _row3(rowx), h0th3, signs3, re, im, perms)
     return out_re, out_im
 
@@ -360,6 +366,7 @@ def _passB_call(kernel, state, rowx, c, f, interp):
                    jax.ShapeDtypeStruct((cdim, fdim, _LANES), jnp.float32)),
         input_output_aliases={1: 0, 2: 1},
         interpret=interp,
+        **_CK_VMEM,
     )(_row3(rowx), re, im)
     return out_re, out_im
 
@@ -387,6 +394,7 @@ def _passA_bwd_call(kernel, yl, rowu, rowx, h0th3, signs3, perms, c, f,
                    jax.ShapeDtypeStruct((1, _LANES), jnp.float32)),
         input_output_aliases={4: 0, 5: 1, 6: 2, 7: 3},
         interpret=interp,
+        **_CK_VMEM,
     )(_row3(rowu), _row3(rowx), h0th3, signs3, y_re, y_im, l_re, l_im,
       perms)
     return outs[:4], outs[4][0], outs[5][0]
@@ -413,6 +421,7 @@ def _passB_bwd_call(kernel, yl, rowx, c, f, interp):
                    jax.ShapeDtypeStruct((1, _LANES), jnp.float32)),
         input_output_aliases={1: 0, 2: 1, 3: 2, 4: 3},
         interpret=interp,
+        **_CK_VMEM,
     )(_row3(rowx), y_re, y_im, l_re, l_im)
     return outs[:4], outs[4][0]
 
