@@ -295,10 +295,12 @@ def fused_eligible(ham: ControlledHamiltonian) -> bool:
       kernel computes phases in-kernel and keeps HBM-resident boundary
       buffers, staying under the 16 MiB VMEM budget
       (:mod:`..ops.fused_product` packed kernels);
-    - 20-24: packed-phase form on the chunked HBM-state engine
+    - 19-22: packed-phase form on the chunked HBM-state engine
       (:mod:`..ops.fused_chunked`) — the state streams through VMEM slabs
-      in two Pallas passes per Strang step."""
-    if ham.structure is None or not (10 <= ham.n_qubits <= 24):
+      in two Pallas passes per Strang step. 22q measured on chip (138 ms
+      per gradient step); 23-24q programs crash the remote compile
+      helper (measured), so eligibility stops at 22."""
+    if ham.structure is None or not (10 <= ham.n_qubits <= 22):
         return False
     if ham.h0_structure is None or ham.h0_structure.kind != "diag":
         return False
