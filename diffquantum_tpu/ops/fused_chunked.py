@@ -49,12 +49,13 @@ from .fused_product import _pdot, _perm_stack, _split_qubits
 
 _LANES = 128
 _LANE_QUBITS = 7
-_F_BITS = 11  # free row bits per pass-A slab: 2^11 x 128 x 4 B = 1 MiB
-# the backward passes hold ~10 live slabs + temporaries — give Mosaic a
-# window past its 16 MiB default (48 MiB compiles fine; >=64 crashes the
-# remote compile helper, see ops/fused_product.py)
-_CK_VMEM = {"compiler_params": pltpu.CompilerParams(
-    vmem_limit_bytes=40 * 2**20)}
+_F_BITS = 10  # free row bits per pass-A slab: 2^10 x 128 x 4 B = 0.5 MiB
+# NOTE: 0.5 MiB slabs + Mosaic's default 16 MiB window are the PROVEN
+# configuration (19-22q compile in minutes and run correctly on chip).
+# Doubling the slab to 1 MiB with a 40 MiB window left the 21q backward
+# compiling for >30 min — compile time, not runtime, is the binding
+# constraint on this toolchain, so keep the slabs small.
+_CK_VMEM = {}
 
 
 def _plan(n_qubits: int):

@@ -41,7 +41,6 @@ def fused_flops(n, n_steps, n_diag, n_rot, precision="full",
     (elementwise op count), hbm_bytes."""
     d = 2**n
     r = d // 128
-    lane_rots = sum(1 for q in range(n_rot) if (n - 1 - q) < 7)
     # ring drive layout: one X per qubit -> lane rots = min(n_rot, 7)
     lane_rots = min(n_rot, 7)
     row_rots = n_rot - lane_rots

@@ -91,15 +91,15 @@ def test_chunked_no_chunk_bits_12q():
     _compare(12, n_steps=5, seed=1)
 
 
-def test_chunked_with_chunk_bits_19q():
+def test_chunked_with_chunk_bits_18q():
     """c = 1: pass B chunk-bit rotations exercised."""
-    assert _plan(19) == (1, 11)
-    _compare(19, n_steps=3, seed=2)
+    assert _plan(18) == (1, 10)
+    _compare(18, n_steps=3, seed=2)
 
 
 def test_chunked_direct_20q():
     """Direct chunked engine at 20 qubits (multi-chunk pass B)."""
-    assert _plan(20) == (2, 11)
+    assert _plan(20) == (3, 10)
     _compare(20, n_steps=2, seed=6)
 
 
@@ -108,7 +108,7 @@ def test_20q_routing_and_parity():
     the chunked HBM-state engine — the VMEM kernel caps at 18q) and
     matches the XLA product backend, values and coefficient gradients."""
     n, n_steps = 20, 3
-    assert _plan(n) == (2, 11)
+    assert _plan(n) == (3, 10)
     prob = maxcut.build_maxcut(n, maxcut.ring_graph(n), n_basis=4,
                                dense=False)
     assert fused_eligible(prob.ham)
