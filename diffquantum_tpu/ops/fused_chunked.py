@@ -31,8 +31,9 @@ iterations).
 The reference's dense-expm propagator stops near 12-13 qubits on any
 hardware (`/root/reference/diffqc.cc:190-200`, O(4^n) matrices); the
 round-2 XLA product path reached 20 qubits but crashed the TPU worker in
-50-epoch compiled blocks. This engine trains 20-24 qubits with bounded
-VMEM (~a dozen 0.5 MiB slabs) at HBM-bandwidth speed.
+50-epoch compiled blocks. This engine trains 19-22 qubits with bounded
+VMEM (~a dozen 0.5 MiB slabs); measured 20q gradient step 35 ms, 22q
+138 ms (VPU/per-pass-overhead bound — HBM traffic is ~10% of peak).
 """
 from __future__ import annotations
 
