@@ -99,6 +99,15 @@ def main():
 
     lat_step, single = amortized_step_latency(grad_step, coeff)
     ms = lat_step * 1e3
+    # the driver's one stdout JSON line goes out FIRST so that a crash in
+    # any secondary (large compiles can wedge the remote worker) cannot
+    # lose the headline
+    print(json.dumps({
+        "metric": "qaoa12_pulse_grad_step_latency",
+        "value": round(ms, 3),
+        "unit": "ms",
+        "vs_baseline": round(100.0 / ms, 3),
+    }), flush=True)
     print(json.dumps({"metric": "qaoa12_grad_step_single_dispatch",
                       "value": round(single * 1e3, 3), "unit": "ms"}),
           file=sys.stderr)
@@ -345,12 +354,31 @@ def main():
     except Exception as e:
         print(f"channel bench failed: {e}", file=sys.stderr)
 
-    print(json.dumps({
-        "metric": "qaoa12_pulse_grad_step_latency",
-        "value": round(ms, 3),
-        "unit": "ms",
-        "vs_baseline": round(100.0 / ms, 3),
-    }))
+    # single-chip scale frontier: 22 qubits on the chunked HBM-state
+    # engine (two Pallas passes per Strang step; chip-proven config).
+    # Runs LAST — it is the largest compile in the file.
+    try:
+        prob22 = maxcut.build_maxcut(22, maxcut.ring_graph(22), n_basis=6,
+                                     dense=False)
+        ns22 = reference_n_steps(per_step, 0.0, prob22.T)
+
+        def loss22(c):
+            psi = evolve_product_fused(prob22.ham, prob22.envelope, c,
+                                       prob22.psi0, 0.0, prob22.T,
+                                       horizon=prob22.T, n_steps=ns22)
+            return jnp.sum(cpx.abs2(psi) * prob22.measurement.diag, axis=-1)
+
+        c22 = jnp.asarray(rng.standard_normal(
+            prob22.envelope.coeff_shape).astype(np.float32) * 1e-3)
+        per22, _ = amortized_step_latency(
+            jax.value_and_grad(loss22), c22, chain=5, n_runs=4)
+        print(json.dumps({"metric": "chunked22q_grad_step",
+                          "value": round(per22 * 1e3, 3),
+                          "unit": "ms (22q full pulse-grad step, "
+                                  "chunked HBM-state engine)"}),
+              file=sys.stderr)
+    except Exception as e:
+        print(f"22q frontier bench failed: {e}", file=sys.stderr)
 
 
 if __name__ == "__main__":

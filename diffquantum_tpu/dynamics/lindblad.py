@@ -28,8 +28,12 @@ with two TPU-shaped engines sharing the pulse/Hamiltonian stack:
    Trajectories vmap over a key batch; the trajectory mean of any observable
    converges to the master-equation value at O(1/sqrt(n_traj)). State-sized
    memory — this is the engine that scales. Jumps are discrete events, so
-   gradients through trajectories are NOT meaningful; train on
-   :func:`evolve_lindblad` and evaluate/sample with trajectories.
+   *pathwise* gradients alone are biased; the structured engine therefore
+   offers ``return_logp=True`` + :func:`score_surrogate` — a hybrid
+   pathwise + score-function (REINFORCE, leave-one-out baseline) estimator
+   that is unbiased for the gradient of the trajectory-ensemble objective.
+   This is what makes T1-aware pulse training work past the d^2 memory of
+   the density-matrix engines.
 
 All arithmetic is on CP real pairs (the TPU backend has no complex dtypes).
 """
@@ -230,6 +234,32 @@ def density_from_trajectories(psis: CP) -> CP:
     re = (psis.re.T @ psis.re + psis.im.T @ psis.im) / n
     im = (psis.im.T @ psis.re - psis.re.T @ psis.im) / n
     return CP(re, im)
+
+
+def score_surrogate(values: jnp.ndarray, logps: jnp.ndarray) -> jnp.ndarray:
+    """Surrogate scalar for trajectory-ensemble objectives whose VALUE is
+    exactly ``mean(values)`` and whose GRADIENT is the unbiased hybrid
+    pathwise + score-function estimator
+
+        d/dth E[L] = E[ dL/dth |_outcomes  +  (L - b) d log P(outcomes)/dth ]
+
+    with a leave-one-out baseline ``b_i = mean_{j != i} L_j`` (keeps the
+    estimator unbiased — a batch-mean baseline correlates with its own
+    sample — while cancelling most of the score variance).
+
+    values: [n_traj] per-trajectory losses, differentiable in the pulse
+    parameters (the pathwise part); logps: [n_traj] from
+    ``evolve_mcwf_structured(..., return_logp=True)``. Feed the result to
+    ``jax.grad`` (or any optax trainer) like an ordinary loss."""
+    n = values.shape[0]
+    v_sg = jax.lax.stop_gradient(values)
+    if n > 1:
+        baseline = (jnp.sum(v_sg) - v_sg) / (n - 1)
+    else:
+        baseline = jnp.zeros_like(v_sg)
+    # (logps - stop_grad(logps)) is 0 in value, d(logps)/dth in gradient
+    score = (v_sg - baseline) * (logps - jax.lax.stop_gradient(logps))
+    return jnp.mean(values + score)
 
 
 @jax.tree_util.register_pytree_node_class
@@ -556,7 +586,7 @@ def evolve_dephasing_trajectories(
 @functools.partial(
     jax.jit,
     static_argnames=("envelope", "horizon", "n_steps", "n_traj",
-                     "t_sample"))
+                     "t_sample", "return_logp"))
 def evolve_mcwf_structured(
     ham,                         # structured ControlledHamiltonian
     envelope,
@@ -570,6 +600,7 @@ def evolve_mcwf_structured(
     key,
     n_traj: int,
     t_sample: str = "left",
+    return_logp: bool = False,
 ) -> CP:
     """Quantum-jump trajectories on the product-formula engine — the
     scalable open-system path (the dense :func:`evolve_mcwf` caps out with
@@ -580,7 +611,15 @@ def evolve_mcwf_structured(
     (diagonals commute, so adding the decay costs one elementwise exp), 1q
     rotations between the half phases; then the standard first-order jump
     decision. Jump application: amplitude damping = masked XOR gather,
-    dephasing = parity sign flip — both matrix-free."""
+    dephasing = parity sign flip — both matrix-free.
+
+    ``return_logp=True`` additionally returns each trajectory's
+    differentiable log-likelihood ``log P(outcomes; coeff)`` (sum over
+    steps of ``log w_k`` for the chosen jump / ``log(1 - dp)`` for
+    no-jump). Combined with :func:`score_surrogate` this yields an
+    UNBIASED gradient of the ensemble-averaged objective — the pathwise
+    part differentiates the trajectory map with outcomes held fixed, the
+    score part accounts for the coeff-dependence of the jump measure."""
     from .product import apply_1q_pauli_rot, split_structure
 
     n = ham.n_qubits
@@ -621,6 +660,10 @@ def evolve_mcwf_structured(
         if noise.dephasing else jnp.zeros((0,), rdt)
     n_t1, n_deph = len(t1_bits), len(deph_bits)
     eps = jnp.asarray(1e-30, rdt)
+    # jump-candidate norm floor: keeps rsqrt and its DERIVATIVE finite in
+    # the working dtype (a candidate this small has selection weight
+    # w ~ dt*gamma*floor and is never drawn)
+    cand_floor = jnp.asarray(1e-24 if rdt == jnp.float32 else 1e-30, rdt)
 
     palindromic = len(set(oneq_qubits)) < len(oneq_qubits)
     m = len(oneq_qubits)
@@ -642,7 +685,7 @@ def evolve_mcwf_structured(
 
     def one_trajectory(k0):
         def step(carry, xs):
-            psi, k = carry
+            psi, k, logp = carry
             ud, uq = xs
             k, k_r, k_c = jax.random.split(k, 3)
             p2 = cpx.abs2(psi)
@@ -667,7 +710,12 @@ def evolve_mcwf_structured(
                 keep = (j_idx & bit) == 0
                 jr = jnp.where(keep, jnp.take(psi.re, src), 0.0)
                 ji = jnp.where(keep, jnp.take(psi.im, src), 0.0)
-                nrm = jax.lax.rsqrt(jnp.sum(jr * jr + ji * ji) + eps)
+                # maximum (not +eps): a zero-weight candidate then gets a
+                # CONSTANT norm, so d(rsqrt)/ds2 ~ s2^{-3/2} never reaches
+                # the f32-inf range (0*inf = NaN poisoned the 14q f32
+                # score gradients through the stacked-candidate gather)
+                s2 = jnp.maximum(jnp.sum(jr * jr + ji * ji), cand_floor)
+                nrm = jax.lax.rsqrt(s2)
                 cand_re.append(jr * nrm)
                 cand_im.append(ji * nrm)
             for bit in deph_bits:
@@ -679,19 +727,32 @@ def evolve_mcwf_structured(
                 cim = jnp.stack(cand_im)
                 idx = jax.random.categorical(k_c, jnp.log(w + eps))
                 jump_re, jump_im = cre[idx], cim[idx]
+                chosen_logw = jnp.log(w[idx] + eps)
             else:
                 jump_re, jump_im = det.re, det.im
+                chosen_logw = jnp.zeros((), rdt)
             take = jax.random.uniform(k_r, dtype=rdt) < dp
             psi = CP(jnp.where(take, jump_re, det.re),
                      jnp.where(take, jump_im, det.im))
-            return (psi, k), None
+            # differentiable trajectory log-likelihood: jump -> log w_k
+            # (joint of "jump happened" x "channel k"), no-jump ->
+            # log(1 - dp). dp is clipped before log1p so the UNTAKEN
+            # where-branch stays finite (NaN in a dead branch still
+            # poisons the where gradient).
+            logp = logp + jnp.where(
+                take, chosen_logw,
+                jnp.log1p(-jnp.clip(dp, 0.0, 1.0 - 1e-7)))
+            return (psi, k, logp), None
 
-        (psi, _), _ = jax.lax.scan(step, (psi0.astype(rdt), k0),
-                                   (u_diag.T, u_oneq.T))
-        return psi
+        (psi, _, lp), _ = jax.lax.scan(
+            step, (psi0.astype(rdt), k0, jnp.zeros((), rdt)),
+            (u_diag.T, u_oneq.T))
+        return psi, lp
 
     keys = jax.random.split(key, n_traj)
-    return jax.vmap(one_trajectory)(keys)
+    psis, logps = jax.vmap(one_trajectory)(keys)
+    # dead when return_logp=False: XLA removes the logp chain entirely
+    return (psis, logps) if return_logp else psis
 
 
 @functools.partial(

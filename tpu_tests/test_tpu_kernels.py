@@ -294,3 +294,39 @@ def test_strings_measurement_and_tfim_on_chip():
                        prob.psi0, prob.T, cfg,
                        lam_min=prob.exact_ground)
     assert res.losses_energy[-1] < res.losses_energy[0] * 0.5
+
+
+def test_mcwf_score_gradient_on_chip():
+    """The score-function MCWF estimator end-to-end on the real backend:
+    structured quantum-jump trajectories (gathers + categorical draws +
+    masked jumps) with return_logp, and one descent step on the hybrid
+    pathwise+score surrogate. Validates that the T1-aware training path
+    (no Pallas kernels — pure XLA) compiles and descends on axon."""
+    from diffquantum_tpu.dynamics.lindblad import (StructuredNoise,
+                                                   evolve_mcwf_structured,
+                                                   score_surrogate)
+
+    n = 12
+    prob = maxcut.build_maxcut(n, maxcut.ring_graph(n), n_basis=4,
+                               dense=False)
+    noise = StructuredNoise(n, t1=[(q, 0.1) for q in range(n)])
+    w = prob.measurement.diag
+    key = jax.random.PRNGKey(5)
+
+    def loss(cc):
+        psis, logps = evolve_mcwf_structured(
+            prob.ham, prob.envelope, cc, prob.psi0, noise, 0.0,
+            float(prob.T), horizon=float(prob.T), n_steps=10, key=key,
+            n_traj=8, return_logp=True)
+        vals = jnp.sum(cpx.abs2(psis) * w, axis=-1)
+        return score_surrogate(vals, logps)
+
+    vg = jax.jit(jax.value_and_grad(loss))
+    c = _coeff(prob.envelope, scale=0.3)
+    v0, g0 = vg(c)
+    assert np.isfinite(float(v0))
+    g0 = np.asarray(g0)
+    assert np.all(np.isfinite(g0)) and np.linalg.norm(g0) > 0
+    # fixed key => deterministic surrogate; a small step along -g descends
+    v1, _ = vg(c - 2e-2 * jnp.asarray(g0))
+    assert float(v1) < float(v0) + 1e-6, (float(v0), float(v1))
