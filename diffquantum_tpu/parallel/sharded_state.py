@@ -141,6 +141,17 @@ def evolve_product_sharded(
       distributed-qubit mixes stay in XLA (elementwise + one ppermute per
       distributed rotation). Requires f32, Pauli X/Y locals, and >= 10 local
       qubits (sublane-aligned [2^(n_loc-7), 128] block);
+    - ``'chunked'``: each shard runs the step through the chunked HBM-state
+      engine (:func:`..ops.fused_chunked.chunked_evolve`, one Strang step
+      per call) — lifts the per-shard ceiling from the fused block's
+      VMEM-resident ~18 local qubits to the chunked engine's 22, i.e.
+      22 + log2(n_devices) total qubits on a mesh (~27 on a 32-chip v5e
+      slice). Additionally requires the packed-phase form (every diagonal
+      control row two-valued) and an unbatched state. Distributed-qubit
+      rotations wrap the local step palindromically at half angles, which
+      keeps the composition symmetric (still a second-order integrator) but
+      makes the trajectory differ from the 'xla'/'fused' ordering by
+      O(dt^2);
     - ``'auto'``: fused when eligible on TPU, else xla.
     """
     n = ham.n_qubits
@@ -154,6 +165,13 @@ def evolve_product_sharded(
     k = int(round(np.log2(axis_size)))
     assert 2**k == axis_size, "state axis size must be a power of two"
     n_local = n - k
+
+    if local_backend == "chunked":
+        return _evolve_sharded_chunked(
+            ham, envelope, coeff, psi0, T0, T, horizon, n_steps, mesh,
+            state_axis, batch_axis, k, n_local,
+            (diag_idx, diag_rows, h0_diag, oneq_idx, oneq_qubits,
+             oneq_locals))
 
     dt = (T - T0) / n_steps
     ts = T0 + dt * jnp.arange(n_steps, dtype=jnp.result_type(float))
@@ -301,6 +319,115 @@ def evolve_product_sharded(
     )
     re, im = shmap(psi0.re.astype(rdt), psi0.im.astype(rdt), diag_table,
                    h0_vec, u_diag, u_oneq)
+    return CP(re, im)
+
+
+def _evolve_sharded_chunked(ham, envelope, coeff, psi0, T0, T, horizon,
+                            n_steps, mesh, state_axis, batch_axis, k,
+                            n_local, structure) -> CP:
+    """State-sharded evolution whose per-shard local block is the chunked
+    HBM-state engine (one :func:`..ops.fused_chunked.chunked_evolve` Strang
+    step per time step) — the >18-local-qubit scale-out path.
+
+    Composition per step: ``D(dt/2) · [Phi/2 R_local Phi/2] · D(dt/2)``
+    where ``D`` applies the distributed-qubit rotations at half angles
+    (closing wrap in reversed order). The bracket is the chunked engine's
+    symmetric step and ``D . D_rev`` closes the palindrome, so the full
+    step is a symmetric (second-order) integrator; it differs from the
+    'xla'/'fused' ordering (distributed rotations INSIDE the half-phases)
+    by O(dt^2) — both converge to the same dynamics.
+    """
+    from ..dynamics.product import _pauli_kind, _symmetrize_rots
+    from ..ops.fused_chunked import _plan, chunked_evolve
+    from ..ops.fused_product import pack_diag_signs
+
+    (diag_idx, diag_rows, h0_diag, oneq_idx, oneq_qubits,
+     oneq_locals) = structure
+    rdt = ham.dtype
+    if rdt != jnp.float32:
+        raise ValueError("local_backend='chunked' needs an f32 Hamiltonian")
+    if psi0.ndim != 1 or coeff.ndim != len(envelope.coeff_shape):
+        raise ValueError("local_backend='chunked' supports a single "
+                         "unbatched state and shared coefficients")
+    if n_local < 10:
+        raise ValueError("local_backend='chunked' needs >= 10 local qubits")
+    _plan(n_local)  # raises past the chunked engine's 24-local-qubit cap
+    kinds_all = [_pauli_kind(g) for g in oneq_locals]
+    if any(kd is None for kd in kinds_all):
+        raise ValueError("local_backend='chunked' needs Pauli X/Y 1q terms")
+
+    d = ham.dim
+    if diag_rows:
+        packed = pack_diag_signs(diag_rows)
+        if packed is None:
+            raise ValueError(
+                "local_backend='chunked' needs the packed-phase form: "
+                "every diagonal control row two-valued (Pauli-Z strings), "
+                "<= 30 terms")
+        signs_np, consts, scales = packed
+    else:
+        signs_np = np.zeros(d, np.int32)
+        consts = np.zeros(0)
+        scales = np.zeros(0)
+
+    axis_size = 2**k
+    dt = (T - T0) / n_steps
+    ts = T0 + dt * jnp.arange(n_steps, dtype=jnp.result_type(float))
+    u = envelope.amplitudes(coeff, ts, horizon)  # [n_controls, n_steps]
+    half = jnp.asarray(0.5 * dt, rdt)
+    u_diag = (jnp.take(u, jnp.asarray(diag_idx, jnp.int32), axis=0)
+              if diag_idx else jnp.zeros((0, n_steps))).astype(rdt)
+    u_oneq = (jnp.take(u, jnp.asarray(oneq_idx, jnp.int32), axis=0)
+              if oneq_idx else jnp.zeros((0, n_steps))).astype(rdt)
+    ud_core = half * u_diag.T * jnp.asarray(scales, rdt)
+    off = half * jnp.einsum("tk,k->t", u_diag.T, jnp.asarray(consts, rdt))
+    ud_full = jnp.concatenate([ud_core, off[:, None]], axis=1)  # [T, nd+1]
+
+    m = len(oneq_qubits)
+    loc_ids = [i for i in range(m) if oneq_qubits[i] >= k]
+    dist_ids = [i for i in range(m) if oneq_qubits[i] < k]
+    theta_loc = jnp.asarray(dt, rdt) * u_oneq.T[:, jnp.asarray(
+        loc_ids, jnp.int32)] if loc_ids else jnp.zeros((n_steps, 0), rdt)
+    loc_qubits_t, loc_kinds_t, theta_loc = _symmetrize_rots(
+        [oneq_qubits[i] - k for i in loc_ids],
+        [kinds_all[i] for i in loc_ids], theta_loc, axis=1)
+    theta_dist = half * u_oneq.T[:, jnp.asarray(dist_ids, jnp.int32)] \
+        if dist_ids else jnp.zeros((n_steps, 0), rdt)
+    h0th = half * jnp.asarray(h0_diag, rdt)
+    signs = jnp.asarray(signs_np)
+
+    def inner(p_re, p_im, h0v, sg, ud_t, tl_t, td_t):
+        me = jax.lax.axis_index(state_axis)
+
+        def dist_rot(p, i, th):
+            q = oneq_qubits[i]
+            mask = 1 << (k - 1 - q)
+            bit = ((me >> (k - 1 - q)) & 1).astype(p.re.dtype)
+            return _distributed_1q_rot(p, th, kinds_all[i], bit, mask,
+                                       state_axis, axis_size)
+
+        def step(p, xs):
+            ud_row, tl_row, td_row = xs
+            for di, i in enumerate(dist_ids):
+                p = dist_rot(p, i, td_row[di])
+            p = chunked_evolve(p, ud_row[None], tl_row[None], h0v, sg,
+                               loc_qubits_t, n_local, loc_kinds_t, False)
+            for di, i in reversed(list(enumerate(dist_ids))):
+                p = dist_rot(p, i, td_row[di])
+            return p, None
+
+        out, _ = jax.lax.scan(step, CP(p_re, p_im), (ud_t, tl_t, td_t))
+        return out.re, out.im
+
+    shmap = shard_map(
+        inner, mesh=mesh,
+        in_specs=(P(state_axis), P(state_axis), P(state_axis),
+                  P(state_axis), P(), P(), P()),
+        out_specs=(P(state_axis), P(state_axis)),
+        check_vma=False,  # pallas outputs carry no varying-mesh-axes info
+    )
+    re, im = shmap(psi0.re.astype(rdt), psi0.im.astype(rdt), h0th, signs,
+                   ud_full, theta_loc, theta_dist)
     return CP(re, im)
 
 

@@ -13,10 +13,14 @@ plus an on-chip exactness check of the fused gradient vs the XLA product
 path at 12q. Run detached:  nohup python scripts/ab_involution.py > /tmp/ab_inv.log 2>&1 &
 """
 import json
+import os
 import sys
 import time
 
 import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
 
 
 def main():
