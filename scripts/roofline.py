@@ -57,9 +57,11 @@ def fused_flops(n, n_steps, n_diag, n_rot, precision="full",
     total_mxu = fwd_mxu * n_steps
     total_vpu = fwd_vpu * n_steps
     if backward:
-        # backward step: ~2x the rotation matmuls (reconstruct + lam) plus
-        # gradient contributions (~2 more matmul-equivalents), phases ~2x,
-        # per-term gradient reductions ~4 ops/term/elem at two stages
+        # backward step: exactly 2x the forward rotation matmuls — 4
+        # generator applications per rotation (G(y) planes + G(lam)
+        # planes; G(x) derived via G^2 = I / K^2 = -I, the involution
+        # identity) — phases ~2x, per-term gradient reductions ~4
+        # ops/term/elem at two stages
         total_mxu += 2 * fwd_mxu * n_steps
         total_vpu += (2 * fwd_vpu + 2 * (4 * n_diag) * d) * n_steps
     hbm = 0  # packed: angle rows are KBs; state is VMEM-resident
