@@ -91,19 +91,74 @@ def _flip2(x, hi, axis_len, tail_shape, sign=False):
     return y.reshape((axis_len,) + tail_shape)
 
 
-def _theta_slab(ud_ref, h0_blk, signs_blk, n_diag):
-    """Per-slab diagonal phase: ud row layout = [a_0..a_{n_diag-1}, offset,
-    h0_mult]; returns [F, 128] (or the slab's 2-D shape)."""
-    off = ud_ref[0, 0, n_diag]
-    mult = ud_ref[0, 0, n_diag + 1]
+def _theta_row(ud_row, h0_blk, signs_blk, n_diag):
+    """Per-slab diagonal phase from a [1, 128] angle row: layout =
+    [a_0..a_{n_diag-1}, offset, h0_mult]; returns the slab's 2-D shape."""
+    off = ud_row[0, n_diag]
+    mult = ud_row[0, n_diag + 1]
     th = mult * h0_blk + off
     for k in range(n_diag):
-        a = ud_ref[0, 0, k]
+        a = ud_row[0, k]
         bit = jnp.bitwise_and(
             jax.lax.shift_right_logical(signs_blk, np.int32(k)),
             np.int32(1)).astype(jnp.float32)
         th = th + a - (2.0 * a) * bit
     return th
+
+
+def _theta_slab(ud_ref, h0_blk, signs_blk, n_diag):
+    """Per-slab diagonal phase: ud row layout = [a_0..a_{n_diag-1}, offset,
+    h0_mult]; returns [F, 128] (or the slab's 2-D shape)."""
+    return _theta_row(ud_ref[0], h0_blk, signs_blk, n_diag)
+
+
+# ---------------------------------------------------------------------------
+# shared compute cores (pure array -> array; used by both the per-call
+# kernels and the single-call mega kernels)
+# ---------------------------------------------------------------------------
+
+def _a_fwd_core(re, im, ud_row, tx_row, h0_blk, sg_blk, perms_ref,
+                free_rots, lane_rots, n_diag, c, fdim, fast):
+    """Pass A step on one chunk slab: diagonal phase (in-kernel packed
+    form) + free-row-bit and lane-bit rotations. Rows are [1, 128]."""
+    th = _theta_row(ud_row, h0_blk, sg_blk, n_diag)
+    cph, sph = jnp.cos(th), jnp.sin(th)
+    re, im = cph * re + sph * im, cph * im - sph * re
+
+    def rot(j, kind, g_of, re, im):
+        thx = tx_row[0, j]
+        cx, sx = jnp.cos(thx), jnp.sin(thx)
+        if kind == "x":
+            return (cx * re + sx * g_of(im), cx * im - sx * g_of(re))
+        return (cx * re + sx * g_of(re), cx * im + sx * g_of(im))
+
+    for (j, q, kind) in free_rots:
+        lb = q - c  # local bit on the F axis (0 = MSB)
+        re, im = rot(j, kind,
+                     lambda v, lb=lb, kd=kind: _flip2(
+                         v, 2**lb, fdim, (_LANES,), sign=(kd == "y")),
+                     re, im)
+    for li, (j, q, kind) in enumerate(lane_rots):
+        p = perms_ref[li]
+        re, im = rot(j, kind, lambda v, p=p: _pdot(v, p, fast), re, im)
+    return re, im
+
+
+def _b_fwd_core(re, im, tx_row, chunk_rots, cdim, fast):
+    """Pass B step on one [C, Bf, 128] block: chunk-bit rotations."""
+    tail = re.shape[1:]
+    for (j, q, kind) in chunk_rots:
+        thx = tx_row[0, j]
+        cx, sx = jnp.cos(thx), jnp.sin(thx)
+
+        def g_of(v, q=q, kd=kind):
+            return _flip2(v, 2**q, cdim, tail, sign=(kd == "y"))
+
+        if kind == "x":
+            re, im = (cx * re + sx * g_of(im), cx * im - sx * g_of(re))
+        else:
+            re, im = (cx * re + sx * g_of(re), cx * im + sx * g_of(im))
+    return re, im
 
 
 # ---------------------------------------------------------------------------
@@ -115,27 +170,9 @@ def _make_passA_fwd(free_rots, lane_rots, n_diag, c, f, fast):
 
     def kernel(ud_ref, tx_ref, h0_ref, sg_ref, in_re, in_im, perms_ref,
                out_re, out_im):
-        th = _theta_slab(ud_ref, h0_ref[0], sg_ref[0], n_diag)
-        cph, sph = jnp.cos(th), jnp.sin(th)
-        re = cph * in_re[0] + sph * in_im[0]
-        im = cph * in_im[0] - sph * in_re[0]
-
-        def rot(j, kind, g_of, re, im):
-            thx = tx_ref[0, 0, j]
-            cx, sx = jnp.cos(thx), jnp.sin(thx)
-            if kind == "x":
-                return (cx * re + sx * g_of(im), cx * im - sx * g_of(re))
-            return (cx * re + sx * g_of(re), cx * im + sx * g_of(im))
-
-        for (j, q, kind) in free_rots:
-            lb = q - c  # local bit on the F axis (0 = MSB)
-            re, im = rot(j, kind,
-                         lambda v, lb=lb, kd=kind: _flip2(
-                             v, 2**lb, fdim, (_LANES,), sign=(kd == "y")),
-                         re, im)
-        for li, (j, q, kind) in enumerate(lane_rots):
-            p = perms_ref[li]
-            re, im = rot(j, kind, lambda v, p=p: _pdot(v, p, fast), re, im)
+        re, im = _a_fwd_core(in_re[0], in_im[0], ud_ref[0], tx_ref[0],
+                             h0_ref[0], sg_ref[0], perms_ref, free_rots,
+                             lane_rots, n_diag, c, fdim, fast)
         out_re[0] = re
         out_im[0] = im
 
@@ -146,20 +183,8 @@ def _make_passB_fwd(chunk_rots, c, fast):
     cdim = 2**c
 
     def kernel(tx_ref, in_re, in_im, out_re, out_im):
-        re, im = in_re[:], in_im[:]
-        tail = re.shape[1:]
-
-        for (j, q, kind) in chunk_rots:
-            thx = tx_ref[0, 0, j]
-            cx, sx = jnp.cos(thx), jnp.sin(thx)
-
-            def g_of(v, q=q, kd=kind):
-                return _flip2(v, 2**q, cdim, tail, sign=(kd == "y"))
-
-            if kind == "x":
-                re, im = (cx * re + sx * g_of(im), cx * im - sx * g_of(re))
-            else:
-                re, im = (cx * re + sx * g_of(re), cx * im + sx * g_of(im))
+        re, im = _b_fwd_core(in_re[:], in_im[:], tx_ref[0], chunk_rots,
+                             cdim, fast)
         out_re[:] = re
         out_im[:] = im
 
@@ -170,6 +195,107 @@ def _make_passB_fwd(chunk_rots, c, fast):
 # backward kernels: reconstruct x by inversion, evolve lam, reduce grads
 # ---------------------------------------------------------------------------
 
+def _undo_rot_core(thx, kind, g_of, y_re, y_im, l_re, l_im):
+    """Invert one rotation, evolve the cotangent, and return the angle
+    gradient's elementwise integrand. G(x) is derived algebraically from
+    the already-computed G(y): G^2 = I (X flips/XOR perms) and K^2 = -I
+    (Y), so each rotation needs 4 generator applications instead of 6
+    (see fused_product)."""
+    cx, sx = jnp.cos(thx), jnp.sin(thx)
+    if kind == "x":
+        gy_re = g_of(y_re)
+        gy_im = g_of(y_im)
+        x_re = cx * y_re - sx * gy_im
+        x_im = cx * y_im + sx * gy_re
+        gx_re = cx * gy_re - sx * y_im
+        gx_im = cx * gy_im + sx * y_re
+        contrib = (l_re * (-sx * x_re + cx * gx_im)
+                   + l_im * (-sx * x_im - cx * gx_re))
+        nl_re = cx * l_re - sx * g_of(l_im)
+        nl_im = cx * l_im + sx * g_of(l_re)
+    else:
+        ky_re = g_of(y_re)
+        ky_im = g_of(y_im)
+        x_re = cx * y_re - sx * ky_re
+        x_im = cx * y_im - sx * ky_im
+        gx_re = cx * ky_re + sx * y_re
+        gx_im = cx * ky_im + sx * y_im
+        contrib = (l_re * (-sx * x_re + cx * gx_re)
+                   + l_im * (-sx * x_im + cx * gx_im))
+        nl_re = cx * l_re - sx * g_of(l_re)
+        nl_im = cx * l_im - sx * g_of(l_im)
+    return x_re, x_im, nl_re, nl_im, contrib
+
+
+def _a_bwd_core(y_re, y_im, l_re, l_im, ud_row, tx_row, h0_blk, sg_blk,
+                perms_ref, free_rots, lane_rots, n_diag, c, fdim, fast):
+    """Pass A inverse on one chunk slab: undo rotations (lanes then free
+    rows), then the phase; reduce diag and rotation gradients to per-term
+    scalars. Returns (y_re, y_im, l_re, l_im, gud_row, gtx_row)."""
+    lane_ids = jax.lax.broadcasted_iota(jnp.int32, (1, _LANES), 1)
+    g_rot = {}
+
+    def undo(j, kind, g_of, y_re, y_im, l_re, l_im):
+        y_re, y_im, l_re, l_im, contrib = _undo_rot_core(
+            tx_row[0, j], kind, g_of, y_re, y_im, l_re, l_im)
+        g_rot[j] = jnp.sum(contrib)
+        return y_re, y_im, l_re, l_im
+
+    # undo rotations (reverse forward order: lanes then free rows)
+    for li in range(len(lane_rots) - 1, -1, -1):
+        j, q, kind = lane_rots[li]
+        p = perms_ref[li]
+        y_re, y_im, l_re, l_im = undo(
+            j, kind, lambda v, p=p: _pdot(v, p, fast),
+            y_re, y_im, l_re, l_im)
+    for (j, q, kind) in reversed(free_rots):
+        lb = q - c
+        y_re, y_im, l_re, l_im = undo(
+            j, kind, lambda v, lb=lb, kd=kind: _flip2(
+                v, 2**lb, fdim, (_LANES,), sign=(kd == "y")),
+            y_re, y_im, l_re, l_im)
+
+    # undo the phase; diag gradients reduced to per-term scalars
+    th = _theta_row(ud_row, h0_blk, sg_blk, n_diag)
+    cph, sph = jnp.cos(th), jnp.sin(th)
+    gth = l_re * y_im - l_im * y_re
+    s0 = jnp.sum(gth)
+    row = jnp.zeros((1, _LANES), jnp.float32)
+    for k in range(n_diag):
+        bit = jnp.bitwise_and(
+            jax.lax.shift_right_logical(sg_blk, np.int32(k)),
+            np.int32(1)).astype(jnp.float32)
+        sk = jnp.sum(gth * bit)
+        row = jnp.where(lane_ids == k, s0 - 2.0 * sk, row)
+    row = jnp.where(lane_ids == n_diag, s0, row)
+
+    ny_re = cph * y_re - sph * y_im
+    ny_im = sph * y_re + cph * y_im
+    nl_re = cph * l_re - sph * l_im
+    nl_im = sph * l_re + cph * l_im
+
+    rrow = jnp.zeros((1, _LANES), jnp.float32)
+    for j, g in g_rot.items():
+        rrow = jnp.where(lane_ids == j, g, rrow)
+    return ny_re, ny_im, nl_re, nl_im, row, rrow
+
+
+def _b_bwd_core(y_re, y_im, l_re, l_im, tx_row, chunk_rots, cdim, fast):
+    """Pass B inverse on one [C, Bf, 128] block. Returns
+    (y_re, y_im, l_re, l_im, gtx_row)."""
+    tail = y_re.shape[1:]
+    lane_ids = jax.lax.broadcasted_iota(jnp.int32, (1, _LANES), 1)
+    rrow = jnp.zeros((1, _LANES), jnp.float32)
+    for (j, q, kind) in reversed(chunk_rots):
+        def g_of(v, q=q, kd=kind):
+            return _flip2(v, 2**q, cdim, tail, sign=(kd == "y"))
+
+        y_re, y_im, l_re, l_im, contrib = _undo_rot_core(
+            tx_row[0, j], kind, g_of, y_re, y_im, l_re, l_im)
+        rrow = rrow + jnp.where(lane_ids == j, jnp.sum(contrib), 0.0)
+    return y_re, y_im, l_re, l_im, rrow
+
+
 def _make_passA_bwd(free_rots, lane_rots, n_diag, c, f, fast):
     fdim = 2**f
 
@@ -177,82 +303,14 @@ def _make_passA_bwd(free_rots, lane_rots, n_diag, c, f, fast):
                l_im_i, perms_ref, y_re_o, y_im_o, l_re_o, l_im_o,
                gud_ref, gtx_ref):
         i = pl.program_id(0)
-        y_re, y_im = y_re_i[0], y_im_i[0]
-        l_re, l_im = l_re_i[0], l_im_i[0]
-        lane_ids = jax.lax.broadcasted_iota(jnp.int32, (1, _LANES), 1)
-        g_rot = {}
-
-        def undo_rot(j, kind, g_of, y_re, y_im, l_re, l_im):
-            # G(x) derived from G(y) via G^2 = I / K^2 = -I: 4 generator
-            # applications per rotation instead of 6 (see fused_product).
-            thx = tx_ref[0, 0, j]
-            cx, sx = jnp.cos(thx), jnp.sin(thx)
-            if kind == "x":
-                gy_re = g_of(y_re)
-                gy_im = g_of(y_im)
-                x_re = cx * y_re - sx * gy_im
-                x_im = cx * y_im + sx * gy_re
-                gx_re = cx * gy_re - sx * y_im
-                gx_im = cx * gy_im + sx * y_re
-                contrib = (l_re * (-sx * x_re + cx * gx_im)
-                           + l_im * (-sx * x_im - cx * gx_re))
-                nl_re = cx * l_re - sx * g_of(l_im)
-                nl_im = cx * l_im + sx * g_of(l_re)
-            else:
-                ky_re = g_of(y_re)
-                ky_im = g_of(y_im)
-                x_re = cx * y_re - sx * ky_re
-                x_im = cx * y_im - sx * ky_im
-                gx_re = cx * ky_re + sx * y_re
-                gx_im = cx * ky_im + sx * y_im
-                contrib = (l_re * (-sx * x_re + cx * gx_re)
-                           + l_im * (-sx * x_im + cx * gx_im))
-                nl_re = cx * l_re - sx * g_of(l_re)
-                nl_im = cx * l_im - sx * g_of(l_im)
-            g_rot[j] = jnp.sum(contrib)
-            return x_re, x_im, nl_re, nl_im
-
-        # undo rotations (reverse forward order: lanes then free rows)
-        for li in range(len(lane_rots) - 1, -1, -1):
-            j, q, kind = lane_rots[li]
-            p = perms_ref[li]
-            y_re, y_im, l_re, l_im = undo_rot(
-                j, kind, lambda v, p=p: _pdot(v, p, fast),
-                y_re, y_im, l_re, l_im)
-        for (j, q, kind) in reversed(free_rots):
-            lb = q - c
-            y_re, y_im, l_re, l_im = undo_rot(
-                j, kind, lambda v, lb=lb, kd=kind: _flip2(
-                    v, 2**lb, fdim, (_LANES,), sign=(kd == "y")),
-                y_re, y_im, l_re, l_im)
-
-        # undo the phase; diag gradients reduced to per-term scalars
-        th = _theta_slab(ud_ref, h0_ref[0], sg_ref[0], n_diag)
-        cph, sph = jnp.cos(th), jnp.sin(th)
-        gth = l_re * y_im - l_im * y_re
-        s0 = jnp.sum(gth)
-        row = jnp.zeros((1, _LANES), jnp.float32)
-        p_blk = sg_ref[0]
-        for k in range(n_diag):
-            bit = jnp.bitwise_and(
-                jax.lax.shift_right_logical(p_blk, np.int32(k)),
-                np.int32(1)).astype(jnp.float32)
-            sk = jnp.sum(gth * bit)
-            row = jnp.where(lane_ids == k, s0 - 2.0 * sk, row)
-        row = jnp.where(lane_ids == n_diag, s0, row)
-
-        re = cph * y_re - sph * y_im
-        im = sph * y_re + cph * y_im
-        y_re_o[0] = re
-        y_im_o[0] = im
-        re = cph * l_re - sph * l_im
-        im = sph * l_re + cph * l_im
-        l_re_o[0] = re
-        l_im_o[0] = im
-
-        rrow = jnp.zeros((1, _LANES), jnp.float32)
-        for j, g in g_rot.items():
-            rrow = jnp.where(lane_ids == j, g, rrow)
+        y_re, y_im, l_re, l_im, row, rrow = _a_bwd_core(
+            y_re_i[0], y_im_i[0], l_re_i[0], l_im_i[0], ud_ref[0],
+            tx_ref[0], h0_ref[0], sg_ref[0], perms_ref, free_rots,
+            lane_rots, n_diag, c, fdim, fast)
+        y_re_o[0] = y_re
+        y_im_o[0] = y_im
+        l_re_o[0] = l_re
+        l_im_o[0] = l_im
 
         @pl.when(i == 0)
         def _():
@@ -273,46 +331,9 @@ def _make_passB_bwd(chunk_rots, c, fast):
     def kernel(tx_ref, y_re_i, y_im_i, l_re_i, l_im_i,
                y_re_o, y_im_o, l_re_o, l_im_o, gtx_ref):
         i = pl.program_id(0)
-        y_re, y_im = y_re_i[:], y_im_i[:]
-        l_re, l_im = l_re_i[:], l_im_i[:]
-        tail = y_re.shape[1:]
-        lane_ids = jax.lax.broadcasted_iota(jnp.int32, (1, _LANES), 1)
-        rrow = jnp.zeros((1, _LANES), jnp.float32)
-
-        for (j, q, kind) in reversed(chunk_rots):
-            thx = tx_ref[0, 0, j]
-            cx, sx = jnp.cos(thx), jnp.sin(thx)
-
-            def g_of(v, q=q, kd=kind):
-                return _flip2(v, 2**q, cdim, tail, sign=(kd == "y"))
-
-            # G(x) derived from G(y) via G^2 = I / K^2 = -I (4 generator
-            # applications per rotation instead of 6, see fused_product)
-            if kind == "x":
-                gy_re = g_of(y_re)
-                gy_im = g_of(y_im)
-                x_re = cx * y_re - sx * gy_im
-                x_im = cx * y_im + sx * gy_re
-                gx_re = cx * gy_re - sx * y_im
-                gx_im = cx * gy_im + sx * y_re
-                contrib = (l_re * (-sx * x_re + cx * gx_im)
-                           + l_im * (-sx * x_im - cx * gx_re))
-                nl_re = cx * l_re - sx * g_of(l_im)
-                nl_im = cx * l_im + sx * g_of(l_re)
-            else:
-                ky_re = g_of(y_re)
-                ky_im = g_of(y_im)
-                x_re = cx * y_re - sx * ky_re
-                x_im = cx * y_im - sx * ky_im
-                gx_re = cx * ky_re + sx * y_re
-                gx_im = cx * ky_im + sx * y_im
-                contrib = (l_re * (-sx * x_re + cx * gx_re)
-                           + l_im * (-sx * x_im + cx * gx_im))
-                nl_re = cx * l_re - sx * g_of(l_re)
-                nl_im = cx * l_im - sx * g_of(l_im)
-            rrow = rrow + jnp.where(lane_ids == j, jnp.sum(contrib), 0.0)
-            y_re, y_im, l_re, l_im = x_re, x_im, nl_re, nl_im
-
+        y_re, y_im, l_re, l_im, rrow = _b_bwd_core(
+            y_re_i[:], y_im_i[:], l_re_i[:], l_im_i[:], tx_ref[0],
+            chunk_rots, cdim, fast)
         y_re_o[:] = y_re
         y_im_o[:] = y_im
         l_re_o[:] = l_re
@@ -607,3 +628,344 @@ def _bwd_ck(x_qubits, n_qubits, kinds, fast_math, residuals, lam):
 
 
 chunked_evolve.defvjp(_fwd_ck, _bwd_ck)
+
+
+# ===========================================================================
+# MEGA kernels: the ENTIRE chunked evolution (and its adjoint) as ONE
+# pallas_call each. The per-call engine above pays a fixed per-pallas_call
+# dispatch/pipeline cost for every pass — ~4*n_steps calls per gradient
+# step, the dominant term at 20+ qubits once HBM traffic (~10% of peak)
+# and VPU work are accounted (docs/PERFORMANCE.md roofline). Here the
+# grid runs over time steps (n_steps+1), the state stays HBM-resident
+# (memory_space=ANY, aliased in/out), and each grid step streams the
+# state through VMEM slabs with manual make_async_copy DMA:
+#
+#   grid step t:  [pass B sweep: chunk rots of step t-1]   (skip at t=0)
+#                 [pass A sweep: merged phases + free/lane rots of step t]
+#
+# with angle rows [n_steps+1, 128] streamed per grid step by BlockSpec.
+# Row t of the A-pass tables carries the merged ud phases (leading half
+# at t=0, trailing half at t=n_steps where the rotation row is zero —
+# zero-angle rotations are exact identities). Compute is byte-identical
+# to the per-call engine (same cores, same op order per element).
+# ===========================================================================
+
+
+def _mega_copy(src, dst, sem, k):
+    cp = pltpu.make_async_copy(src, dst, sem.at[k])
+    cp.start()
+    return cp
+
+
+def _make_mega_fwd(free_rots, lane_rots, chunk_rots, n_diag, c, f, bf,
+                   fast, n_steps):
+    cdim, fdim = 2**c, 2**f
+    nsl = fdim // bf
+    has_b = bool(chunk_rots)
+
+    def kernel(udm_ref, txa_ref, txb_ref, h0_hbm, sg_hbm, in_re, in_im,
+               perms_ref, out_re, out_im, a_re, a_im, a_h0, a_sg,
+               b_re, b_im, sem):
+        t = pl.program_id(0)
+
+        if has_b:
+            @pl.when(t > 0)
+            def _():
+                def bodyB(s, _):
+                    o = s * bf
+                    c1 = _mega_copy(out_re.at[:, pl.ds(o, bf)], b_re, sem, 0)
+                    c2 = _mega_copy(out_im.at[:, pl.ds(o, bf)], b_im, sem, 1)
+                    c1.wait()
+                    c2.wait()
+                    re, im = _b_fwd_core(b_re[:], b_im[:], txb_ref[:],
+                                         chunk_rots, cdim, fast)
+                    b_re[:] = re
+                    b_im[:] = im
+                    c3 = _mega_copy(b_re, out_re.at[:, pl.ds(o, bf)], sem, 0)
+                    c4 = _mega_copy(b_im, out_im.at[:, pl.ds(o, bf)], sem, 1)
+                    c3.wait()
+                    c4.wait()
+                    return 0
+
+                jax.lax.fori_loop(0, nsl, bodyB, 0)
+
+        def bodyA(q, _):
+            cps = [_mega_copy(out_re.at[q], a_re, sem, 0),
+                   _mega_copy(out_im.at[q], a_im, sem, 1),
+                   _mega_copy(h0_hbm.at[q], a_h0, sem, 2),
+                   _mega_copy(sg_hbm.at[q], a_sg, sem, 3)]
+            for cp in cps:
+                cp.wait()
+            re, im = _a_fwd_core(a_re[:], a_im[:], udm_ref[:], txa_ref[:],
+                                 a_h0[:], a_sg[:], perms_ref, free_rots,
+                                 lane_rots, n_diag, c, fdim, fast)
+            a_re[:] = re
+            a_im[:] = im
+            c5 = _mega_copy(a_re, out_re.at[q], sem, 0)
+            c6 = _mega_copy(a_im, out_im.at[q], sem, 1)
+            c5.wait()
+            c6.wait()
+            return 0
+
+        jax.lax.fori_loop(0, cdim, bodyA, 0)
+
+    return kernel
+
+
+def _make_mega_bwd(free_rots, lane_rots, chunk_rots, n_diag, c, f, bf,
+                   fast, n_steps):
+    cdim, fdim = 2**c, 2**f
+    nsl = fdim // bf
+    has_b = bool(chunk_rots)
+
+    def kernel(udm_ref, txa_ref, txb_ref, h0_hbm, sg_hbm,
+               yT_re, yT_im, lT_re, lT_im, perms_ref,
+               y_re_o, y_im_o, l_re_o, l_im_o, gudm_ref, gtxa_ref,
+               gtxb_ref, ay_re, ay_im, al_re, al_im, a_h0, a_sg,
+               by_re, by_im, bl_re, bl_im, acc_ud, acc_ta, acc_tb, sem):
+        i = pl.program_id(0)  # processes step s = n_steps - i
+
+        acc_ud[:] = jnp.zeros((1, _LANES), jnp.float32)
+        acc_ta[:] = jnp.zeros((1, _LANES), jnp.float32)
+        acc_tb[:] = jnp.zeros((1, _LANES), jnp.float32)
+
+        # ---- invert the A pass of step s (phases + free/lane rots) ----
+        def bodyA(q, _):
+            cps = [_mega_copy(y_re_o.at[q], ay_re, sem, 0),
+                   _mega_copy(y_im_o.at[q], ay_im, sem, 1),
+                   _mega_copy(l_re_o.at[q], al_re, sem, 2),
+                   _mega_copy(l_im_o.at[q], al_im, sem, 3)]
+            for cp in cps:
+                cp.wait()
+            c5 = _mega_copy(h0_hbm.at[q], a_h0, sem, 0)
+            c6 = _mega_copy(sg_hbm.at[q], a_sg, sem, 1)
+            c5.wait()
+            c6.wait()
+            y_re, y_im, l_re, l_im, row, rrow = _a_bwd_core(
+                ay_re[:], ay_im[:], al_re[:], al_im[:], udm_ref[:],
+                txa_ref[:], a_h0[:], a_sg[:], perms_ref, free_rots,
+                lane_rots, n_diag, c, fdim, fast)
+            acc_ud[:] = acc_ud[:] + row
+            acc_ta[:] = acc_ta[:] + rrow
+            ay_re[:] = y_re
+            ay_im[:] = y_im
+            al_re[:] = l_re
+            al_im[:] = l_im
+            cps = [_mega_copy(ay_re, y_re_o.at[q], sem, 0),
+                   _mega_copy(ay_im, y_im_o.at[q], sem, 1),
+                   _mega_copy(al_re, l_re_o.at[q], sem, 2),
+                   _mega_copy(al_im, l_im_o.at[q], sem, 3)]
+            for cp in cps:
+                cp.wait()
+            return 0
+
+        jax.lax.fori_loop(0, cdim, bodyA, 0)
+
+        # ---- invert the B pass of step s (skip at s=0, i.e. i=n_steps) --
+        if has_b:
+            @pl.when(i < n_steps)
+            def _():
+                def bodyB(s, _):
+                    o = s * bf
+                    cps = [_mega_copy(y_re_o.at[:, pl.ds(o, bf)], by_re,
+                                      sem, 0),
+                           _mega_copy(y_im_o.at[:, pl.ds(o, bf)], by_im,
+                                      sem, 1),
+                           _mega_copy(l_re_o.at[:, pl.ds(o, bf)], bl_re,
+                                      sem, 2),
+                           _mega_copy(l_im_o.at[:, pl.ds(o, bf)], bl_im,
+                                      sem, 3)]
+                    for cp in cps:
+                        cp.wait()
+                    y_re, y_im, l_re, l_im, rrow = _b_bwd_core(
+                        by_re[:], by_im[:], bl_re[:], bl_im[:],
+                        txb_ref[:], chunk_rots, cdim, fast)
+                    acc_tb[:] = acc_tb[:] + rrow
+                    by_re[:] = y_re
+                    by_im[:] = y_im
+                    bl_re[:] = l_re
+                    bl_im[:] = l_im
+                    cps = [_mega_copy(by_re, y_re_o.at[:, pl.ds(o, bf)],
+                                      sem, 0),
+                           _mega_copy(by_im, y_im_o.at[:, pl.ds(o, bf)],
+                                      sem, 1),
+                           _mega_copy(bl_re, l_re_o.at[:, pl.ds(o, bf)],
+                                      sem, 2),
+                           _mega_copy(bl_im, l_im_o.at[:, pl.ds(o, bf)],
+                                      sem, 3)]
+                    for cp in cps:
+                        cp.wait()
+                    return 0
+
+                jax.lax.fori_loop(0, nsl, bodyB, 0)
+
+        gudm_ref[:] = acc_ud[:]
+        gtxa_ref[:] = acc_ta[:]
+        gtxb_ref[:] = acc_tb[:]
+
+    return kernel
+
+
+def _setup_mega(ud, theta_x, h0th, signs, x_qubits, n_qubits, kinds, fast):
+    kinds = kinds or ("x",) * len(x_qubits)
+    c, f = _plan(n_qubits)
+    cdim, fdim = 2**c, 2**f
+    bf = min(2 ** (_F_BITS - c) if c > 0 else fdim, fdim)
+    chunk_rots, free_rots, lane_rots = _partition_rots(
+        x_qubits, kinds, n_qubits, c)
+    perms = jnp.asarray(_perm_stack(lane_rots, n_qubits))
+    n_steps, n_slots = ud.shape
+    n_diag = n_slots - 1
+    interp = jax.default_backend() == "cpu"
+
+    def pad_row(v, extra=None):
+        row = jnp.zeros(v.shape[:-1] + (_LANES,), jnp.float32)
+        row = row.at[..., :v.shape[-1]].set(v.astype(jnp.float32))
+        if extra is not None:
+            row = row.at[..., v.shape[-1]].set(extra)
+        return row
+
+    ud_rows = pad_row(ud, extra=1.0)
+    if n_steps > 1:
+        merged = pad_row(ud[:-1] + ud[1:], extra=2.0)
+        udm = jnp.concatenate([ud_rows[0:1], merged, ud_rows[-1:]])
+    else:
+        udm = jnp.concatenate([ud_rows, ud_rows])
+    tx_rows = pad_row(theta_x)
+    zrow = jnp.zeros((1, _LANES), jnp.float32)
+    txa = jnp.concatenate([tx_rows, zrow])       # [T+1, 128]
+    txb = jnp.concatenate([zrow, tx_rows])       # [T+1, 128]
+
+    h0th3 = h0th.reshape(cdim, fdim, _LANES).astype(jnp.float32)
+    signs3 = signs.reshape(cdim, fdim, _LANES)
+    return (c, f, cdim, fdim, bf, chunk_rots, free_rots, lane_rots, perms,
+            n_steps, n_diag, interp, udm, txa, txb, h0th3, signs3)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8))
+def chunked_evolve_mega(psi0: CP, ud: jnp.ndarray, theta_x: jnp.ndarray,
+                        h0th: jnp.ndarray, signs: jnp.ndarray,
+                        x_qubits: tuple, n_qubits: int, kinds: tuple = None,
+                        fast_math: bool = False) -> CP:
+    """:func:`chunked_evolve` as ONE pallas_call (and one for the adjoint):
+    same inputs, same math, per-pass dispatch overhead amortized away."""
+    return _forward_mega(psi0, ud, theta_x, h0th, signs, x_qubits,
+                         n_qubits, kinds, fast_math)
+
+
+def _forward_mega(psi0, ud, theta_x, h0th, signs, x_qubits, n_qubits,
+                  kinds=None, fast_math=False):
+    (c, f, cdim, fdim, bf, chunk_rots, free_rots, lane_rots, perms,
+     n_steps, n_diag, interp, udm, txa, txb, h0th3,
+     signs3) = _setup_mega(ud, theta_x, h0th, signs, x_qubits, n_qubits,
+                           kinds, fast_math)
+    kernel = _make_mega_fwd(free_rots, lane_rots, chunk_rots, n_diag, c, f,
+                            bf, fast_math, n_steps)
+    row = pl.BlockSpec((1, _LANES), lambda i: (i, 0),
+                       memory_space=pltpu.VMEM)
+    anyspec = pl.BlockSpec(memory_space=pl.ANY)
+    shp = (cdim, fdim, _LANES)
+    out_re, out_im = pl.pallas_call(
+        kernel,
+        grid=(n_steps + 1,),
+        in_specs=[row, row, row, anyspec, anyspec, anyspec, anyspec,
+                  pl.BlockSpec(perms.shape, lambda i: (0, 0, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=(anyspec, anyspec),
+        out_shape=(jax.ShapeDtypeStruct(shp, jnp.float32),
+                   jax.ShapeDtypeStruct(shp, jnp.float32)),
+        input_output_aliases={5: 0, 6: 1},
+        scratch_shapes=[pltpu.VMEM((fdim, _LANES), jnp.float32),
+                        pltpu.VMEM((fdim, _LANES), jnp.float32),
+                        pltpu.VMEM((fdim, _LANES), jnp.float32),
+                        pltpu.VMEM((fdim, _LANES), jnp.int32),
+                        pltpu.VMEM((cdim, bf, _LANES), jnp.float32),
+                        pltpu.VMEM((cdim, bf, _LANES), jnp.float32),
+                        pltpu.SemaphoreType.DMA((4,))],
+        interpret=interp,
+        **_CK_VMEM,
+    )(udm, txa, txb, h0th3, signs3,
+      psi0.re.reshape(shp).astype(jnp.float32),
+      psi0.im.reshape(shp).astype(jnp.float32), perms)
+    d = 2**n_qubits
+    return CP(out_re.reshape(d), out_im.reshape(d))
+
+
+def _fwd_mega(psi0, ud, theta_x, h0th, signs, x_qubits, n_qubits,
+              kinds=None, fast_math=False):
+    out = _forward_mega(psi0, ud, theta_x, h0th, signs, x_qubits, n_qubits,
+                        kinds, fast_math)
+    return out, (out, ud, theta_x, h0th, signs)
+
+
+def _bwd_mega(x_qubits, n_qubits, kinds, fast_math, residuals, lam):
+    psi_T, ud, theta_x, h0th, signs = residuals
+    (c, f, cdim, fdim, bf, chunk_rots, free_rots, lane_rots, perms,
+     n_steps, n_diag, interp, udm, txa, txb, h0th3,
+     signs3) = _setup_mega(ud, theta_x, h0th, signs, x_qubits, n_qubits,
+                           kinds, fast_math)
+    kernel = _make_mega_bwd(free_rots, lane_rots, chunk_rots, n_diag, c, f,
+                            bf, fast_math, n_steps)
+    grow = pl.BlockSpec((1, _LANES), lambda i: (n_steps - i, 0),
+                        memory_space=pltpu.VMEM)
+    anyspec = pl.BlockSpec(memory_space=pl.ANY)
+    shp = (cdim, fdim, _LANES)
+    st = jax.ShapeDtypeStruct(shp, jnp.float32)
+    gr = jax.ShapeDtypeStruct((n_steps + 1, _LANES), jnp.float32)
+    outs = pl.pallas_call(
+        kernel,
+        grid=(n_steps + 1,),
+        # grid step i inverts step s = n_steps - i, so the angle rows are
+        # streamed in REVERSE (grow), matching the gradient-row outputs.
+        in_specs=[grow, grow, grow, anyspec, anyspec, anyspec, anyspec,
+                  anyspec, anyspec,
+                  pl.BlockSpec(perms.shape, lambda i: (0, 0, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=(anyspec, anyspec, anyspec, anyspec, grow, grow, grow),
+        out_shape=(st, st, st, st, gr, gr, gr),
+        input_output_aliases={5: 0, 6: 1, 7: 2, 8: 3},
+        scratch_shapes=[pltpu.VMEM((fdim, _LANES), jnp.float32),
+                        pltpu.VMEM((fdim, _LANES), jnp.float32),
+                        pltpu.VMEM((fdim, _LANES), jnp.float32),
+                        pltpu.VMEM((fdim, _LANES), jnp.float32),
+                        pltpu.VMEM((fdim, _LANES), jnp.float32),
+                        pltpu.VMEM((fdim, _LANES), jnp.int32),
+                        pltpu.VMEM((cdim, bf, _LANES), jnp.float32),
+                        pltpu.VMEM((cdim, bf, _LANES), jnp.float32),
+                        pltpu.VMEM((cdim, bf, _LANES), jnp.float32),
+                        pltpu.VMEM((cdim, bf, _LANES), jnp.float32),
+                        pltpu.VMEM((1, _LANES), jnp.float32),
+                        pltpu.VMEM((1, _LANES), jnp.float32),
+                        pltpu.VMEM((1, _LANES), jnp.float32),
+                        pltpu.SemaphoreType.DMA((4,))],
+        interpret=interp,
+        **_CK_VMEM,
+    )(udm, txa, txb, h0th3, signs3,
+      psi_T.re.reshape(shp).astype(jnp.float32),
+      psi_T.im.reshape(shp).astype(jnp.float32),
+      lam.re.reshape(shp).astype(jnp.float32),
+      lam.im.reshape(shp).astype(jnp.float32), perms)
+    gudm, gtxa, gtxb = outs[4], outs[5], outs[6]
+
+    # merged row t (1<=t<=n-1) touches ud[t-1] and ud[t]; row 0 / row n
+    # are the boundary half-phases of ud[0] / ud[n-1]. txa row n and txb
+    # row 0 are zero-angle phantom rotations — their gradients are NOT
+    # parameters and are dropped.
+    gud = jnp.zeros((n_steps, _LANES), jnp.float32)
+    gud = gud.at[0].add(gudm[0])
+    gud = gud.at[n_steps - 1].add(gudm[n_steps])
+    if n_steps > 1:
+        mid = gudm[1:n_steps]
+        gud = gud.at[:-1].add(mid)
+        gud = gud.at[1:].add(mid)
+    gtx = gtxa[:n_steps] + gtxb[1:]
+
+    d = 2**n_qubits
+    return (CP(outs[2].reshape(d), outs[3].reshape(d)),
+            gud[:, :ud.shape[1]].astype(ud.dtype),
+            gtx[:, :theta_x.shape[1]].astype(theta_x.dtype),
+            jnp.zeros_like(h0th),
+            np.zeros(signs.shape, dtype=jax.dtypes.float0))
+
+
+chunked_evolve_mega.defvjp(_fwd_mega, _bwd_mega)

@@ -134,3 +134,50 @@ def test_20q_routing_and_parity():
 def test_chunked_single_step():
     """n_steps=1 boundary handling (no merged interior phases)."""
     _compare(12, n_steps=1, seed=4)
+
+
+def _compare_mega(n, n_steps=3, seed=0):
+    """chunked_evolve_mega vs chunked_evolve: same inputs, values and
+    gradients must agree to fp tolerance (same cores, same op order)."""
+    from diffquantum_tpu.ops.fused_chunked import chunked_evolve_mega
+    prob = maxcut.build_maxcut(n, maxcut.ring_graph(n), n_basis=4,
+                               dense=False)
+    rng = np.random.default_rng(seed)
+    coeff = jnp.asarray(
+        rng.standard_normal(prob.envelope.coeff_shape).astype(np.float32)
+        * 0.3)
+    (ud_full, theta_x, h0th, signs, qubits, nq,
+     kinds) = _packed_args(prob, coeff, n_steps)
+
+    def loss(evolver):
+        def f(ud, tx):
+            psi = evolver(prob.psi0, ud, tx, h0th, signs, qubits, nq,
+                          kinds, False)
+            return jnp.sum(cpx.abs2(psi) * prob.measurement.diag, axis=-1)
+        return f
+
+    v_m, (gud_m, gtx_m) = jax.value_and_grad(
+        loss(chunked_evolve_mega), argnums=(0, 1))(ud_full, theta_x)
+    v_c, (gud_c, gtx_c) = jax.value_and_grad(
+        loss(chunked_evolve), argnums=(0, 1))(ud_full, theta_x)
+    assert abs(float(v_m) - float(v_c)) < 1e-6, (float(v_m), float(v_c))
+    np.testing.assert_allclose(np.asarray(gud_m), np.asarray(gud_c),
+                               rtol=1e-4, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(gtx_m), np.asarray(gtx_c),
+                               rtol=1e-4, atol=1e-6)
+
+
+def test_mega_no_chunk_bits_12q():
+    _compare_mega(12, n_steps=4, seed=7)
+
+
+def test_mega_with_chunk_bits_18q():
+    _compare_mega(18, n_steps=3, seed=8)
+
+
+def test_mega_multi_chunk_20q():
+    _compare_mega(20, n_steps=2, seed=9)
+
+
+def test_mega_single_step():
+    _compare_mega(12, n_steps=1, seed=10)
