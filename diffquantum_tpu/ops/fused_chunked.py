@@ -34,6 +34,16 @@ round-2 XLA product path reached 20 qubits but crashed the TPU worker in
 50-epoch compiled blocks. This engine trains 19-22 qubits with bounded
 VMEM (~a dozen 0.5 MiB slabs); measured 20q gradient step 35 ms, 22q
 138 ms (VPU/per-pass-overhead bound — HBM traffic is ~10% of peak).
+
+Two executable forms, same math (shared compute cores, parity-tested):
+
+- per-call (:func:`chunked_evolve`) — two pallas_calls per Strang step,
+  Mosaic auto-pipelines the slab copies;
+- mega (:func:`chunked_evolve_mega`) — the WHOLE chain (and the whole
+  adjoint) as one pallas_call with explicit in-kernel DMA. Same on-chip
+  step latency (20q grad 55.8 vs 57.3 ms at 30 steps), ~20x faster to
+  COMPILE (20q forward 36 s vs 724 s; compile time is the binding
+  constraint on this toolchain) — the production router uses this form.
 """
 from __future__ import annotations
 
@@ -677,7 +687,7 @@ def _make_mega_fwd(free_rots, lane_rots, chunk_rots, n_diag, c, f, bf,
                     c2 = _mega_copy(out_im.at[:, pl.ds(o, bf)], b_im, sem, 1)
                     c1.wait()
                     c2.wait()
-                    re, im = _b_fwd_core(b_re[:], b_im[:], txb_ref[:],
+                    re, im = _b_fwd_core(b_re[:], b_im[:], txb_ref[0],
                                          chunk_rots, cdim, fast)
                     b_re[:] = re
                     b_im[:] = im
@@ -696,7 +706,7 @@ def _make_mega_fwd(free_rots, lane_rots, chunk_rots, n_diag, c, f, bf,
                    _mega_copy(sg_hbm.at[q], a_sg, sem, 3)]
             for cp in cps:
                 cp.wait()
-            re, im = _a_fwd_core(a_re[:], a_im[:], udm_ref[:], txa_ref[:],
+            re, im = _a_fwd_core(a_re[:], a_im[:], udm_ref[0], txa_ref[0],
                                  a_h0[:], a_sg[:], perms_ref, free_rots,
                                  lane_rots, n_diag, c, fdim, fast)
             a_re[:] = re
@@ -742,8 +752,8 @@ def _make_mega_bwd(free_rots, lane_rots, chunk_rots, n_diag, c, f, bf,
             c5.wait()
             c6.wait()
             y_re, y_im, l_re, l_im, row, rrow = _a_bwd_core(
-                ay_re[:], ay_im[:], al_re[:], al_im[:], udm_ref[:],
-                txa_ref[:], a_h0[:], a_sg[:], perms_ref, free_rots,
+                ay_re[:], ay_im[:], al_re[:], al_im[:], udm_ref[0],
+                txa_ref[0], a_h0[:], a_sg[:], perms_ref, free_rots,
                 lane_rots, n_diag, c, fdim, fast)
             acc_ud[:] = acc_ud[:] + row
             acc_ta[:] = acc_ta[:] + rrow
@@ -779,7 +789,7 @@ def _make_mega_bwd(free_rots, lane_rots, chunk_rots, n_diag, c, f, bf,
                         cp.wait()
                     y_re, y_im, l_re, l_im, rrow = _b_bwd_core(
                         by_re[:], by_im[:], bl_re[:], bl_im[:],
-                        txb_ref[:], chunk_rots, cdim, fast)
+                        txb_ref[0], chunk_rots, cdim, fast)
                     acc_tb[:] = acc_tb[:] + rrow
                     by_re[:] = y_re
                     by_im[:] = y_im
@@ -799,9 +809,9 @@ def _make_mega_bwd(free_rots, lane_rots, chunk_rots, n_diag, c, f, bf,
 
                 jax.lax.fori_loop(0, nsl, bodyB, 0)
 
-        gudm_ref[:] = acc_ud[:]
-        gtxa_ref[:] = acc_ta[:]
-        gtxb_ref[:] = acc_tb[:]
+        gudm_ref[0] = acc_ud[:]
+        gtxa_ref[0] = acc_ta[:]
+        gtxb_ref[0] = acc_tb[:]
 
     return kernel
 
@@ -835,6 +845,10 @@ def _setup_mega(ud, theta_x, h0th, signs, x_qubits, n_qubits, kinds, fast):
     zrow = jnp.zeros((1, _LANES), jnp.float32)
     txa = jnp.concatenate([tx_rows, zrow])       # [T+1, 128]
     txb = jnp.concatenate([zrow, tx_rows])       # [T+1, 128]
+    # Mosaic requires the last two block dims to divide (8, 128) or equal
+    # the array dims — stream the [1, 128] rows as [T+1, 1, 128] arrays
+    # with (1, 1, 128) blocks (trailing dims equal the array's).
+    udm, txa, txb = udm[:, None, :], txa[:, None, :], txb[:, None, :]
 
     h0th3 = h0th.reshape(cdim, fdim, _LANES).astype(jnp.float32)
     signs3 = signs.reshape(cdim, fdim, _LANES)
@@ -861,7 +875,7 @@ def _forward_mega(psi0, ud, theta_x, h0th, signs, x_qubits, n_qubits,
                            kinds, fast_math)
     kernel = _make_mega_fwd(free_rots, lane_rots, chunk_rots, n_diag, c, f,
                             bf, fast_math, n_steps)
-    row = pl.BlockSpec((1, _LANES), lambda i: (i, 0),
+    row = pl.BlockSpec((1, 1, _LANES), lambda i: (i, 0, 0),
                        memory_space=pltpu.VMEM)
     anyspec = pl.BlockSpec(memory_space=pl.ANY)
     shp = (cdim, fdim, _LANES)
@@ -906,12 +920,12 @@ def _bwd_mega(x_qubits, n_qubits, kinds, fast_math, residuals, lam):
                            kinds, fast_math)
     kernel = _make_mega_bwd(free_rots, lane_rots, chunk_rots, n_diag, c, f,
                             bf, fast_math, n_steps)
-    grow = pl.BlockSpec((1, _LANES), lambda i: (n_steps - i, 0),
+    grow = pl.BlockSpec((1, 1, _LANES), lambda i: (n_steps - i, 0, 0),
                         memory_space=pltpu.VMEM)
     anyspec = pl.BlockSpec(memory_space=pl.ANY)
     shp = (cdim, fdim, _LANES)
     st = jax.ShapeDtypeStruct(shp, jnp.float32)
-    gr = jax.ShapeDtypeStruct((n_steps + 1, _LANES), jnp.float32)
+    gr = jax.ShapeDtypeStruct((n_steps + 1, 1, _LANES), jnp.float32)
     outs = pl.pallas_call(
         kernel,
         grid=(n_steps + 1,),
@@ -945,7 +959,7 @@ def _bwd_mega(x_qubits, n_qubits, kinds, fast_math, residuals, lam):
       psi_T.im.reshape(shp).astype(jnp.float32),
       lam.re.reshape(shp).astype(jnp.float32),
       lam.im.reshape(shp).astype(jnp.float32), perms)
-    gudm, gtxa, gtxb = outs[4], outs[5], outs[6]
+    gudm, gtxa, gtxb = outs[4][:, 0], outs[5][:, 0], outs[6][:, 0]
 
     # merged row t (1<=t<=n-1) touches ud[t-1] and ud[t]; row 0 / row n
     # are the boundary half-phases of ud[0] / ud[n-1]. txa row n and txb
