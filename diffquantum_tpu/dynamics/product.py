@@ -258,13 +258,21 @@ def _pauli_kind(local) -> str | None:
 
 
 def _symmetrize_rots(qubits, kinds, theta_x, axis: int):
-    """Palindromic 1q sub-step ordering when two drives share a qubit (the
-    non-commuting X+Y two-quadrature case): half angles forward, then half
-    angles in reversed order — restores the Strang split's O(dt^2) global
-    error. The fused kernel's internal row/lane partitioning only reorders
-    rotations on DISTINCT qubits (which commute), so the palindrome of
-    same-qubit pairs survives the partition. No-op for distinct qubits."""
-    if len(set(qubits)) == len(qubits):
+    """Palindromic sub-step ordering when two drives share a qubit (the
+    non-commuting X+Y two-quadrature case, or a hop overlapping a 1q
+    drive): half angles forward, then half angles in reversed order —
+    restores the Strang split's O(dt^2) global error. The fused kernel's
+    internal row/lane partitioning only reorders rotations on DISTINCT
+    qubits (which commute), so the palindrome of same-qubit pairs survives
+    the partition (hop entries are applied strictly in sequence order —
+    :func:`..ops.fused_product._plan_ops`). No-op for distinct qubits.
+
+    ``qubits`` entries are ints (1q) or (i, j) pairs (kind 'hop') —
+    mirrors the ``used`` flattening of :func:`_make_strang_step`."""
+    used = []
+    for ent in qubits:
+        used.extend(ent) if isinstance(ent, tuple) else used.append(ent)
+    if len(set(used)) == len(used):
         return tuple(qubits), tuple(kinds), theta_x
     half = 0.5 * theta_x
     rev = jnp.flip(half, axis=axis)
@@ -285,25 +293,28 @@ _PACKED_MIN_QUBITS = 18
 
 
 def fused_eligible(ham: ControlledHamiltonian) -> bool:
-    """Whether a fused Pallas evolution engine applies: 10-24 qubits,
-    diagonal H0, and every 1q term a Pauli X or Y.
+    """Whether a fused Pallas evolution engine applies: 10-22 qubits,
+    diagonal H0, every 1q term a Pauli X or Y, hops at streamed sizes.
 
     - 10-17: always (VMEM-resident whole-evolution kernels, streamed or
-      packed-phase form);
+      packed-phase form); 'hop' (XX+YY) pairs supported by the STREAMED
+      kernels (ordered op plan, {01,10}-mask rotations — the molecule
+      drive sets), provided the possibly-palindromic op sequence fits the
+      128 angle lanes;
     - 18-19: additionally need the packed-phase form (every diagonal
       control row two-valued, ≤30 terms — Pauli-Z strings qualify) so the
       kernel computes phases in-kernel and keeps HBM-resident boundary
       buffers, staying under the 16 MiB VMEM budget
-      (:mod:`..ops.fused_product` packed kernels);
+      (:mod:`..ops.fused_product` packed kernels); no hops there;
     - 19-22: packed-phase form on the chunked HBM-state engine
-      (:mod:`..ops.fused_chunked`) — the state streams through VMEM slabs
-      in two Pallas passes per Strang step. 22q measured on chip (138 ms
-      per gradient step); 23-24q programs crash the remote compile
-      helper (measured), so eligibility stops at 22."""
+      (:mod:`..ops.fused_chunked`, single-call mega kernels). 22q measured
+      on chip; 23-24q programs crash the remote compile helper
+      (measured), so eligibility stops at 22."""
     if ham.structure is None or not (10 <= ham.n_qubits <= 22):
         return False
     if ham.h0_structure is None or ham.h0_structure.kind != "diag":
         return False
+    n_rot, used, has_hop = 0, [], False
     for st in ham.structure:
         if st.kind == "1q" and _pauli_kind(st.local) is None:
             g = np.asarray(st.local)
@@ -312,7 +323,23 @@ def fused_eligible(ham: ControlledHamiltonian) -> bool:
                           and np.max(np.abs(np.diagonal(g).imag)) < 1e-12)
             if not diag_local:  # diagonal 1q (Z-like) folds into the phases
                 return False
-        if st.kind not in ("diag", "1q"):
+            continue  # folds into phases, costs no rotation slot
+        if st.kind == "hop":
+            has_hop = True
+            n_rot += 1
+            used += [st.qubit, st.qubit2]
+        elif st.kind == "1q":
+            n_rot += 1
+            used.append(st.qubit)
+        elif st.kind != "diag":
+            return False
+    if has_hop:
+        # hops ride the streamed VMEM kernels only (≤17q), and the
+        # (palindromic when qubits are shared) op sequence must fit the
+        # 128 angle lanes of one tx row
+        if ham.n_qubits > 17:
+            return False
+        if n_rot * (2 if len(set(used)) < len(used) else 1) > 128:
             return False
     if ham.n_qubits >= 18:
         from ..ops.fused_product import pack_diag_signs
@@ -367,8 +394,8 @@ def evolve_product_fused(
     fast = precision == "fast"
 
     n = ham.n_qubits
-    (diag_idx, diag_rows, h0_diag, oneq_idx, oneq_qubits,
-     oneq_locals) = split_structure(ham)
+    (diag_idx, diag_rows, h0_diag, oneq_idx, oneq_qubits, oneq_locals,
+     hop_idx, hop_pairs) = split_structure_ext(ham)
 
     from .propagator import time_grid
     dt = (T - T0) / n_steps
@@ -383,6 +410,12 @@ def evolve_product_fused(
     # 18+ qubits REQUIRE the packed form (no [n_steps, d] tables fit).
     packed = pack_diag_signs(diag_rows) if n >= _PACKED_MIN_QUBITS \
         else None
+    if hop_pairs:
+        if n >= 18:  # fused_eligible already rejects this combination
+            raise ValueError(
+                "hop (XX+YY) drives ride the streamed fused kernels only "
+                "(<= 17 qubits); use backend='product' at this size")
+        packed = None  # streamed kernels carry the hop op plan
     if packed is None and n >= 18:
         raise ValueError(
             "18+ qubit fused evolution needs the packed-phase form "
@@ -416,6 +449,18 @@ def evolve_product_fused(
     h0_vec = jnp.asarray(h0_diag, dtype=rdt)
     di = jnp.asarray(diag_idx, dtype=jnp.int32)
     qi = jnp.asarray(oneq_idx, dtype=jnp.int32)
+    hi = jnp.asarray(hop_idx, dtype=jnp.int32)
+
+    def with_hops(entries, kinds, theta_x, hop_block, axis):
+        """Append the hop rotation entries: kernel angle = 2 x (dt x u)
+        (the {01,10} subspace rotates by twice the hop angle —
+        :func:`apply_hop_rot`), concatenated after the 1q columns in the
+        :func:`_make_strang_step` op order [1q..., hop...]."""
+        if not hop_pairs:
+            return entries, kinds, theta_x
+        return (tuple(entries) + tuple(hop_pairs),
+                tuple(kinds) + ("hop",) * len(hop_pairs),
+                jnp.concatenate([theta_x, 2.0 * hop_block], axis=axis))
 
     def packed_tables(u_diag_tk):
         """[T, ..., n_diag] diag controls → (ud_full [T, ..., n_diag+1],
@@ -450,6 +495,10 @@ def evolve_product_fused(
                 "fused backend supports Pauli X/Y 1q drives only (diagonal "
                 "locals fold into the phases); use backend='product' for "
                 "general involutory generators")
+        oneq_qubits, kinds, theta_x = with_hops(
+            oneq_qubits, kinds, theta_x,
+            dtc * jnp.moveaxis(jnp.take(u, hi, axis=1).astype(rdt), 2, 0),
+            axis=2)
         oneq_qubits, kinds, theta_x = _symmetrize_rots(
             oneq_qubits, kinds, theta_x, axis=2)
 
@@ -508,6 +557,10 @@ def evolve_product_fused(
             "fused backend supports Pauli X/Y 1q drives only (diagonal "
             "locals fold into the phases); use backend='product' for "
             "general involutory generators")
+    u_hop = (u[hi] if hop_idx else
+             jnp.zeros((0, n_steps), dtype=u.dtype)).astype(rdt)
+    oneq_qubits, kinds, theta_x = with_hops(
+        oneq_qubits, kinds, theta_x, dtc * u_hop.T, axis=1)
     oneq_qubits, kinds, theta_x = _symmetrize_rots(
         oneq_qubits, kinds, theta_x, axis=1)
 

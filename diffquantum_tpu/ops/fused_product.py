@@ -91,6 +91,67 @@ def _perm_stack(lane_rots, n_qubits) -> np.ndarray:
     return np.stack(mats)
 
 
+def _plan_ops(x_qubits: Sequence, kinds: Sequence[str], n_qubits: int):
+    """Ordered op plan for the STREAMED kernels. ``x_qubits`` entries are
+    an int (1q X/Y rotation on that qubit) or an ``(i, j)`` pair with kind
+    ``'hop'`` (the number-conserving XX+YY generator,
+    `dynamics/product.py::apply_hop_rot`). Sequence order is PRESERVED
+    in-kernel — hops do not commute with 1q rotations on their own sites,
+    so the row/lane partition used elsewhere would be wrong here.
+
+    Returns (ops, perms): ops entries are
+    ``(j, kind, row_bits, perm_idx, mask_spec)`` — j the angle slot,
+    row_bits the sublane-axis bits to flip (0-2 of them), perm_idx an
+    index into the stacked lane (signed) permutation matrices or None,
+    and mask_spec (hop only) two ``(is_row, shift)`` bit descriptors of
+    the global index for the {01, 10} subspace indicator."""
+    n_row = n_qubits - _LANE_QUBITS
+    ops, mats = [], []
+    for j, (ent, kind) in enumerate(zip(x_qubits, kinds)):
+        if kind == "hop":
+            qi, qj = ent
+            row_bits = tuple(q for q in (qi, qj) if q < n_row)
+            lane_mask = 0
+            for q in (qi, qj):
+                if q >= n_row:
+                    lane_mask |= 1 << (n_qubits - 1 - q)
+            perm_idx = None
+            if lane_mask:
+                perm_idx = len(mats)
+                mats.append(_xor_perm_matrix(lane_mask))
+            mask_spec = tuple(
+                (True, n_row - 1 - q) if q < n_row
+                else (False, n_qubits - 1 - q) for q in (qi, qj))
+            ops.append((j, "hop", row_bits, perm_idx, mask_spec))
+        elif ent < n_row:
+            ops.append((j, kind, (ent,), None, None))
+        else:
+            mask = 1 << (n_qubits - 1 - ent)
+            perm_idx = len(mats)
+            mats.append(_xor_perm_matrix(mask) if kind == "x"
+                        else _xor_signed_matrix(mask))
+            ops.append((j, kind, (), perm_idx, None))
+    perms = np.stack(mats).astype(np.float32) if mats else \
+        np.zeros((1, _LANES, _LANES), np.float32)
+    return ops, perms
+
+
+def _hop_mask(shape, mask_spec):
+    """{|01>, |10>} subspace indicator as f32 of the given state shape
+    ([R, 128] or [B, R, 128]): XOR of the hop pair's two bits of the
+    global amplitude index."""
+    rk = len(shape)
+    row_ids = jax.lax.broadcasted_iota(jnp.int32, shape, rk - 2)
+    lane_ids = jax.lax.broadcasted_iota(jnp.int32, shape, rk - 1)
+    bits = []
+    for (is_row, shift) in mask_spec:
+        src = row_ids if is_row else lane_ids
+        bits.append(jnp.bitwise_and(
+            jax.lax.shift_right_logical(src, np.int32(shift)),
+            np.int32(1)))
+    return jnp.bitwise_xor(bits[0], bits[1]).astype(jnp.float32)
+
+
 def _split_qubits(x_qubits: Sequence[int], kinds: Sequence[str], n: int):
     """(row_rotations, lane_rotations) as (j, q, kind) triples: row →
     sublane flip, lane → index into the stacked (signed) permutation
@@ -135,8 +196,24 @@ def _pad_tx(theta_x: jnp.ndarray) -> jnp.ndarray:
     return out.at[:, 0, :n_x].set(theta_x.astype(jnp.float32))
 
 
-def _make_forward_kernel(n_steps, row_rots, lane_rots, n_row_bits,
-                         fast=False):
+def _op_generator(op, perms_ref, n_row_bits, fast, flip, sflip, dot):
+    """g_of(v) for one op of a :func:`_plan_ops` plan: composed row-bit
+    flips (signed for Y) then the lane permutation matmul, if any."""
+    (_, kind, row_bits, perm_idx, _) = op
+
+    def g(v):
+        for b in row_bits:
+            v = (sflip if kind == "y" else flip)(v, b, n_row_bits)
+        if perm_idx is not None:
+            v = dot(v, perms_ref[perm_idx], fast)
+        return v
+
+    return g
+
+
+def _make_forward_kernel(n_steps, ops, n_row_bits, fast=False):
+    r = 2**n_row_bits
+
     def kernel(th_ref, tx_ref, pin_re, pin_im, perms_ref, out_re, out_im,
                s_re, s_im):
         i = pl.program_id(0)
@@ -154,27 +231,35 @@ def _make_forward_kernel(n_steps, row_rots, lane_rots, n_row_bits,
             s_re[:] = re
             s_im[:] = im
 
-        def rot(j, kind, g_of):
+        def rot(op):
+            (j, kind, _, _, mask_spec) = op
+            g_of = _op_generator(op, perms_ref, n_row_bits, fast,
+                                 _flip_row, _sflip_row, _pdot)
             th = tx_ref[0, 0, j]
             c, s = jnp.cos(th), jnp.sin(th)
             if kind == "x":
                 # y = c x - i s Gx (G real symmetric): planes cross
                 re = c * s_re[:] + s * g_of(s_im[:])
                 im = c * s_im[:] - s * g_of(s_re[:])
-            else:
+            elif kind == "y":
                 # Y: exp(-i th Y) = c I + s K (K real): planes independent
                 re = c * s_re[:] + s * g_of(s_re[:])
                 im = c * s_im[:] + s * g_of(s_im[:])
+            else:
+                # hop (XX+YY): identity on {00, 11}, an X-type rotation by
+                # the pre-doubled angle on the {01, 10} subspace. With
+                # M the subspace mask and G the both-bits flip:
+                # U = (1 + M(c-1)) I - i s M G.
+                m = _hop_mask((r, _LANES), mask_spec)
+                ct = 1.0 + m * (c - 1.0)
+                re = ct * s_re[:] + s * (m * g_of(s_im[:]))
+                im = ct * s_im[:] - s * (m * g_of(s_re[:]))
             s_re[:] = re
             s_im[:] = im
 
         phase()
-        for (j, q, kind) in row_rots:
-            flip = _flip_row if kind == "x" else _sflip_row
-            rot(j, kind, lambda v, q=q, f=flip: f(v, q, n_row_bits))
-        for li, (j, q, kind) in enumerate(lane_rots):
-            p = perms_ref[li]
-            rot(j, kind, lambda v, p=p: _pdot(v, p, fast))
+        for op in ops:
+            rot(op)
         phase()
 
         @pl.when(i == n_steps - 1)
@@ -185,11 +270,11 @@ def _make_forward_kernel(n_steps, row_rots, lane_rots, n_row_bits,
     return kernel
 
 
-def _make_backward_kernel(n_steps, row_rots, lane_rots, n_row_bits,
-                          fast=False):
+def _make_backward_kernel(n_steps, ops, n_row_bits, fast=False):
     """Reversed-step adjoint: reconstructs the state by inverting each
     unitary op; accumulates dL/dtheta_half (streamed per step) and
     dL/dtheta_x (streamed per step, padded to 128 lanes)."""
+    r = 2**n_row_bits
 
     def kernel(th_ref, tx_ref, pT_re, pT_im, lamT_re, lamT_im, perms_ref,
                gth_ref, gtx_ref, gp0_re, gp0_im, y_re, y_im, l_re, l_im):
@@ -224,7 +309,10 @@ def _make_backward_kernel(n_steps, row_rots, lane_rots, n_row_bits,
         # G^2 = I (X flips/XOR perms) and K^2 = -I (Y), so each rotation
         # needs 4 generator applications instead of 6 — on lane qubits
         # that is 2 fewer MXU matmuls, on row qubits 2 fewer flip copies.
-        def undo_rot(j, kind, g_of):
+        def undo_rot(op):
+            (j, kind, _, _, mask_spec) = op
+            g_of = _op_generator(op, perms_ref, n_row_bits, fast,
+                                 _flip_row, _sflip_row, _pdot)
             thx = tx_ref[0, 0, j]
             cx, sx = jnp.cos(thx), jnp.sin(thx)
             if kind == "x":
@@ -242,7 +330,7 @@ def _make_backward_kernel(n_steps, row_rots, lane_rots, n_row_bits,
                 gl_im = g_of(l_im[:])
                 nl_re = cx * l_re[:] - sx * gl_im
                 nl_im = cx * l_im[:] + sx * gl_re
-            else:
+            elif kind == "y":
                 # Y: M = c I + s K orthogonal (K^T = -K) → inverse =
                 # transpose = c I - s K, same map for x and lam;
                 # dy/dth = -s x + c K x (per plane)
@@ -256,18 +344,31 @@ def _make_backward_kernel(n_steps, row_rots, lane_rots, n_row_bits,
                                    + l_im[:] * (-sx * x_im + cx * gx_im))
                 nl_re = cx * l_re[:] - sx * g_of(l_re[:])
                 nl_im = cx * l_im[:] - sx * g_of(l_im[:])
+            else:
+                # hop: U = ct I - i s Ghat with ct = 1 + M(c-1) elementwise
+                # and Ghat = M G (Ghat^2 = M, M and ct are G-invariant).
+                # Ghat(x) derives from Ghat(y) exactly as in the X case:
+                # Ghat(x_re) = c Ghat(y_re) - s M y_im, etc.
+                m = _hop_mask((r, _LANES), mask_spec)
+                ct = 1.0 + m * (cx - 1.0)
+                gy_re = m * g_of(y_re[:])
+                gy_im = m * g_of(y_im[:])
+                x_re = ct * y_re[:] - sx * gy_im
+                x_im = ct * y_im[:] + sx * gy_re
+                gx_re = cx * gy_re - sx * (m * y_im[:])   # Ghat(x_re)
+                gx_im = cx * gy_im + sx * (m * y_re[:])   # Ghat(x_im)
+                g_rot[j] = jnp.sum(
+                    l_re[:] * (-sx * (m * x_re) + cx * gx_im)
+                    + l_im[:] * (-sx * (m * x_im) - cx * gx_re))
+                nl_re = ct * l_re[:] - sx * (m * g_of(l_im[:]))
+                nl_im = ct * l_im[:] + sx * (m * g_of(l_re[:]))
             y_re[:] = x_re
             y_im[:] = x_im
             l_re[:] = nl_re
             l_im[:] = nl_im
 
-        for li in range(len(lane_rots) - 1, -1, -1):
-            j, q, kind = lane_rots[li]
-            p = perms_ref[li]
-            undo_rot(j, kind, lambda v, p=p: _pdot(v, p, fast))
-        for (j, q, kind) in reversed(row_rots):
-            flip = _flip_row if kind == "x" else _sflip_row
-            undo_rot(j, kind, lambda v, q=q, f=flip: f(v, q, n_row_bits))
+        for op in reversed(ops):
+            undo_rot(op)
 
         # --- undo leading phase -------------------------------------------
         gth += l_re[:] * y_im[:] - l_im[:] * y_re[:]
@@ -318,11 +419,9 @@ def _forward(psi0, theta_half, theta_x, x_qubits, n_qubits, kinds=None,
     n_steps, d = theta_half.shape
     r = d // _LANES
     n_row_bits = n_qubits - _LANE_QUBITS
-    row_rots, lane_rots = _split_qubits(x_qubits, kinds, n_qubits)
-    perms = _perm_stack(lane_rots, n_qubits)
+    ops, perms = _plan_ops(x_qubits, kinds, n_qubits)
 
-    kernel = _make_forward_kernel(n_steps, row_rots, lane_rots, n_row_bits,
-                                  fast_math)
+    kernel = _make_forward_kernel(n_steps, ops, n_row_bits, fast_math)
     out_re, out_im = pl.pallas_call(
         kernel,
         grid=(n_steps,),
@@ -368,11 +467,9 @@ def _bwd(x_qubits, n_qubits, kinds, fast_math, residuals, lam):
     n_steps, d = theta_half.shape
     r = d // _LANES
     n_row_bits = n_qubits - _LANE_QUBITS
-    row_rots, lane_rots = _split_qubits(x_qubits, kinds, n_qubits)
-    perms = _perm_stack(lane_rots, n_qubits)
+    ops, perms = _plan_ops(x_qubits, kinds, n_qubits)
 
-    kernel = _make_backward_kernel(n_steps, row_rots, lane_rots, n_row_bits,
-                                   fast_math)
+    kernel = _make_backward_kernel(n_steps, ops, n_row_bits, fast_math)
     rev = lambda i: (n_steps - 1 - i, 0, 0)  # noqa: E731
     gth, gtx, gp_re, gp_im = pl.pallas_call(
         kernel,
@@ -447,7 +544,10 @@ def _blane_dot(x: jnp.ndarray, p: jnp.ndarray, fast: bool = False) -> jnp.ndarra
     return _pdot(x.reshape(b * r, _LANES), p, fast).reshape(b, r, _LANES)
 
 
-def _make_forward_kernel_b(n_steps, row_rots, lane_rots, fast=False):
+def _make_forward_kernel_b(n_steps, ops, fast=False):
+    bflip = lambda v, b, _n: _bflip_row(v, b)       # noqa: E731
+    bsflip = lambda v, b, _n: _bsflip_row(v, b)     # noqa: E731
+
     def kernel(th_ref, tx_ref, pin_re, pin_im, perms_ref, out_re, out_im,
                s_re, s_im):
         i = pl.program_id(0)
@@ -465,25 +565,29 @@ def _make_forward_kernel_b(n_steps, row_rots, lane_rots, fast=False):
             s_re[:] = re
             s_im[:] = im
 
-        def rot(j, kind, g_of):
+        def rot(op):
+            (j, kind, _, _, mask_spec) = op
+            g_of = _op_generator(op, perms_ref, 0, fast, bflip, bsflip,
+                                 _blane_dot)
             th = tx_ref[0, j]  # [B, 1, 128] (angle replicated along lanes)
             c, s = jnp.cos(th), jnp.sin(th)
             if kind == "x":
                 re = c * s_re[:] + s * g_of(s_im[:])
                 im = c * s_im[:] - s * g_of(s_re[:])
-            else:  # Y: c I + s K, planes independent
+            elif kind == "y":  # Y: c I + s K, planes independent
                 re = c * s_re[:] + s * g_of(s_re[:])
                 im = c * s_im[:] + s * g_of(s_im[:])
+            else:  # hop: see the unbatched kernel
+                m = _hop_mask(s_re.shape, mask_spec)
+                ct = 1.0 + m * (c - 1.0)
+                re = ct * s_re[:] + s * (m * g_of(s_im[:]))
+                im = ct * s_im[:] - s * (m * g_of(s_re[:]))
             s_re[:] = re
             s_im[:] = im
 
         phase()
-        for (j, q, kind) in row_rots:
-            flip = _bflip_row if kind == "x" else _bsflip_row
-            rot(j, kind, lambda v, q=q, f=flip: f(v, q))
-        for li, (j, q, kind) in enumerate(lane_rots):
-            p = perms_ref[li]
-            rot(j, kind, lambda v, p=p: _blane_dot(v, p, fast))
+        for op in ops:
+            rot(op)
         phase()
 
         @pl.when(i == n_steps - 1)
@@ -494,7 +598,10 @@ def _make_forward_kernel_b(n_steps, row_rots, lane_rots, fast=False):
     return kernel
 
 
-def _make_backward_kernel_b(n_steps, row_rots, lane_rots, fast=False):
+def _make_backward_kernel_b(n_steps, ops, fast=False):
+    bflip = lambda v, b, _n: _bflip_row(v, b)       # noqa: E731
+    bsflip = lambda v, b, _n: _bsflip_row(v, b)     # noqa: E731
+
     def kernel(th_ref, tx_ref, pT_re, pT_im, lamT_re, lamT_im, perms_ref,
                gth_ref, gtx_ref, gp0_re, gp0_im, y_re, y_im, l_re, l_im):
         i = pl.program_id(0)
@@ -524,10 +631,13 @@ def _make_backward_kernel_b(n_steps, row_rots, lane_rots, fast=False):
 
         gth = undo_phase(jnp.zeros_like(th))
 
-        def undo_rot(j, kind, g_of):
+        def undo_rot(op):
             # G(x) derived from G(y) via G^2 = I / K^2 = -I: 4 generator
             # applications per rotation instead of 6 (see the unbatched
             # backward kernel).
+            (j, kind, _, _, mask_spec) = op
+            g_of = _op_generator(op, perms_ref, 0, fast, bflip, bsflip,
+                                 _blane_dot)
             thx = tx_ref[0, j]  # [B, 1, 128]
             cx, sx = jnp.cos(thx), jnp.sin(thx)
             if kind == "x":
@@ -541,7 +651,7 @@ def _make_backward_kernel_b(n_steps, row_rots, lane_rots, fast=False):
                            + l_im[:] * (-sx * x_im - cx * gx_re))
                 nl_re = cx * l_re[:] - sx * g_of(l_im[:])
                 nl_im = cx * l_im[:] + sx * g_of(l_re[:])
-            else:  # Y: inverse = transpose = c I - s K (same for x and lam)
+            elif kind == "y":  # Y: inverse = transpose = c I - s K
                 ky_re = g_of(y_re[:])
                 ky_im = g_of(y_im[:])
                 x_re = cx * y_re[:] - sx * ky_re
@@ -552,6 +662,19 @@ def _make_backward_kernel_b(n_steps, row_rots, lane_rots, fast=False):
                            + l_im[:] * (-sx * x_im + cx * gx_im))
                 nl_re = cx * l_re[:] - sx * g_of(l_re[:])
                 nl_im = cx * l_im[:] - sx * g_of(l_im[:])
+            else:  # hop: see the unbatched backward kernel
+                m = _hop_mask(y_re.shape, mask_spec)
+                ct = 1.0 + m * (cx - 1.0)
+                gy_re = m * g_of(y_re[:])
+                gy_im = m * g_of(y_im[:])
+                x_re = ct * y_re[:] - sx * gy_im
+                x_im = ct * y_im[:] + sx * gy_re
+                gx_re = cx * gy_re - sx * (m * y_im[:])
+                gx_im = cx * gy_im + sx * (m * y_re[:])
+                contrib = (l_re[:] * (-sx * (m * x_re) + cx * gx_im)
+                           + l_im[:] * (-sx * (m * x_im) - cx * gx_re))
+                nl_re = ct * l_re[:] - sx * (m * g_of(l_im[:]))
+                nl_im = ct * l_im[:] + sx * (m * g_of(l_re[:]))
             # rank-2 all the way (Mosaic dislikes rank-1 intermediates);
             # b=1 reduces to a full scalar — the [1, r] intermediate trips
             # a Mosaic relayout bug
@@ -565,13 +688,8 @@ def _make_backward_kernel_b(n_steps, row_rots, lane_rots, fast=False):
             l_re[:] = nl_re
             l_im[:] = nl_im
 
-        for li in range(len(lane_rots) - 1, -1, -1):
-            j, q, kind = lane_rots[li]
-            p = perms_ref[li]
-            undo_rot(j, kind, lambda v, p=p: _blane_dot(v, p, fast))
-        for (j, q, kind) in reversed(row_rots):
-            flip = _bflip_row if kind == "x" else _bsflip_row
-            undo_rot(j, kind, lambda v, q=q, f=flip: f(v, q))
+        for op in reversed(ops):
+            undo_rot(op)
 
         gth = undo_phase(gth)
         gth_ref[0] = gth
@@ -619,9 +737,8 @@ def _common_b(theta_half, x_qubits, kinds, n_qubits):
     kinds = kinds or ("x",) * len(x_qubits)
     n_steps, b, d = theta_half.shape
     r = d // _LANES
-    row_rots, lane_rots = _split_qubits(x_qubits, kinds, n_qubits)
-    perms = _perm_stack(lane_rots, n_qubits)
-    return n_steps, b, d, r, row_rots, lane_rots, perms
+    ops, perms = _plan_ops(x_qubits, kinds, n_qubits)
+    return n_steps, b, d, r, ops, perms
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
@@ -639,9 +756,9 @@ def fused_product_evolve_batched(psi0: CP, theta_half: jnp.ndarray,
 
 def _forward_b(psi0, theta_half, theta_x, x_qubits, n_qubits, kinds=None,
                fast_math=False):
-    n_steps, b, d, r, row_rots, lane_rots, perms = _common_b(
+    n_steps, b, d, r, ops, perms = _common_b(
         theta_half, x_qubits, kinds, n_qubits)
-    kernel = _make_forward_kernel_b(n_steps, row_rots, lane_rots, fast_math)
+    kernel = _make_forward_kernel_b(n_steps, ops, fast_math)
     n_x = max(theta_x.shape[2], 1)
     state_spec = pl.BlockSpec((b, r, _LANES), lambda i: (0, 0, 0),
                               memory_space=pltpu.VMEM)
@@ -681,9 +798,9 @@ def _fwd_b(psi0, theta_half, theta_x, x_qubits, n_qubits, kinds=None,
 
 def _bwd_b(x_qubits, n_qubits, kinds, fast_math, residuals, lam):
     psi_T, theta_half, theta_x = residuals
-    n_steps, b, d, r, row_rots, lane_rots, perms = _common_b(
+    n_steps, b, d, r, ops, perms = _common_b(
         theta_half, x_qubits, kinds, n_qubits)
-    kernel = _make_backward_kernel_b(n_steps, row_rots, lane_rots, fast_math)
+    kernel = _make_backward_kernel_b(n_steps, ops, fast_math)
     n_x = max(theta_x.shape[2], 1)
     rev4 = lambda i: (n_steps - 1 - i, 0, 0, 0)  # noqa: E731
     rev3 = lambda i: (n_steps - 1 - i, 0, 0)  # noqa: E731

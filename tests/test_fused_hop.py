@@ -1,0 +1,137 @@
+"""Hop (XX+YY) drives on the streamed fused kernels: the ordered op plan
+(`ops/fused_product.py::_plan_ops`) applies hops as masked {01,10}-subspace
+rotations with in-kernel iota masks — values and custom-VJP gradients vs
+the XLA product backend (which exponentiates hops in closed form,
+`dynamics/product.py::apply_hop_rot`). This is what routes the MOLECULE
+drive sets {X, Y, hop, ZZ} onto the fused engines (interpret mode on CPU;
+real-chip coverage in tpu_tests)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from diffquantum_tpu.dynamics.hamiltonian import (ControlledHamiltonian,
+                                                  TermStructure)
+from diffquantum_tpu.dynamics.product import (evolve_product,
+                                              evolve_product_fused,
+                                              fused_eligible)
+from diffquantum_tpu.ops import cpx, linalg
+from diffquantum_tpu.pulses.envelope import SimpleEnvelope
+
+
+def make_hop_problem(n, hop_pairs, with_xy=True, with_zz=True, seed=0,
+                     n_basis=3):
+    """Synthetic molecule-style drive set: optional X/Y per qubit (shares
+    qubits with the hops → palindromic sub-steps), hop pairs, ZZ diags."""
+    d = 2**n
+    structure, omegas = [], []
+    if with_xy:
+        for q in range(n):
+            for local in (linalg.X, linalg.Y):
+                structure.append(TermStructure(kind="1q", qubit=q,
+                                               local=local))
+                omegas.append(np.pi)
+    for (i, j) in hop_pairs:
+        structure.append(TermStructure(kind="hop", qubit=i, qubit2=j))
+        omegas.append(np.pi)
+        if with_zz:
+            structure.append(TermStructure(
+                kind="diag", diag=linalg.zz_diagonal(n, i, j)))
+            omegas.append(np.pi)
+    ham = ControlledHamiltonian.create_structured(
+        d, tuple(structure),
+        h0_structure=TermStructure(kind="diag", diag=np.zeros(d)),
+        dtype=jnp.float32)
+    env = SimpleEnvelope(basis="bspline", n_basis=n_basis,
+                         omegas=tuple(omegas))
+    rng = np.random.default_rng(seed)
+    coeff = jnp.asarray(
+        rng.standard_normal(env.coeff_shape).astype(np.float32) * 0.4)
+    psi0 = cpx.from_complex(linalg.uniform_superposition(n), jnp.float32)
+    w = jnp.asarray(rng.standard_normal(d), jnp.float32)
+    return ham, env, coeff, psi0, w
+
+
+def _compare(n, hop_pairs, with_xy, n_steps=8, seed=0):
+    ham, env, coeff, psi0, w = make_hop_problem(n, hop_pairs, with_xy,
+                                                seed=seed)
+    assert fused_eligible(ham)
+    T = 2.0
+
+    def loss(evolver):
+        def f(c):
+            psi = evolver(ham, env, c, psi0, 0.0, T, horizon=T,
+                          n_steps=n_steps)
+            return jnp.sum(cpx.abs2(psi) * w, axis=-1)
+        return f
+
+    vf, gf = jax.value_and_grad(loss(evolve_product_fused))(coeff)
+    vx, gx = jax.value_and_grad(loss(evolve_product))(coeff)
+    np.testing.assert_allclose(float(vf), float(vx), rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(gf), np.asarray(gx),
+                               rtol=1e-3, atol=1e-5)
+
+
+def test_hop_row_row_pair():
+    """Both hop bits on row qubits (10q: qubits 0-2 are rows)."""
+    _compare(10, [(0, 1)], with_xy=False, seed=1)
+
+
+def test_hop_lane_lane_pair():
+    """Both hop bits on lane qubits — one combined XOR-perm matmul."""
+    _compare(10, [(7, 9)], with_xy=False, seed=2)
+
+
+def test_hop_row_lane_pair():
+    """Hop straddling the row/lane split — flip + perm composition."""
+    _compare(10, [(1, 8)], with_xy=False, seed=3)
+
+
+def test_hop_with_xy_palindromic():
+    """The molecule shape: X/Y on every qubit + hop chain + ZZ — shared
+    qubits force the palindromic half-angle op sequence."""
+    _compare(10, [(i, i + 1) for i in range(9)], with_xy=True, seed=4)
+
+
+def test_hop_11q_asymmetric_rows():
+    """11 qubits (R = 16): odd split, hops at both boundaries."""
+    _compare(11, [(0, 3), (3, 10)], with_xy=True, seed=5)
+
+
+def test_hop_batched_seeds():
+    """Per-seed batched kernels with hops: grads of the summed energy."""
+    n, n_steps, b = 10, 6, 3
+    ham, env, coeff, psi0, w = make_hop_problem(
+        n, [(i, i + 1) for i in range(0, 8, 2)], with_xy=True, seed=6)
+    assert fused_eligible(ham)
+    rng = np.random.default_rng(7)
+    coeffs = jnp.asarray(
+        rng.standard_normal((b,) + env.coeff_shape).astype(np.float32)
+        * 0.3)
+    batch = jax.tree_util.tree_map(lambda x: jnp.stack([x] * b), psi0)
+    T = 2.0
+
+    def loss(evolver, batched):
+        def f(cs):
+            if batched:
+                psi = evolver(ham, env, cs, batch, 0.0, T, horizon=T,
+                              n_steps=n_steps)
+                return jnp.sum(cpx.abs2(psi) * w)
+            e = jax.vmap(lambda c, p: jnp.sum(cpx.abs2(
+                evolver(ham, env, c, p, 0.0, T, horizon=T,
+                        n_steps=n_steps)) * w))(cs, batch)
+            return jnp.sum(e)
+        return f
+
+    vf, gf = jax.value_and_grad(loss(evolve_product_fused, True))(coeffs)
+    vx, gx = jax.value_and_grad(loss(evolve_product, False))(coeffs)
+    np.testing.assert_allclose(float(vf), float(vx), rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(gf), np.asarray(gx),
+                               rtol=1e-3, atol=1e-5)
+
+
+def test_hop_eligibility_rules():
+    """Hops gate eligibility to streamed sizes and the 128 angle lanes."""
+    ham, *_ = make_hop_problem(10, [(0, 9)])
+    assert fused_eligible(ham)
+    big, *_ = make_hop_problem(18, [(0, 17)], with_xy=False, with_zz=False)
+    assert not fused_eligible(big)  # hops need the streamed (<=17q) form

@@ -330,3 +330,32 @@ def test_mcwf_score_gradient_on_chip():
     # fixed key => deterministic surrogate; a small step along -g descends
     v1, _ = vg(c - 2e-2 * jnp.asarray(g0))
     assert float(v1) < float(v0) + 1e-6, (float(v0), float(v1))
+
+
+def test_hop_molecule_drive_set_on_chip():
+    """Hop (XX+YY) drives on the REAL Mosaic lowering: the ordered op
+    plan with in-kernel iota masks (`ops/fused_product.py::_plan_ops`,
+    `_hop_mask`) — the molecule drive set {X, Y, hop, ZZ} on the fused
+    engines. Values + grads vs the XLA product engine on chip, hops
+    spanning row/row, row/lane and lane/lane bit pairs (12q: qubits 0-4
+    rows, 5-11 lanes)."""
+    from tests.test_fused_hop import make_hop_problem
+
+    n = 12
+    ham, env, coeff, psi0, w = make_hop_problem(
+        n, [(0, 1), (3, 8), (9, 11)] + [(i, i + 1) for i in range(4, 8)],
+        with_xy=True, seed=12)
+    T, n_steps = 2.0, 8
+
+    def e(evolver):
+        def f(c):
+            psi = evolver(ham, env, c, psi0, 0.0, T, horizon=T,
+                          n_steps=n_steps)
+            return jnp.sum(cpx.abs2(psi) * w, axis=-1)
+        return f
+
+    vf, gf = jax.jit(jax.value_and_grad(e(evolve_product_fused)))(coeff)
+    vx, gx = jax.jit(jax.value_and_grad(e(evolve_product)))(coeff)
+    np.testing.assert_allclose(float(vf), float(vx), rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(gf), np.asarray(gx),
+                               rtol=1e-3, atol=1e-4)
