@@ -354,6 +354,57 @@ def main():
     except Exception as e:
         print(f"channel bench failed: {e}", file=sys.stderr)
 
+    # molecule drive set {X, Y, hop, ZZ} on the fused engines (round-3
+    # third pass: hop op-plan kernels). The H6-chain 12q shape of
+    # models/molecule.py::build_molecule_chain; measured on-chip A/B vs
+    # the XLA product path: 2.4 vs 33.0 ms (13.9x), 16q 12.0 vs 354.5 ms
+    # (29.7x) — scripts/bench_hop_ab.py.
+    try:
+        from diffquantum_tpu.dynamics.hamiltonian import (
+            ControlledHamiltonian, TermStructure)
+        from diffquantum_tpu.ops import linalg as _lin
+        from diffquantum_tpu.pulses.envelope import SimpleEnvelope
+        nmol = 12
+        dmol = 2**nmol
+        pairs = [(i, i + 1) for i in range(nmol - 1)] + \
+                [(i, i + 2) for i in range(nmol - 2)]
+        structure, omegas = [], []
+        for q in range(nmol):
+            for loc in (_lin.X, _lin.Y):
+                structure.append(TermStructure(kind="1q", qubit=q,
+                                               local=loc))
+                omegas.append(np.pi)
+        for (i, j) in pairs:
+            structure.append(TermStructure(kind="hop", qubit=i, qubit2=j))
+            omegas.append(np.pi)
+            structure.append(TermStructure(
+                kind="diag", diag=_lin.zz_diagonal(nmol, i, j)))
+            omegas.append(np.pi)
+        ham_m = ControlledHamiltonian.create_structured(
+            dmol, tuple(structure),
+            h0_structure=TermStructure(kind="diag", diag=np.zeros(dmol)),
+            dtype=jnp.float32)
+        env_m = SimpleEnvelope(basis="bspline", n_basis=4,
+                               omegas=tuple(omegas))
+        w_m = jnp.asarray(rng.standard_normal(dmol), jnp.float32)
+
+        def loss_m(c):
+            psi = evolve_product_fused(ham_m, env_m, c, prob.psi0, 0.0,
+                                       2.0, horizon=2.0, n_steps=n_steps)
+            return jnp.sum(cpx.abs2(psi) * w_m, axis=-1)
+
+        cm = jnp.asarray(rng.standard_normal(
+            env_m.coeff_shape).astype(np.float32) * 1e-3)
+        per_m, _ = amortized_step_latency(
+            jax.value_and_grad(loss_m), cm, chain=10, n_runs=6)
+        print(json.dumps({"metric": "molecule12q_hop_grad_step",
+                          "value": round(per_m * 1e3, 3),
+                          "unit": "ms (66-control X/Y+hop+ZZ drive set, "
+                                  "fused hop op plan)"}),
+              file=sys.stderr)
+    except Exception as e:
+        print(f"molecule hop bench failed: {e}", file=sys.stderr)
+
     # single-chip scale frontier: 22 qubits on the chunked HBM-state
     # engine (two Pallas passes per Strang step; chip-proven config).
     # Runs LAST — it is the largest compile in the file.
