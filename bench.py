@@ -431,6 +431,32 @@ def main():
     except Exception as e:
         print(f"22q frontier bench failed: {e}", file=sys.stderr)
 
+    # the 24-qubit single-chip maximum (16.7M amplitudes): single-call
+    # mega kernels — the per-call programs crashed the compile helper
+    # past 22q; the mega form compiles in ~1 min on the cache
+    try:
+        prob24 = maxcut.build_maxcut(24, maxcut.ring_graph(24), n_basis=6,
+                                     dense=False)
+        ns24 = reference_n_steps(per_step, 0.0, prob24.T)
+
+        def loss24(c):
+            psi = evolve_product_fused(prob24.ham, prob24.envelope, c,
+                                       prob24.psi0, 0.0, prob24.T,
+                                       horizon=prob24.T, n_steps=ns24)
+            return jnp.sum(cpx.abs2(psi) * prob24.measurement.diag, axis=-1)
+
+        c24 = jnp.asarray(rng.standard_normal(
+            prob24.envelope.coeff_shape).astype(np.float32) * 1e-3)
+        per24, _ = amortized_step_latency(
+            jax.value_and_grad(loss24), c24, chain=4, n_runs=4)
+        print(json.dumps({"metric": "mega24q_grad_step",
+                          "value": round(per24 * 1e3, 3),
+                          "unit": "ms (24q = 16.7M-amplitude full "
+                                  "pulse-grad step, mega kernels)"}),
+              file=sys.stderr)
+    except Exception as e:
+        print(f"24q frontier bench failed: {e}", file=sys.stderr)
+
 
 if __name__ == "__main__":
     main()

@@ -293,7 +293,7 @@ _PACKED_MIN_QUBITS = 18
 
 
 def fused_eligible(ham: ControlledHamiltonian) -> bool:
-    """Whether a fused Pallas evolution engine applies: 10-22 qubits,
+    """Whether a fused Pallas evolution engine applies: 10-24 qubits,
     diagonal H0, every 1q term a Pauli X or Y, hops at streamed sizes.
 
     - 10-17: always (VMEM-resident whole-evolution kernels, streamed or
@@ -306,11 +306,14 @@ def fused_eligible(ham: ControlledHamiltonian) -> bool:
       kernel computes phases in-kernel and keeps HBM-resident boundary
       buffers, staying under the 16 MiB VMEM budget
       (:mod:`..ops.fused_product` packed kernels); no hops there;
-    - 19-22: packed-phase form on the chunked HBM-state engine
-      (:mod:`..ops.fused_chunked`, single-call mega kernels). 22q measured
-      on chip; 23-24q programs crash the remote compile helper
-      (measured), so eligibility stops at 22."""
-    if ham.structure is None or not (10 <= ham.n_qubits <= 22):
+    - 19-24: packed-phase form on the chunked HBM-state engine
+      (:mod:`..ops.fused_chunked`) in its single-call MEGA form. The
+      per-call two-passes-per-step programs crashed the remote compile
+      helper past 22q; the mega kernels compile in ~1 min and run 23q at
+      276 ms / 24q at 562 ms per 30-step value+grad chain (measured on
+      chip, clean 2x-per-qubit scaling). 24 = the engine's architectural
+      max (pass-B blocks need >= 8 sublanes)."""
+    if ham.structure is None or not (10 <= ham.n_qubits <= 24):
         return False
     if ham.h0_structure is None or ham.h0_structure.kind != "diag":
         return False

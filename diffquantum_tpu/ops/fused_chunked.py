@@ -69,6 +69,18 @@ _F_BITS = 10  # free row bits per pass-A slab: 2^10 x 128 x 4 B = 0.5 MiB
 _CK_VMEM = {}
 
 
+def _mega_vmem(c: int) -> dict:
+    """compiler_params for the mega kernels: the default 16 MiB scoped
+    window fits through c = 5 (22q); at c = 6 (23q) the backward's DMA
+    slabs + accumulators overrun it by ~0.75 MiB (measured on chip), so
+    raise the window modestly — compile time grows with the window, so
+    keep it as small as clears the allocation."""
+    if c < 6:
+        return dict(_CK_VMEM)
+    return {"compiler_params": pltpu.CompilerParams(
+        vmem_limit_bytes=24 * 2**20)}
+
+
 def _plan(n_qubits: int):
     """(c, f): chunk row bits (top) and free row bits."""
     row_bits = n_qubits - _LANE_QUBITS
@@ -897,7 +909,7 @@ def _forward_mega(psi0, ud, theta_x, h0th, signs, x_qubits, n_qubits,
                         pltpu.VMEM((cdim, bf, _LANES), jnp.float32),
                         pltpu.SemaphoreType.DMA((4,))],
         interpret=interp,
-        **_CK_VMEM,
+        **_mega_vmem(c),
     )(udm, txa, txb, h0th3, signs3,
       psi0.re.reshape(shp).astype(jnp.float32),
       psi0.im.reshape(shp).astype(jnp.float32), perms)
@@ -953,7 +965,7 @@ def _bwd_mega(x_qubits, n_qubits, kinds, fast_math, residuals, lam):
                         pltpu.VMEM((1, _LANES), jnp.float32),
                         pltpu.SemaphoreType.DMA((4,))],
         interpret=interp,
-        **_CK_VMEM,
+        **_mega_vmem(c),
     )(udm, txa, txb, h0th3, signs3,
       psi_T.re.reshape(shp).astype(jnp.float32),
       psi_T.im.reshape(shp).astype(jnp.float32),

@@ -359,3 +359,24 @@ def test_hop_molecule_drive_set_on_chip():
     np.testing.assert_allclose(float(vf), float(vx), rtol=1e-5, atol=1e-6)
     np.testing.assert_allclose(np.asarray(gf), np.asarray(gx),
                                rtol=1e-3, atol=1e-4)
+
+
+def test_mega_frontier_2324q_on_chip():
+    """The 23/24-qubit single-chip frontier: the single-call mega kernels
+    (per-call chunked programs crashed the remote compile helper past
+    22q; the mega form compiles in ~1 min — `_mega_vmem` raises the
+    scoped window to 24 MiB at c >= 6). Values + grads vs the XLA
+    product backend on chip at a few steps (the XLA path is safe for
+    single steps at 16M amplitudes; only giant epoch blocks crash the
+    worker)."""
+    for n, n_steps in ((23, 4), (24, 3)):
+        prob = maxcut.build_maxcut(n, maxcut.ring_graph(n), n_basis=4,
+                                   dense=False)
+        f_fused, f_xla = _energy_fns(prob, n_steps)
+        c = _coeff(prob.envelope, seed=n)
+        vf, gf = jax.jit(jax.value_and_grad(f_fused))(c)
+        vx, gx = jax.jit(jax.value_and_grad(f_xla))(c)
+        np.testing.assert_allclose(float(vf), float(vx), rtol=1e-5,
+                                   atol=1e-6)
+        np.testing.assert_allclose(np.asarray(gf), np.asarray(gx),
+                                   rtol=1e-3, atol=1e-4)
