@@ -31,9 +31,10 @@ iterations).
 The reference's dense-expm propagator stops near 12-13 qubits on any
 hardware (`/root/reference/diffqc.cc:190-200`, O(4^n) matrices); the
 round-2 XLA product path reached 20 qubits but crashed the TPU worker in
-50-epoch compiled blocks. This engine trains 19-22 qubits with bounded
-VMEM (~a dozen 0.5 MiB slabs); measured 20q gradient step 35 ms, 22q
-138 ms (VPU/per-pass-overhead bound — HBM traffic is ~10% of peak).
+50-epoch compiled blocks. This engine trains 19-24 qubits with bounded
+VMEM (~a dozen 0.5 MiB slabs); measured per 30-step value+grad chain:
+20q 55.8 ms, 22q 145.6 ms, 23q 275.9 ms, 24q 561.6 ms (VPU-bound —
+HBM traffic is ~10% of peak; clean 2x-per-qubit scaling).
 
 Two executable forms, same math (shared compute cores, parity-tested):
 
