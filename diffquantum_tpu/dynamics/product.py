@@ -336,12 +336,12 @@ def fused_eligible(ham: ControlledHamiltonian) -> bool:
             used.append(st.qubit)
         elif st.kind != "diag":
             return False
-    if has_hop:
-        # hops ride the streamed VMEM kernels only (≤17q), and the
-        # (palindromic when qubits are shared) op sequence must fit the
-        # 128 angle lanes of one tx row
-        if ham.n_qubits > 17:
-            return False
+    if has_hop and ham.n_qubits > 17:
+        # hops ride the streamed VMEM kernels only (≤17q)
+        return False
+    if ham.n_qubits < 18:
+        # streamed kernels: the (palindromic when qubits are shared) op
+        # sequence must fit the 128 angle lanes of one tx row
         if n_rot * (2 if len(set(used)) < len(used) else 1) > 128:
             return False
     if ham.n_qubits >= 18:

@@ -129,12 +129,6 @@ def _theta_row(ud_row, h0_blk, signs_blk, n_diag):
     return th
 
 
-def _theta_slab(ud_ref, h0_blk, signs_blk, n_diag):
-    """Per-slab diagonal phase: ud row layout = [a_0..a_{n_diag-1}, offset,
-    h0_mult]; returns [F, 128] (or the slab's 2-D shape)."""
-    return _theta_row(ud_ref[0], h0_blk, signs_blk, n_diag)
-
-
 # ---------------------------------------------------------------------------
 # shared compute cores (pure array -> array; used by both the per-call
 # kernels and the single-call mega kernels)

@@ -12,7 +12,6 @@ import jax.numpy as jnp
 import numpy as np
 
 sys.path.insert(0, ".")
-sys.path.insert(0, "tests")
 
 from diffquantum_tpu.models import maxcut
 from diffquantum_tpu.ops import cpx
@@ -20,31 +19,7 @@ from diffquantum_tpu.ops.fused_chunked import (chunked_evolve,
                                                chunked_evolve_mega)
 
 
-def packed_args(prob, coeff, n_steps):
-    from diffquantum_tpu.dynamics.product import (_pauli_kind,
-                                                  _symmetrize_rots,
-                                                  split_structure)
-    from diffquantum_tpu.ops.fused_product import pack_diag_signs
-    ham, env = prob.ham, prob.envelope
-    (diag_idx, diag_rows, h0_diag, oneq_idx, oneq_qubits,
-     oneq_locals) = split_structure(ham)
-    dt = prob.T / n_steps
-    ts = dt * jnp.arange(n_steps, dtype=jnp.float32)
-    u = env.amplitudes(coeff, ts, prob.T)
-    u_diag = u[jnp.asarray(diag_idx, jnp.int32)].astype(jnp.float32)
-    u_oneq = u[jnp.asarray(oneq_idx, jnp.int32)].astype(jnp.float32)
-    signs_np, consts, scales = pack_diag_signs(diag_rows)
-    half = jnp.float32(0.5 * dt)
-    ud_core = half * u_diag.T * jnp.asarray(scales, jnp.float32)
-    off = half * (u_diag.T @ jnp.asarray(consts, jnp.float32))
-    ud_full = jnp.concatenate([ud_core, off[:, None]], axis=1)
-    theta_x = jnp.float32(dt) * u_oneq.T
-    kinds = tuple(_pauli_kind(g) for g in oneq_locals)
-    oneq_qubits, kinds, theta_x = _symmetrize_rots(
-        oneq_qubits, kinds, theta_x, axis=1)
-    h0th = half * jnp.asarray(h0_diag, jnp.float32)
-    return (ud_full, theta_x, h0th, jnp.asarray(signs_np),
-            tuple(oneq_qubits), ham.n_qubits, kinds)
+from tests.test_fused_chunked import _packed_args as packed_args  # noqa: E402
 
 
 def bench(n, n_steps, fast=False, engines=("percall", "mega")):
