@@ -135,3 +135,23 @@ def test_hop_eligibility_rules():
     assert fused_eligible(ham)
     big, *_ = make_hop_problem(18, [(0, 17)], with_xy=False, with_zz=False)
     assert not fused_eligible(big)  # hops need the streamed (<=17q) form
+
+
+def test_streamed_capacity_guard_hop_free():
+    """A hop-free streamed-size drive set whose palindromic op sequence
+    overflows the 128 angle lanes must fall back to the product backend
+    (fused_eligible False) instead of crashing at trace time."""
+    n = 10
+    d = 2**n
+    structure, omegas = [], []
+    for rep in range(7):  # 7 X + 7 Y per qubit = 140 shared-qubit rots
+        for q in range(n):
+            for local in (linalg.X, linalg.Y):
+                structure.append(TermStructure(kind="1q", qubit=q,
+                                               local=local))
+                omegas.append(np.pi)
+    ham = ControlledHamiltonian.create_structured(
+        d, tuple(structure),
+        h0_structure=TermStructure(kind="diag", diag=np.zeros(d)),
+        dtype=jnp.float32)
+    assert not fused_eligible(ham)
