@@ -57,7 +57,8 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from .cpx import CP
-from .fused_product import _pdot, _perm_stack, _split_qubits
+from .fused_product import (_multi_dot, _multi_map, _pdot, _perm_stack,
+                            _split_qubits)
 
 _LANES = 128
 _LANE_QUBITS = 7
@@ -142,22 +143,24 @@ def _a_fwd_core(re, im, ud_row, tx_row, h0_blk, sg_blk, perms_ref,
     cph, sph = jnp.cos(th), jnp.sin(th)
     re, im = cph * re + sph * im, cph * im - sph * re
 
-    def rot(j, kind, g_of, re, im):
+    def rot(j, kind, g_multi, re, im):
         thx = tx_row[0, j]
         cx, sx = jnp.cos(thx), jnp.sin(thx)
         if kind == "x":
-            return (cx * re + sx * g_of(im), cx * im - sx * g_of(re))
-        return (cx * re + sx * g_of(re), cx * im + sx * g_of(im))
+            g_im, g_re = g_multi([im, re])
+            return (cx * re + sx * g_im, cx * im - sx * g_re)
+        g_re, g_im = g_multi([re, im])
+        return (cx * re + sx * g_re, cx * im + sx * g_im)
 
     for (j, q, kind) in free_rots:
         lb = q - c  # local bit on the F axis (0 = MSB)
         re, im = rot(j, kind,
-                     lambda v, lb=lb, kd=kind: _flip2(
-                         v, 2**lb, fdim, (_LANES,), sign=(kd == "y")),
+                     _multi_map(lambda v, lb=lb, kd=kind: _flip2(
+                         v, 2**lb, fdim, (_LANES,), sign=(kd == "y"))),
                      re, im)
     for li, (j, q, kind) in enumerate(lane_rots):
-        p = perms_ref[li]
-        re, im = rot(j, kind, lambda v, p=p: _pdot(v, p, fast), re, im)
+        re, im = rot(j, kind, _multi_dot(perms_ref[li], _pdot, fast),
+                     re, im)
     return re, im
 
 
@@ -176,6 +179,12 @@ def _b_fwd_core(re, im, tx_row, chunk_rots, cdim, fast):
         else:
             re, im = (cx * re + sx * g_of(re), cx * im + sx * g_of(im))
     return re, im
+
+
+def _flip_multi(q, cdim, tail, kind):
+    """Per-plane chunk/free-bit flip as a multi-apply (no matmul to pack)."""
+    return _multi_map(
+        lambda v: _flip2(v, 2**q, cdim, tail, sign=(kind == "y")))
 
 
 # ---------------------------------------------------------------------------
@@ -212,35 +221,33 @@ def _make_passB_fwd(chunk_rots, c, fast):
 # backward kernels: reconstruct x by inversion, evolve lam, reduce grads
 # ---------------------------------------------------------------------------
 
-def _undo_rot_core(thx, kind, g_of, y_re, y_im, l_re, l_im):
+def _undo_rot_core(thx, kind, g_multi, y_re, y_im, l_re, l_im):
     """Invert one rotation, evolve the cotangent, and return the angle
     gradient's elementwise integrand. G(x) is derived algebraically from
     the already-computed G(y): G^2 = I (X flips/XOR perms) and K^2 = -I
     (Y), so each rotation needs 4 generator applications instead of 6
-    (see fused_product)."""
+    (see fused_product) — and all four ride ONE packed lane matmul."""
     cx, sx = jnp.cos(thx), jnp.sin(thx)
     if kind == "x":
-        gy_re = g_of(y_re)
-        gy_im = g_of(y_im)
+        gy_re, gy_im, gl_im, gl_re = g_multi([y_re, y_im, l_im, l_re])
         x_re = cx * y_re - sx * gy_im
         x_im = cx * y_im + sx * gy_re
         gx_re = cx * gy_re - sx * y_im
         gx_im = cx * gy_im + sx * y_re
         contrib = (l_re * (-sx * x_re + cx * gx_im)
                    + l_im * (-sx * x_im - cx * gx_re))
-        nl_re = cx * l_re - sx * g_of(l_im)
-        nl_im = cx * l_im + sx * g_of(l_re)
+        nl_re = cx * l_re - sx * gl_im
+        nl_im = cx * l_im + sx * gl_re
     else:
-        ky_re = g_of(y_re)
-        ky_im = g_of(y_im)
+        ky_re, ky_im, kl_re, kl_im = g_multi([y_re, y_im, l_re, l_im])
         x_re = cx * y_re - sx * ky_re
         x_im = cx * y_im - sx * ky_im
         gx_re = cx * ky_re + sx * y_re
         gx_im = cx * ky_im + sx * y_im
         contrib = (l_re * (-sx * x_re + cx * gx_re)
                    + l_im * (-sx * x_im + cx * gx_im))
-        nl_re = cx * l_re - sx * g_of(l_re)
-        nl_im = cx * l_im - sx * g_of(l_im)
+        nl_re = cx * l_re - sx * kl_re
+        nl_im = cx * l_im - sx * kl_im
     return x_re, x_im, nl_re, nl_im, contrib
 
 
@@ -252,24 +259,21 @@ def _a_bwd_core(y_re, y_im, l_re, l_im, ud_row, tx_row, h0_blk, sg_blk,
     lane_ids = jax.lax.broadcasted_iota(jnp.int32, (1, _LANES), 1)
     g_rot = {}
 
-    def undo(j, kind, g_of, y_re, y_im, l_re, l_im):
+    def undo(j, kind, g_multi, y_re, y_im, l_re, l_im):
         y_re, y_im, l_re, l_im, contrib = _undo_rot_core(
-            tx_row[0, j], kind, g_of, y_re, y_im, l_re, l_im)
+            tx_row[0, j], kind, g_multi, y_re, y_im, l_re, l_im)
         g_rot[j] = jnp.sum(contrib)
         return y_re, y_im, l_re, l_im
 
     # undo rotations (reverse forward order: lanes then free rows)
     for li in range(len(lane_rots) - 1, -1, -1):
         j, q, kind = lane_rots[li]
-        p = perms_ref[li]
         y_re, y_im, l_re, l_im = undo(
-            j, kind, lambda v, p=p: _pdot(v, p, fast),
+            j, kind, _multi_dot(perms_ref[li], _pdot, fast),
             y_re, y_im, l_re, l_im)
     for (j, q, kind) in reversed(free_rots):
-        lb = q - c
         y_re, y_im, l_re, l_im = undo(
-            j, kind, lambda v, lb=lb, kd=kind: _flip2(
-                v, 2**lb, fdim, (_LANES,), sign=(kd == "y")),
+            j, kind, _flip_multi(q - c, fdim, (_LANES,), kind),
             y_re, y_im, l_re, l_im)
 
     # undo the phase; diag gradients reduced to per-term scalars
@@ -304,11 +308,9 @@ def _b_bwd_core(y_re, y_im, l_re, l_im, tx_row, chunk_rots, cdim, fast):
     lane_ids = jax.lax.broadcasted_iota(jnp.int32, (1, _LANES), 1)
     rrow = jnp.zeros((1, _LANES), jnp.float32)
     for (j, q, kind) in reversed(chunk_rots):
-        def g_of(v, q=q, kd=kind):
-            return _flip2(v, 2**q, cdim, tail, sign=(kd == "y"))
-
         y_re, y_im, l_re, l_im, contrib = _undo_rot_core(
-            tx_row[0, j], kind, g_of, y_re, y_im, l_re, l_im)
+            tx_row[0, j], kind, _flip_multi(q, cdim, tail, kind),
+            y_re, y_im, l_re, l_im)
         rrow = rrow + jnp.where(lane_ids == j, jnp.sum(contrib), 0.0)
     return y_re, y_im, l_re, l_im, rrow
 

@@ -196,19 +196,42 @@ def _pad_tx(theta_x: jnp.ndarray) -> jnp.ndarray:
     return out.at[:, 0, :n_x].set(theta_x.astype(jnp.float32))
 
 
-def _op_generator(op, perms_ref, n_row_bits, fast, flip, sflip, dot):
-    """g_of(v) for one op of a :func:`_plan_ops` plan: composed row-bit
-    flips (signed for Y) then the lane permutation matmul, if any."""
+def _multi_map(g_of):
+    """Plane-wise generator application (flip-only ops — packing a VPU
+    copy buys nothing)."""
+    return lambda vs: [g_of(v) for v in vs]
+
+
+def _multi_dot(p, dot, fast):
+    """One lane-permutation matmul over SEVERAL planes as a single packed
+    MXU invocation: concat along the sublane axis → one [k·R, 128] x
+    [128, 128] matmul (same FLOPs as k separate calls, but one weight
+    load / pipeline fill instead of k — the MXU-invocation halving noted
+    in docs/STATUS.md), then split back by static slices."""
+    def g_multi(vs):
+        if len(vs) == 1:
+            return [dot(vs[0], p, fast)]
+        rr = vs[0].shape[-2]
+        out = dot(jnp.concatenate(vs, axis=-2), p, fast)
+        return [jax.lax.slice_in_dim(out, i * rr, (i + 1) * rr, axis=-2)
+                for i in range(len(vs))]
+    return g_multi
+
+
+def _op_generator_multi(op, perms_ref, n_row_bits, fast, flip, sflip, dot):
+    """Multi-plane form of :func:`_op_generator`: row-bit flips apply per
+    plane; the lane matmul (if any) runs PACKED across all planes."""
     (_, kind, row_bits, perm_idx, _) = op
 
-    def g(v):
+    def g_multi(vs):
+        f = sflip if kind == "y" else flip
         for b in row_bits:
-            v = (sflip if kind == "y" else flip)(v, b, n_row_bits)
+            vs = [f(v, b, n_row_bits) for v in vs]
         if perm_idx is not None:
-            v = dot(v, perms_ref[perm_idx], fast)
-        return v
+            vs = _multi_dot(perms_ref[perm_idx], dot, fast)(vs)
+        return vs
 
-    return g
+    return g_multi
 
 
 def _make_forward_kernel(n_steps, ops, n_row_bits, fast=False):
@@ -233,18 +256,20 @@ def _make_forward_kernel(n_steps, ops, n_row_bits, fast=False):
 
         def rot(op):
             (j, kind, _, _, mask_spec) = op
-            g_of = _op_generator(op, perms_ref, n_row_bits, fast,
-                                 _flip_row, _sflip_row, _pdot)
+            g_multi = _op_generator_multi(op, perms_ref, n_row_bits, fast,
+                                          _flip_row, _sflip_row, _pdot)
             th = tx_ref[0, 0, j]
             c, s = jnp.cos(th), jnp.sin(th)
             if kind == "x":
                 # y = c x - i s Gx (G real symmetric): planes cross
-                re = c * s_re[:] + s * g_of(s_im[:])
-                im = c * s_im[:] - s * g_of(s_re[:])
+                g_im, g_re = g_multi([s_im[:], s_re[:]])
+                re = c * s_re[:] + s * g_im
+                im = c * s_im[:] - s * g_re
             elif kind == "y":
                 # Y: exp(-i th Y) = c I + s K (K real): planes independent
-                re = c * s_re[:] + s * g_of(s_re[:])
-                im = c * s_im[:] + s * g_of(s_im[:])
+                g_re, g_im = g_multi([s_re[:], s_im[:]])
+                re = c * s_re[:] + s * g_re
+                im = c * s_im[:] + s * g_im
             else:
                 # hop (XX+YY): identity on {00, 11}, an X-type rotation by
                 # the pre-doubled angle on the {01, 10} subspace. With
@@ -252,8 +277,9 @@ def _make_forward_kernel(n_steps, ops, n_row_bits, fast=False):
                 # U = (1 + M(c-1)) I - i s M G.
                 m = _hop_mask((r, _LANES), mask_spec)
                 ct = 1.0 + m * (c - 1.0)
-                re = ct * s_re[:] + s * (m * g_of(s_im[:]))
-                im = ct * s_im[:] - s * (m * g_of(s_re[:]))
+                g_im, g_re = g_multi([s_im[:], s_re[:]])
+                re = ct * s_re[:] + s * (m * g_im)
+                im = ct * s_im[:] - s * (m * g_re)
             s_re[:] = re
             s_im[:] = im
 
@@ -311,39 +337,38 @@ def _make_backward_kernel(n_steps, ops, n_row_bits, fast=False):
         # that is 2 fewer MXU matmuls, on row qubits 2 fewer flip copies.
         def undo_rot(op):
             (j, kind, _, _, mask_spec) = op
-            g_of = _op_generator(op, perms_ref, n_row_bits, fast,
-                                 _flip_row, _sflip_row, _pdot)
+            g_multi = _op_generator_multi(op, perms_ref, n_row_bits, fast,
+                                          _flip_row, _sflip_row, _pdot)
             thx = tx_ref[0, 0, j]
             cx, sx = jnp.cos(thx), jnp.sin(thx)
             if kind == "x":
                 # reconstruct x = c y + i s G y; lam_x = c lam + i s G lam;
-                # dL/dth = sum lam . (-s x - i c Gx)
-                gy_re = g_of(y_re[:])
-                gy_im = g_of(y_im[:])
+                # dL/dth = sum lam . (-s x - i c Gx); all four generator
+                # applications ride ONE packed matmul on lane qubits
+                gy_re, gy_im, gl_im, gl_re = g_multi(
+                    [y_re[:], y_im[:], l_im[:], l_re[:]])
                 x_re = cx * y_re[:] - sx * gy_im
                 x_im = cx * y_im[:] + sx * gy_re
                 gx_re = cx * gy_re - sx * y_im[:]   # G(x_re), G^2 = I
                 gx_im = cx * gy_im + sx * y_re[:]   # G(x_im)
                 g_rot[j] = jnp.sum(l_re[:] * (-sx * x_re + cx * gx_im)
                                    + l_im[:] * (-sx * x_im - cx * gx_re))
-                gl_re = g_of(l_re[:])
-                gl_im = g_of(l_im[:])
                 nl_re = cx * l_re[:] - sx * gl_im
                 nl_im = cx * l_im[:] + sx * gl_re
             elif kind == "y":
                 # Y: M = c I + s K orthogonal (K^T = -K) → inverse =
                 # transpose = c I - s K, same map for x and lam;
                 # dy/dth = -s x + c K x (per plane)
-                ky_re = g_of(y_re[:])
-                ky_im = g_of(y_im[:])
+                ky_re, ky_im, kl_re, kl_im = g_multi(
+                    [y_re[:], y_im[:], l_re[:], l_im[:]])
                 x_re = cx * y_re[:] - sx * ky_re
                 x_im = cx * y_im[:] - sx * ky_im
                 gx_re = cx * ky_re + sx * y_re[:]   # K(x_re), K^2 = -I
                 gx_im = cx * ky_im + sx * y_im[:]   # K(x_im)
                 g_rot[j] = jnp.sum(l_re[:] * (-sx * x_re + cx * gx_re)
                                    + l_im[:] * (-sx * x_im + cx * gx_im))
-                nl_re = cx * l_re[:] - sx * g_of(l_re[:])
-                nl_im = cx * l_im[:] - sx * g_of(l_im[:])
+                nl_re = cx * l_re[:] - sx * kl_re
+                nl_im = cx * l_im[:] - sx * kl_im
             else:
                 # hop: U = ct I - i s Ghat with ct = 1 + M(c-1) elementwise
                 # and Ghat = M G (Ghat^2 = M, M and ct are G-invariant).
@@ -351,8 +376,10 @@ def _make_backward_kernel(n_steps, ops, n_row_bits, fast=False):
                 # Ghat(x_re) = c Ghat(y_re) - s M y_im, etc.
                 m = _hop_mask((r, _LANES), mask_spec)
                 ct = 1.0 + m * (cx - 1.0)
-                gy_re = m * g_of(y_re[:])
-                gy_im = m * g_of(y_im[:])
+                ty_re, ty_im, tl_im, tl_re = g_multi(
+                    [y_re[:], y_im[:], l_im[:], l_re[:]])
+                gy_re = m * ty_re
+                gy_im = m * ty_im
                 x_re = ct * y_re[:] - sx * gy_im
                 x_im = ct * y_im[:] + sx * gy_re
                 gx_re = cx * gy_re - sx * (m * y_im[:])   # Ghat(x_re)
@@ -360,8 +387,8 @@ def _make_backward_kernel(n_steps, ops, n_row_bits, fast=False):
                 g_rot[j] = jnp.sum(
                     l_re[:] * (-sx * (m * x_re) + cx * gx_im)
                     + l_im[:] * (-sx * (m * x_im) - cx * gx_re))
-                nl_re = ct * l_re[:] - sx * (m * g_of(l_im[:]))
-                nl_im = ct * l_im[:] + sx * (m * g_of(l_re[:]))
+                nl_re = ct * l_re[:] - sx * (m * tl_im)
+                nl_im = ct * l_im[:] + sx * (m * tl_re)
             y_re[:] = x_re
             y_im[:] = x_im
             l_re[:] = nl_re
@@ -567,21 +594,24 @@ def _make_forward_kernel_b(n_steps, ops, fast=False):
 
         def rot(op):
             (j, kind, _, _, mask_spec) = op
-            g_of = _op_generator(op, perms_ref, 0, fast, bflip, bsflip,
-                                 _blane_dot)
+            g_multi = _op_generator_multi(op, perms_ref, 0, fast, bflip,
+                                          bsflip, _blane_dot)
             th = tx_ref[0, j]  # [B, 1, 128] (angle replicated along lanes)
             c, s = jnp.cos(th), jnp.sin(th)
             if kind == "x":
-                re = c * s_re[:] + s * g_of(s_im[:])
-                im = c * s_im[:] - s * g_of(s_re[:])
+                g_im, g_re = g_multi([s_im[:], s_re[:]])
+                re = c * s_re[:] + s * g_im
+                im = c * s_im[:] - s * g_re
             elif kind == "y":  # Y: c I + s K, planes independent
-                re = c * s_re[:] + s * g_of(s_re[:])
-                im = c * s_im[:] + s * g_of(s_im[:])
+                g_re, g_im = g_multi([s_re[:], s_im[:]])
+                re = c * s_re[:] + s * g_re
+                im = c * s_im[:] + s * g_im
             else:  # hop: see the unbatched kernel
                 m = _hop_mask(s_re.shape, mask_spec)
                 ct = 1.0 + m * (c - 1.0)
-                re = ct * s_re[:] + s * (m * g_of(s_im[:]))
-                im = ct * s_im[:] - s * (m * g_of(s_re[:]))
+                g_im, g_re = g_multi([s_im[:], s_re[:]])
+                re = ct * s_re[:] + s * (m * g_im)
+                im = ct * s_im[:] - s * (m * g_re)
             s_re[:] = re
             s_im[:] = im
 
@@ -634,47 +664,49 @@ def _make_backward_kernel_b(n_steps, ops, fast=False):
         def undo_rot(op):
             # G(x) derived from G(y) via G^2 = I / K^2 = -I: 4 generator
             # applications per rotation instead of 6 (see the unbatched
-            # backward kernel).
+            # backward kernel), all four packed into ONE lane matmul.
             (j, kind, _, _, mask_spec) = op
-            g_of = _op_generator(op, perms_ref, 0, fast, bflip, bsflip,
-                                 _blane_dot)
+            g_multi = _op_generator_multi(op, perms_ref, 0, fast, bflip,
+                                          bsflip, _blane_dot)
             thx = tx_ref[0, j]  # [B, 1, 128]
             cx, sx = jnp.cos(thx), jnp.sin(thx)
             if kind == "x":
-                gy_re = g_of(y_re[:])
-                gy_im = g_of(y_im[:])
+                gy_re, gy_im, gl_im, gl_re = g_multi(
+                    [y_re[:], y_im[:], l_im[:], l_re[:]])
                 x_re = cx * y_re[:] - sx * gy_im
                 x_im = cx * y_im[:] + sx * gy_re
                 gx_re = cx * gy_re - sx * y_im[:]
                 gx_im = cx * gy_im + sx * y_re[:]
                 contrib = (l_re[:] * (-sx * x_re + cx * gx_im)
                            + l_im[:] * (-sx * x_im - cx * gx_re))
-                nl_re = cx * l_re[:] - sx * g_of(l_im[:])
-                nl_im = cx * l_im[:] + sx * g_of(l_re[:])
+                nl_re = cx * l_re[:] - sx * gl_im
+                nl_im = cx * l_im[:] + sx * gl_re
             elif kind == "y":  # Y: inverse = transpose = c I - s K
-                ky_re = g_of(y_re[:])
-                ky_im = g_of(y_im[:])
+                ky_re, ky_im, kl_re, kl_im = g_multi(
+                    [y_re[:], y_im[:], l_re[:], l_im[:]])
                 x_re = cx * y_re[:] - sx * ky_re
                 x_im = cx * y_im[:] - sx * ky_im
                 gx_re = cx * ky_re + sx * y_re[:]
                 gx_im = cx * ky_im + sx * y_im[:]
                 contrib = (l_re[:] * (-sx * x_re + cx * gx_re)
                            + l_im[:] * (-sx * x_im + cx * gx_im))
-                nl_re = cx * l_re[:] - sx * g_of(l_re[:])
-                nl_im = cx * l_im[:] - sx * g_of(l_im[:])
+                nl_re = cx * l_re[:] - sx * kl_re
+                nl_im = cx * l_im[:] - sx * kl_im
             else:  # hop: see the unbatched backward kernel
                 m = _hop_mask(y_re.shape, mask_spec)
                 ct = 1.0 + m * (cx - 1.0)
-                gy_re = m * g_of(y_re[:])
-                gy_im = m * g_of(y_im[:])
+                ty_re, ty_im, tl_im, tl_re = g_multi(
+                    [y_re[:], y_im[:], l_im[:], l_re[:]])
+                gy_re = m * ty_re
+                gy_im = m * ty_im
                 x_re = ct * y_re[:] - sx * gy_im
                 x_im = ct * y_im[:] + sx * gy_re
                 gx_re = cx * gy_re - sx * (m * y_im[:])
                 gx_im = cx * gy_im + sx * (m * y_re[:])
                 contrib = (l_re[:] * (-sx * (m * x_re) + cx * gx_im)
                            + l_im[:] * (-sx * (m * x_im) - cx * gx_re))
-                nl_re = ct * l_re[:] - sx * (m * g_of(l_im[:]))
-                nl_im = ct * l_im[:] + sx * (m * g_of(l_re[:]))
+                nl_re = ct * l_re[:] - sx * (m * tl_im)
+                nl_im = ct * l_im[:] + sx * (m * tl_re)
             # rank-2 all the way (Mosaic dislikes rank-1 intermediates);
             # b=1 reduces to a full scalar — the [1, r] intermediate trips
             # a Mosaic relayout bug
@@ -982,25 +1014,26 @@ def _make_forward_kernel_pk(n_steps, row_rots, lane_rots, n_diag,
             s_re[:] = re
             s_im[:] = im
 
-        def rot(j, kind, g_of):
+        def rot(j, kind, g_multi):
             th = tx_ref[0, j]  # [B, 1, 128]
             c, s = jnp.cos(th), jnp.sin(th)
             if kind == "x":
-                re = c * s_re[:] + s * g_of(s_im[:])
-                im = c * s_im[:] - s * g_of(s_re[:])
+                g_im, g_re = g_multi([s_im[:], s_re[:]])
+                re = c * s_re[:] + s * g_im
+                im = c * s_im[:] - s * g_re
             else:  # Y
-                re = c * s_re[:] + s * g_of(s_re[:])
-                im = c * s_im[:] + s * g_of(s_im[:])
+                g_re, g_im = g_multi([s_re[:], s_im[:]])
+                re = c * s_re[:] + s * g_re
+                im = c * s_im[:] + s * g_im
             s_re[:] = re
             s_im[:] = im
 
         phase()
         for (j, q, kind) in row_rots:
             flip = _bflip_row if kind == "x" else _bsflip_row
-            rot(j, kind, lambda v, q=q, f=flip: f(v, q))
+            rot(j, kind, _multi_map(lambda v, q=q, f=flip: f(v, q)))
         for li, (j, q, kind) in enumerate(lane_rots):
-            p = perms_ref[li]
-            rot(j, kind, lambda v, p=p: _blane_dot(v, p, fast))
+            rot(j, kind, _multi_dot(perms_ref[li], _blane_dot, fast))
         phase()
 
         @pl.when(i == n_steps - 1)
@@ -1089,33 +1122,34 @@ def _make_backward_kernel_pk(n_steps, row_rots, lane_rots, n_diag,
 
         g_rot = {}
 
-        def undo_rot(j, kind, g_of):
+        def undo_rot(j, kind, g_multi):
             # G(x) derived from G(y) via G^2 = I / K^2 = -I: 4 generator
-            # applications per rotation instead of 6.
+            # applications per rotation instead of 6, all four packed
+            # into ONE lane matmul.
             thx = tx_ref[0, j]  # [B, 1, 128]
             cx, sx = jnp.cos(thx), jnp.sin(thx)
             if kind == "x":
-                gy_re = g_of(y_re[:])
-                gy_im = g_of(y_im[:])
+                gy_re, gy_im, gl_im, gl_re = g_multi(
+                    [y_re[:], y_im[:], l_im[:], l_re[:]])
                 x_re = cx * y_re[:] - sx * gy_im
                 x_im = cx * y_im[:] + sx * gy_re
                 gx_re = cx * gy_re - sx * y_im[:]
                 gx_im = cx * gy_im + sx * y_re[:]
                 contrib = (l_re[:] * (-sx * x_re + cx * gx_im)
                            + l_im[:] * (-sx * x_im - cx * gx_re))
-                nl_re = cx * l_re[:] - sx * g_of(l_im[:])
-                nl_im = cx * l_im[:] + sx * g_of(l_re[:])
+                nl_re = cx * l_re[:] - sx * gl_im
+                nl_im = cx * l_im[:] + sx * gl_re
             else:  # Y: inverse = transpose = c I − s K (same map for x, lam)
-                ky_re = g_of(y_re[:])
-                ky_im = g_of(y_im[:])
+                ky_re, ky_im, kl_re, kl_im = g_multi(
+                    [y_re[:], y_im[:], l_re[:], l_im[:]])
                 x_re = cx * y_re[:] - sx * ky_re
                 x_im = cx * y_im[:] - sx * ky_im
                 gx_re = cx * ky_re + sx * y_re[:]
                 gx_im = cx * ky_im + sx * y_im[:]
                 contrib = (l_re[:] * (-sx * x_re + cx * gx_re)
                            + l_im[:] * (-sx * x_im + cx * gx_im))
-                nl_re = cx * l_re[:] - sx * g_of(l_re[:])
-                nl_im = cx * l_im[:] - sx * g_of(l_im[:])
+                nl_re = cx * l_re[:] - sx * kl_re
+                nl_im = cx * l_im[:] - sx * kl_im
             g_rot[j] = red(contrib)
             y_re[:] = x_re
             y_im[:] = x_im
@@ -1125,11 +1159,10 @@ def _make_backward_kernel_pk(n_steps, row_rots, lane_rots, n_diag,
         undo_phase()  # trailing half-phase
         for li in range(len(lane_rots) - 1, -1, -1):
             j, q, kind = lane_rots[li]
-            p = perms_ref[li]
-            undo_rot(j, kind, lambda v, p=p: _blane_dot(v, p, fast))
+            undo_rot(j, kind, _multi_dot(perms_ref[li], _blane_dot, fast))
         for (j, q, kind) in reversed(row_rots):
             flip = _bflip_row if kind == "x" else _bsflip_row
-            undo_rot(j, kind, lambda v, q=q, f=flip: f(v, q))
+            undo_rot(j, kind, _multi_map(lambda v, q=q, f=flip: f(v, q)))
         undo_phase()  # leading half-phase
 
         lane_ids = jax.lax.broadcasted_iota(jnp.int32, (b, _LANES), 1)
