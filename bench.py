@@ -4,19 +4,36 @@ BASELINE.md target: < 100 ms for one full pulse-gradient step (forward
 propagation + reverse-mode adjoint through the whole time-ordered evolution)
 on one TPU v5e chip, 12-qubit ring-graph maxcut.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"} where
-vs_baseline = 100ms / measured — >1 beats the target. Secondary metrics go
-to stderr.
+Prints the headline JSON line {"metric", "value", "unit", "vs_baseline"}
+to stdout FIRST (crash-safe) and re-prints it LAST (so a driver parsing
+the final JSON line always gets the headline — BENCH_r03's parsed metric
+drifted to a frontier secondary when the run timed out). Secondary
+metrics go to stderr.
+
+The whole run is budgeted: BENCH_DEADLINE_S (default 1680 s) caps wall
+time; each section declares an estimated cost and is skipped (with a
+stderr note) once the remaining budget cannot cover it — BENCH_r03 hit
+the driver timeout (rc=124) by running seven unbudgeted frontier
+compiles back to back. Sections run in priority order: headline, then
+the frontier scale metrics (18q/24q), then the rest.
 
 The reference implements this step as 1 + 2*n_Hs sequential scipy-expm
 evolutions on CPU (`/root/reference/sim_plain.py:190-215`) — minutes per
 step at 12 qubits; the adjoint needs only forward + reverse of one scan.
 """
 import json
+import os
 import sys
 import time
 
 import numpy as np
+
+_T0 = time.time()
+_DEADLINE = float(os.environ.get("BENCH_DEADLINE_S", "1680"))
+
+
+def _remaining():
+    return _DEADLINE - (time.time() - _T0)
 
 
 def median_latency(fn, args, n_warmup=3, n_runs=20):
@@ -31,7 +48,8 @@ def median_latency(fn, args, n_warmup=3, n_runs=20):
     return float(np.median(times))
 
 
-def amortized_step_latency(step_fn, coeff, chain: int = 100, n_runs: int = 15):
+def amortized_step_latency(step_fn, coeff, chain: int = 100, n_runs: int = 15,
+                           with_single: bool = False):
     """Per-step latency with dispatch overhead amortized: ``chain`` gradient
     steps chained inside ONE compiled program (a lax.scan), exactly like the
     compiled training loops run in practice (train_energy EPOCH_BLOCK).
@@ -40,7 +58,10 @@ def amortized_step_latency(step_fn, coeff, chain: int = 100, n_runs: int = 15):
     programs dispatch in ~0.06 ms), so the chain length sets how much of
     that fixed cost leaks into the per-step number: chain=10 reads ~3 ms
     per step for a true ~0.2 ms device-side step. chain=100 bounds the leak
-    at ~0.3 ms. Returns (per_step_s, single_dispatch_s)."""
+    at ~0.3 ms. Returns (per_step_s, single_dispatch_s_or_None).
+    ``with_single=False`` skips the extra single-step compile — every
+    frontier section was paying a second multi-minute compile for a
+    number nobody records."""
     import jax
 
     def chained(c):
@@ -51,10 +72,17 @@ def amortized_step_latency(step_fn, coeff, chain: int = 100, n_runs: int = 15):
         return out
 
     chained_j = jax.jit(chained)
-    single_j = jax.jit(lambda c: step_fn(c)[1])
-    single = median_latency(single_j, (coeff,), n_runs=n_runs)
+    single = None
+    if with_single:
+        single_j = jax.jit(lambda c: step_fn(c)[1])
+        single = median_latency(single_j, (coeff,), n_runs=n_runs)
     multi = median_latency(chained_j, (coeff,), n_runs=n_runs)
     return multi / chain, single
+
+
+def _emit(obj, primary=False):
+    print(json.dumps(obj), file=sys.stdout if primary else sys.stderr,
+          flush=True)
 
 
 def main():
@@ -70,301 +98,82 @@ def main():
     except Exception:
         pass
 
-    from diffquantum_tpu.dynamics.product import evolve_product
+    from diffquantum_tpu.dynamics.product import (evolve_product,
+                                                  evolve_product_fused,
+                                                  fused_eligible)
+    from diffquantum_tpu.dynamics.propagator import reference_n_steps
     from diffquantum_tpu.models import maxcut
     from diffquantum_tpu.ops import cpx
 
-    n = 12
     per_step = 10
-    prob = maxcut.build_maxcut(n, maxcut.ring_graph(n), n_basis=6,
-                               dense=False)
-    from diffquantum_tpu.dynamics.product import (evolve_product_fused,
-                                                  fused_eligible)
-    from diffquantum_tpu.dynamics.propagator import reference_n_steps
-    n_steps = reference_n_steps(per_step, 0.0, prob.T)
-
-    evolver = evolve_product_fused if fused_eligible(prob.ham) \
-        else evolve_product
-
-    def loss(coeff):
-        psi = evolver(prob.ham, prob.envelope, coeff, prob.psi0,
-                      0.0, prob.T, horizon=prob.T, n_steps=n_steps)
-        return jnp.sum(cpx.abs2(psi) * prob.measurement.diag, axis=-1)
-
-    grad_step = jax.value_and_grad(loss)
-
     rng = np.random.default_rng(0)
-    coeff = jnp.asarray(rng.standard_normal(
-        prob.envelope.coeff_shape).astype(np.float32) * 1e-3)
 
-    lat_step, single = amortized_step_latency(grad_step, coeff)
+    def maxcut_grad_fn(nq, n_basis=6):
+        prob = maxcut.build_maxcut(nq, maxcut.ring_graph(nq),
+                                   n_basis=n_basis, dense=False)
+        ns = reference_n_steps(per_step, 0.0, prob.T)
+        evolver = evolve_product_fused if fused_eligible(prob.ham) \
+            else evolve_product
+
+        def loss(c):
+            psi = evolver(prob.ham, prob.envelope, c, prob.psi0, 0.0,
+                          prob.T, horizon=prob.T, n_steps=ns)
+            return jnp.sum(cpx.abs2(psi) * prob.measurement.diag, axis=-1)
+
+        c0 = jnp.asarray(rng.standard_normal(
+            prob.envelope.coeff_shape).astype(np.float32) * 1e-3)
+        return prob, ns, jax.value_and_grad(loss), c0
+
+    # ---- headline: 12q QAOA pulse-gradient step --------------------------
+    prob, n_steps, grad12, c12 = maxcut_grad_fn(12)
+    lat_step, single = amortized_step_latency(grad12, c12, with_single=True)
     ms = lat_step * 1e3
-    # the driver's one stdout JSON line goes out FIRST so that a crash in
-    # any secondary (large compiles can wedge the remote worker) cannot
-    # lose the headline
-    print(json.dumps({
+    headline = {
         "metric": "qaoa12_pulse_grad_step_latency",
         "value": round(ms, 3),
         "unit": "ms",
         "vs_baseline": round(100.0 / ms, 3),
-    }), flush=True)
-    print(json.dumps({"metric": "qaoa12_grad_step_single_dispatch",
-                      "value": round(single * 1e3, 3), "unit": "ms"}),
-          file=sys.stderr)
+    }
+    # crash-safe early print; re-printed LAST as the parsed line
+    _emit(headline, primary=True)
+    _emit({"metric": "qaoa12_grad_step_single_dispatch",
+           "value": round(single * 1e3, 3), "unit": "ms"})
 
-    # secondary: forward-only propagator throughput (time-steps/sec, 10q)
-    try:
-        prob10 = maxcut.build_maxcut(10, maxcut.ring_graph(10), n_basis=6,
-                                     dense=False)
-        ns10 = reference_n_steps(per_step, 0.0, prob10.T)
+    def section(name, est_s):
+        left = _remaining()
+        if left < est_s:
+            print(f"SKIP {name}: {left:.0f}s left < est {est_s:.0f}s",
+                  file=sys.stderr, flush=True)
+            return False
+        print(f"SECTION {name} (t={time.time() - _T0:.0f}s)",
+              file=sys.stderr, flush=True)
+        return True
 
-        evolver10 = evolve_product_fused if fused_eligible(prob10.ham) \
-            else evolve_product
-
-        def fwd_loss(c):
-            psi = evolver10(prob10.ham, prob10.envelope, c, prob10.psi0,
-                            0.0, prob10.T, horizon=prob10.T, n_steps=ns10)
-            return jnp.sum(cpx.abs2(psi) * prob10.measurement.diag, axis=-1)
-
-        c10 = jnp.asarray(rng.standard_normal(
-            prob10.envelope.coeff_shape).astype(np.float32) * 1e-3)
-        per10, _ = amortized_step_latency(
-            jax.value_and_grad(fwd_loss), c10, chain=100, n_runs=10)
-        print(json.dumps({"metric": "propagator_steps_per_sec_10q",
-                          "value": round(ns10 / per10, 1),
-                          "unit": "time-steps/s (incl. grad)"}),
-              file=sys.stderr)
-    except Exception as e:  # secondary metric must not kill the headline
-        print(f"secondary bench failed: {e}", file=sys.stderr)
-
-    # throughput path (the MXU-shaped number): 64 independent pulse seeds x
-    # 12 qubits trained as ONE batched program — per-epoch latency of the
-    # full train step (batched fused evolution + adjoint + adam), amortized
-    # over a 50-epoch compiled scan block exactly like
-    # parallel.mesh.train_energy_seeds runs in practice
-    try:
-        import optax
-        from diffquantum_tpu.dynamics.product import fused_eligible as _fe
-        n_seeds = 64
-        psi_b = jax.tree_util.tree_map(
-            lambda x: jnp.broadcast_to(x, (n_seeds,) + x.shape), prob.psi0)
-        evolver_b = evolve_product_fused if _fe(prob.ham) else evolve_product
-
-        def batch_energy_sum(cs):
-            psi = evolver_b(prob.ham, prob.envelope, cs, psi_b, 0.0, prob.T,
-                            horizon=prob.T, n_steps=n_steps)
-            e = jnp.sum(cpx.abs2(psi) * prob.measurement.diag, axis=-1)
-            return e.sum()
-
-        opt = optax.adam(2e-2)
-        cs0 = jnp.asarray(rng.standard_normal(
-            (n_seeds,) + prob.envelope.coeff_shape).astype(np.float32) * 1e-3)
-        ost0 = opt.init(cs0)
-
-        def epoch(carry, _):
-            cs, ost = carry
-            g = jax.grad(batch_energy_sum)(cs)
-            updates, ost = opt.update(g, ost, cs)
-            return (optax.apply_updates(cs, updates), ost), None
-
-        blk = 50  # match train-loop block size; bounds the ~29 ms fixed
-                  # per-dispatch tunnel cost at ~0.6 ms/epoch
-
-        @jax.jit
-        def run_block(carry):
-            return jax.lax.scan(epoch, carry, None, length=blk)[0]
-
-        lat_blk = median_latency(run_block, ((cs0, ost0),), n_warmup=2,
-                                 n_runs=8)
-        print(json.dumps({"metric": "seeds64_epoch_latency",
-                          "value": round(lat_blk / blk * 1e3, 3),
-                          "unit": "ms (64-seed 12q train epoch)"}),
-              file=sys.stderr)
-        print(json.dumps({"metric": "seeds64_per_seed_step",
-                          "value": round(lat_blk / blk / n_seeds * 1e6, 1),
-                          "unit": "us/seed-step"}), file=sys.stderr)
-
-        # the precision='fast' variant (single-pass bf16 in-kernel matmuls)
-        if _fe(prob.ham):
-            def batch_energy_sum_fast(cs):
-                psi = evolver_b(prob.ham, prob.envelope, cs, psi_b, 0.0,
-                                prob.T, horizon=prob.T, n_steps=n_steps,
-                                precision="fast")
-                e = jnp.sum(cpx.abs2(psi) * prob.measurement.diag, axis=-1)
-                return e.sum()
-
-            def epoch_fast(carry, _):
-                cs, ost = carry
-                g = jax.grad(batch_energy_sum_fast)(cs)
-                updates, ost = opt.update(g, ost, cs)
-                return (optax.apply_updates(cs, updates), ost), None
-
-            @jax.jit
-            def run_block_fast(carry):
-                return jax.lax.scan(epoch_fast, carry, None, length=blk)[0]
-
-            lat_fast = median_latency(run_block_fast, ((cs0, ost0),),
-                                      n_warmup=2, n_runs=8)
-            print(json.dumps({"metric": "seeds64_epoch_latency_fast",
-                              "value": round(lat_fast / blk * 1e3, 3),
-                              "unit": "ms (precision='fast' bf16 kernels)"}),
-                  file=sys.stderr)
-    except Exception as e:
-        print(f"seeds bench failed: {e}", file=sys.stderr)
-
-    # stretch config (BASELINE.md): 16 qubits, 1000-step chain, adjoint grad
-    try:
-        from diffquantum_tpu.ops import cpx as _c
-        prob16 = maxcut.build_maxcut(16, maxcut.ring_graph(16), n_basis=6,
-                                     dense=False)
-
-        def loss16(c):
-            psi = evolve_product_fused(prob16.ham, prob16.envelope, c,
-                                       prob16.psi0, 0.0, prob16.T,
-                                       horizon=prob16.T, n_steps=1000)
-            return jnp.sum(_c.abs2(psi) * prob16.measurement.diag, axis=-1)
-
-        g16 = jax.jit(lambda c: jax.value_and_grad(loss16)(c)[1])
-        c16 = jnp.asarray(rng.standard_normal(
-            prob16.envelope.coeff_shape).astype(np.float32) * 1e-3)
-        lat16 = median_latency(g16, (c16,), n_warmup=2, n_runs=8)
-        print(json.dumps({"metric": "stretch_16q_1000step_adjoint_grad",
-                          "value": round(lat16 * 1e3, 1), "unit": "ms"}),
-              file=sys.stderr)
-    except Exception as e:
-        print(f"stretch bench failed: {e}", file=sys.stderr)
-
-    # MC-mode (hardware-realistic estimator) 64-seed epoch: one full
-    # optimizer epoch with per-seed MC pulse gradients through the fused
-    # kernels — the paper's estimator at scale-out shape
-    try:
-        from diffquantum_tpu.gradients.mc import mc_energy_grad
-        import optax as _ox
-        n_seeds_mc = 64
-        psi_mc = jax.tree_util.tree_map(
-            lambda x: jnp.broadcast_to(x, (n_seeds_mc,) + x.shape),
-            prob.psi0)
-        cs_mc = jnp.asarray(rng.standard_normal(
-            (n_seeds_mc,) + prob.envelope.coeff_shape).astype(np.float32)
-            * 1e-3)
-        opt_mc = _ox.adam(2e-2)
-
-        def seed_grad(c, p_re, p_im, k):
-            from diffquantum_tpu.ops.cpx import CP as _CP
-            return mc_energy_grad(prob.ham, prob.envelope,
-                                  prob.measurement, c, _CP(p_re, p_im),
-                                  float(prob.T), k, n_steps,
-                                  backend="product_fused")
-
-        def mc_epoch(carry, k):
-            cs, ost = carry
-            ks = jax.random.split(k, n_seeds_mc)
-            g = jax.vmap(seed_grad)(cs, psi_mc.re, psi_mc.im, ks)
-            updates, ost = opt_mc.update(g.astype(cs.dtype), ost, cs)
-            return (optax.apply_updates(cs, updates), ost), None
-
-        blk_mc = 20
-
-        @jax.jit
-        def run_mc_block(carry, keys):
-            return jax.lax.scan(mc_epoch, carry, keys)[0]
-
-        keys_mc = jax.random.split(jax.random.PRNGKey(0), blk_mc)
-        lat_mc = median_latency(run_mc_block,
-                                ((cs_mc, opt_mc.init(cs_mc)), keys_mc),
-                                n_warmup=2, n_runs=6)
-        print(json.dumps({"metric": "seeds64_mc_epoch_latency",
-                          "value": round(lat_mc / blk_mc * 1e3, 3),
-                          "unit": "ms (64-seed 12q MC-gradient epoch, "
-                                  "fused kernels)"}), file=sys.stderr)
-    except Exception as e:
-        print(f"mc seeds bench failed: {e}", file=sys.stderr)
-
-    # round-3 scale frontier: 18q (packed VMEM kernel, past the round-2
-    # 17q wall) and 20q (the raised scoped-vmem ceiling); amortized over
-    # a chained scan like the headline
-    for nq, chain_n, label in ((18, 20, "fused18q_grad_step"),
-                               (20, 10, "fused20q_grad_step")):
+    # ---- frontier scale metrics (highest priority after the headline) ----
+    # 18q: packed VMEM kernels inside a chained scan — the BENCH_r03
+    # compile-OOM shape; 20/22/24q: chunked HBM-state / mega kernels.
+    for nq, chain_n, est, label in (
+            (18, 20, 420, "fused18q_grad_step"),
+            (24, 4, 300, "mega24q_grad_step"),
+            (20, 10, 240, "fused20q_grad_step"),
+            (22, 5, 240, "chunked22q_grad_step")):
+        if not section(label, est):
+            continue
         try:
-            prob_n = maxcut.build_maxcut(nq, maxcut.ring_graph(nq),
-                                         n_basis=6, dense=False)
-            ns_n = reference_n_steps(per_step, 0.0, prob_n.T)
-
-            def loss_n(c, _p=prob_n, _ns=ns_n):
-                psi = evolve_product_fused(_p.ham, _p.envelope, c, _p.psi0,
-                                           0.0, _p.T, horizon=_p.T,
-                                           n_steps=_ns)
-                return jnp.sum(cpx.abs2(psi) * _p.measurement.diag, axis=-1)
-
-            c_n = jnp.asarray(rng.standard_normal(
-                prob_n.envelope.coeff_shape).astype(np.float32) * 1e-3)
-            per_n, _ = amortized_step_latency(
-                jax.value_and_grad(loss_n), c_n, chain=chain_n, n_runs=6)
-            print(json.dumps({"metric": label,
-                              "value": round(per_n * 1e3, 3),
-                              "unit": f"ms ({nq}q full pulse-grad step)"}),
-                  file=sys.stderr)
+            _, _, g_n, c_n = maxcut_grad_fn(nq)
+            per_n, _ = amortized_step_latency(g_n, c_n, chain=chain_n,
+                                              n_runs=6)
+            _emit({"metric": label, "value": round(per_n * 1e3, 3),
+                   "unit": f"ms ({nq}q full pulse-grad step)"})
         except Exception as e:
             print(f"{label} bench failed: {e}", file=sys.stderr)
 
-    # channel (carrier / two-quadrature, IBM-pulse-style) model end-to-end:
-    # 12q structured ring driven through per-control carriers
-    try:
-        from diffquantum_tpu.dynamics.hamiltonian import TermStructure
-        from diffquantum_tpu.ops import linalg as _lin
-        from diffquantum_tpu.pulses.envelope import ChannelEnvelope
-        nch = 12
-        dch = 2**nch
-        edges = [(i, (i + 1) % nch) for i in range(nch)]
-        structure, nested = [], []
-        cost = np.zeros(dch)
-        for idx, (i, j) in enumerate(edges):
-            diag = _lin.zz_diagonal(nch, i, j)
-            cost += -0.5 * (1.0 - diag)
-            structure.append(TermStructure(kind="diag", diag=diag))
-            nested.append([[0.0, np.pi, 0.7 * idx, idx]])
-        for q in range(nch):
-            structure.append(TermStructure(kind="1q", qubit=q,
-                                           local=_lin.X))
-            nested.append([[0.0, np.pi, 3.0 + 0.5 * q, len(edges) + q]])
-        ham_ch = __import__(
-            "diffquantum_tpu.dynamics.hamiltonian",
-            fromlist=["ControlledHamiltonian"]).ControlledHamiltonian \
-            .create_structured(
-                dch, tuple(structure),
-                h0_structure=TermStructure(kind="diag", diag=np.zeros(dch)),
-                dtype=jnp.float32)
-        env_ch = ChannelEnvelope.from_rows(nested, n_basis=6, func_type=0)
-        psi_ch = prob.psi0  # same 12q uniform superposition
-        cost_j = jnp.asarray(cost, jnp.float32)
-
-        def loss_ch(vv):
-            psi = evolve_product_fused(ham_ch, env_ch, vv, psi_ch, 0.0,
-                                       2.0, horizon=2.0, n_steps=n_steps)
-            return jnp.sum(cpx.abs2(psi) * cost_j, axis=-1)
-
-        vv0 = jnp.asarray(rng.standard_normal(
-            env_ch.coeff_shape).astype(np.float32) * 1e-3)
-        per_ch, _ = amortized_step_latency(
-            jax.value_and_grad(loss_ch), vv0, chain=100, n_runs=8)
-        print(json.dumps({"metric": "channel12q_grad_step",
-                          "value": round(per_ch * 1e3, 3),
-                          "unit": "ms (carrier/2-quadrature pulse model)"}),
-              file=sys.stderr)
-    except Exception as e:
-        print(f"channel bench failed: {e}", file=sys.stderr)
-
-    # molecule drive set {X, Y, hop, ZZ} on the fused engines (round-3
-    # third pass: hop op-plan kernels). The H6-chain 12q shape of
-    # models/molecule.py::build_molecule_chain; measured on-chip A/B vs
-    # the XLA product path: 2.4 vs 33.0 ms (13.9x), 16q 12.0 vs 354.5 ms
-    # (29.7x) — scripts/bench_hop_ab.py.
-    try:
+    # ---- molecule drive set {X, Y, hop, ZZ} on the fused engines ---------
+    def molecule_grad_fn(nmol, n_basis=4):
         from diffquantum_tpu.dynamics.hamiltonian import (
             ControlledHamiltonian, TermStructure)
         from diffquantum_tpu.ops import linalg as _lin
         from diffquantum_tpu.pulses.envelope import SimpleEnvelope
-        nmol = 12
         dmol = 2**nmol
         pairs = [(i, i + 1) for i in range(nmol - 1)] + \
                 [(i, i + 2) for i in range(nmol - 2)]
@@ -384,78 +193,228 @@ def main():
             dmol, tuple(structure),
             h0_structure=TermStructure(kind="diag", diag=np.zeros(dmol)),
             dtype=jnp.float32)
-        env_m = SimpleEnvelope(basis="bspline", n_basis=4,
+        env_m = SimpleEnvelope(basis="bspline", n_basis=n_basis,
                                omegas=tuple(omegas))
         w_m = jnp.asarray(rng.standard_normal(dmol), jnp.float32)
+        psi0 = cpx.from_complex(
+            np.full(dmol, dmol ** -0.5, np.complex128), jnp.float32)
+        is_fused = fused_eligible(ham_m)
+        evolver = evolve_product_fused if is_fused else evolve_product
 
         def loss_m(c):
-            psi = evolve_product_fused(ham_m, env_m, c, prob.psi0, 0.0,
-                                       2.0, horizon=2.0, n_steps=n_steps)
+            psi = evolver(ham_m, env_m, c, psi0, 0.0, 2.0, horizon=2.0,
+                          n_steps=n_steps)
             return jnp.sum(cpx.abs2(psi) * w_m, axis=-1)
 
         cm = jnp.asarray(rng.standard_normal(
             env_m.coeff_shape).astype(np.float32) * 1e-3)
-        per_m, _ = amortized_step_latency(
-            jax.value_and_grad(loss_m), cm, chain=10, n_runs=6)
-        print(json.dumps({"metric": "molecule12q_hop_grad_step",
-                          "value": round(per_m * 1e3, 3),
-                          "unit": "ms (66-control X/Y+hop+ZZ drive set, "
-                                  "fused hop op plan)"}),
-              file=sys.stderr)
-    except Exception as e:
-        print(f"molecule hop bench failed: {e}", file=sys.stderr)
+        return jax.value_and_grad(loss_m), cm, len(structure), is_fused
 
-    # single-chip scale frontier: 22 qubits on the chunked HBM-state
-    # engine (two Pallas passes per Strang step; chip-proven config).
-    # Runs LAST — it is the largest compile in the file.
-    try:
-        prob22 = maxcut.build_maxcut(22, maxcut.ring_graph(22), n_basis=6,
-                                     dense=False)
-        ns22 = reference_n_steps(per_step, 0.0, prob22.T)
+    for nmol, chain_n, est, label in (
+            (12, 10, 180, "molecule12q_hop_grad_step"),
+            (20, 5, 360, "molecule20q_hop_grad_step")):
+        if not section(label, est):
+            continue
+        try:
+            g_m, cm, n_ctl, is_fused = molecule_grad_fn(nmol)
+            if nmol >= 18 and not is_fused:
+                # chained XLA-product grads at 16M amplitudes risk the
+                # known giant-program worker crash — frontier molecule
+                # metric requires the fused hop engines
+                print(f"SKIP {label}: hop drives not fused-eligible at "
+                      f"{nmol}q", file=sys.stderr)
+                continue
+            per_m, _ = amortized_step_latency(g_m, cm, chain=chain_n,
+                                              n_runs=6)
+            _emit({"metric": label, "value": round(per_m * 1e3, 3),
+                   "unit": f"ms ({n_ctl}-control X/Y+hop+ZZ drive set, "
+                           "fused hop op plan)"})
+        except Exception as e:
+            print(f"{label} bench failed: {e}", file=sys.stderr)
 
-        def loss22(c):
-            psi = evolve_product_fused(prob22.ham, prob22.envelope, c,
-                                       prob22.psi0, 0.0, prob22.T,
-                                       horizon=prob22.T, n_steps=ns22)
-            return jnp.sum(cpx.abs2(psi) * prob22.measurement.diag, axis=-1)
+    # ---- channel (carrier / two-quadrature, IBM-pulse-style) model -------
+    if section("channel12q", 150):
+        try:
+            from diffquantum_tpu.dynamics.hamiltonian import (
+                ControlledHamiltonian, TermStructure)
+            from diffquantum_tpu.ops import linalg as _lin
+            from diffquantum_tpu.pulses.envelope import ChannelEnvelope
+            nch = 12
+            dch = 2**nch
+            edges = [(i, (i + 1) % nch) for i in range(nch)]
+            structure, nested = [], []
+            cost = np.zeros(dch)
+            for idx, (i, j) in enumerate(edges):
+                diag = _lin.zz_diagonal(nch, i, j)
+                cost += -0.5 * (1.0 - diag)
+                structure.append(TermStructure(kind="diag", diag=diag))
+                nested.append([[0.0, np.pi, 0.7 * idx, idx]])
+            for q in range(nch):
+                structure.append(TermStructure(kind="1q", qubit=q,
+                                               local=_lin.X))
+                nested.append([[0.0, np.pi, 3.0 + 0.5 * q, len(edges) + q]])
+            ham_ch = ControlledHamiltonian.create_structured(
+                dch, tuple(structure),
+                h0_structure=TermStructure(kind="diag", diag=np.zeros(dch)),
+                dtype=jnp.float32)
+            env_ch = ChannelEnvelope.from_rows(nested, n_basis=6,
+                                               func_type=0)
+            psi_ch = prob.psi0  # same 12q uniform superposition
+            cost_j = jnp.asarray(cost, jnp.float32)
 
-        c22 = jnp.asarray(rng.standard_normal(
-            prob22.envelope.coeff_shape).astype(np.float32) * 1e-3)
-        per22, _ = amortized_step_latency(
-            jax.value_and_grad(loss22), c22, chain=5, n_runs=4)
-        print(json.dumps({"metric": "chunked22q_grad_step",
-                          "value": round(per22 * 1e3, 3),
-                          "unit": "ms (22q full pulse-grad step, "
-                                  "chunked HBM-state engine)"}),
-              file=sys.stderr)
-    except Exception as e:
-        print(f"22q frontier bench failed: {e}", file=sys.stderr)
+            def loss_ch(vv):
+                psi = evolve_product_fused(ham_ch, env_ch, vv, psi_ch, 0.0,
+                                           2.0, horizon=2.0, n_steps=n_steps)
+                return jnp.sum(cpx.abs2(psi) * cost_j, axis=-1)
 
-    # the 24-qubit single-chip maximum (16.7M amplitudes): single-call
-    # mega kernels — the per-call programs crashed the compile helper
-    # past 22q; the mega form compiles in ~1 min on the cache
-    try:
-        prob24 = maxcut.build_maxcut(24, maxcut.ring_graph(24), n_basis=6,
-                                     dense=False)
-        ns24 = reference_n_steps(per_step, 0.0, prob24.T)
+            vv0 = jnp.asarray(rng.standard_normal(
+                env_ch.coeff_shape).astype(np.float32) * 1e-3)
+            per_ch, _ = amortized_step_latency(
+                jax.value_and_grad(loss_ch), vv0, chain=100, n_runs=8)
+            _emit({"metric": "channel12q_grad_step",
+                   "value": round(per_ch * 1e3, 3),
+                   "unit": "ms (carrier/2-quadrature pulse model)"})
+        except Exception as e:
+            print(f"channel bench failed: {e}", file=sys.stderr)
 
-        def loss24(c):
-            psi = evolve_product_fused(prob24.ham, prob24.envelope, c,
-                                       prob24.psi0, 0.0, prob24.T,
-                                       horizon=prob24.T, n_steps=ns24)
-            return jnp.sum(cpx.abs2(psi) * prob24.measurement.diag, axis=-1)
+    # ---- 64-seed batched training epoch (the MXU-shaped number) ----------
+    if section("seeds64", 240):
+        try:
+            import optax
+            n_seeds = 64
+            psi_b = jax.tree_util.tree_map(
+                lambda x: jnp.broadcast_to(x, (n_seeds,) + x.shape),
+                prob.psi0)
+            evolver_b = evolve_product_fused if fused_eligible(prob.ham) \
+                else evolve_product
 
-        c24 = jnp.asarray(rng.standard_normal(
-            prob24.envelope.coeff_shape).astype(np.float32) * 1e-3)
-        per24, _ = amortized_step_latency(
-            jax.value_and_grad(loss24), c24, chain=4, n_runs=4)
-        print(json.dumps({"metric": "mega24q_grad_step",
-                          "value": round(per24 * 1e3, 3),
-                          "unit": "ms (24q = 16.7M-amplitude full "
-                                  "pulse-grad step, mega kernels)"}),
-              file=sys.stderr)
-    except Exception as e:
-        print(f"24q frontier bench failed: {e}", file=sys.stderr)
+            def batch_energy_sum(cs, prec="full"):
+                psi = evolver_b(prob.ham, prob.envelope, cs, psi_b, 0.0,
+                                prob.T, horizon=prob.T, n_steps=n_steps,
+                                precision=prec)
+                e = jnp.sum(cpx.abs2(psi) * prob.measurement.diag, axis=-1)
+                return e.sum()
+
+            opt = optax.adam(2e-2)
+            cs0 = jnp.asarray(rng.standard_normal(
+                (n_seeds,) + prob.envelope.coeff_shape).astype(np.float32)
+                * 1e-3)
+            ost0 = opt.init(cs0)
+            blk = 50  # match train-loop block size; bounds the ~29 ms fixed
+                      # per-dispatch tunnel cost at ~0.6 ms/epoch
+
+            def run_block_for(prec):
+                def epoch(carry, _):
+                    cs, ost = carry
+                    g = jax.grad(lambda c: batch_energy_sum(c, prec))(cs)
+                    updates, ost = opt.update(g, ost, cs)
+                    return (optax.apply_updates(cs, updates), ost), None
+
+                @jax.jit
+                def run_block(carry):
+                    return jax.lax.scan(epoch, carry, None, length=blk)[0]
+                return run_block
+
+            lat_blk = median_latency(run_block_for("full"), ((cs0, ost0),),
+                                     n_warmup=2, n_runs=8)
+            _emit({"metric": "seeds64_epoch_latency",
+                   "value": round(lat_blk / blk * 1e3, 3),
+                   "unit": "ms (64-seed 12q train epoch)"})
+            _emit({"metric": "seeds64_per_seed_step",
+                   "value": round(lat_blk / blk / n_seeds * 1e6, 1),
+                   "unit": "us/seed-step"})
+            if fused_eligible(prob.ham) and section("seeds64_fast", 120):
+                lat_fast = median_latency(run_block_for("fast"),
+                                          ((cs0, ost0),), n_warmup=2,
+                                          n_runs=8)
+                _emit({"metric": "seeds64_epoch_latency_fast",
+                       "value": round(lat_fast / blk * 1e3, 3),
+                       "unit": "ms (precision='fast' bf16 kernels)"})
+        except Exception as e:
+            print(f"seeds bench failed: {e}", file=sys.stderr)
+
+    # ---- stretch config: 16 qubits, 1000-step chain, adjoint grad --------
+    if section("stretch16q", 150):
+        try:
+            prob16 = maxcut.build_maxcut(16, maxcut.ring_graph(16),
+                                         n_basis=6, dense=False)
+
+            def loss16(c):
+                psi = evolve_product_fused(prob16.ham, prob16.envelope, c,
+                                           prob16.psi0, 0.0, prob16.T,
+                                           horizon=prob16.T, n_steps=1000)
+                return jnp.sum(cpx.abs2(psi) * prob16.measurement.diag,
+                               axis=-1)
+
+            g16 = jax.jit(lambda c: jax.value_and_grad(loss16)(c)[1])
+            c16 = jnp.asarray(rng.standard_normal(
+                prob16.envelope.coeff_shape).astype(np.float32) * 1e-3)
+            lat16 = median_latency(g16, (c16,), n_warmup=2, n_runs=8)
+            _emit({"metric": "stretch_16q_1000step_adjoint_grad",
+                   "value": round(lat16 * 1e3, 1), "unit": "ms"})
+        except Exception as e:
+            print(f"stretch bench failed: {e}", file=sys.stderr)
+
+    # ---- forward-only propagator throughput (time-steps/sec, 10q) --------
+    if section("steps10q", 120):
+        try:
+            _, ns10, g10, c10 = maxcut_grad_fn(10)
+            per10, _ = amortized_step_latency(g10, c10, chain=100, n_runs=10)
+            _emit({"metric": "propagator_steps_per_sec_10q",
+                   "value": round(ns10 / per10, 1),
+                   "unit": "time-steps/s (incl. grad)"})
+        except Exception as e:
+            print(f"secondary bench failed: {e}", file=sys.stderr)
+
+    # ---- MC-mode (hardware-realistic estimator) 64-seed epoch ------------
+    if section("mc_seeds64", 180):
+        try:
+            from diffquantum_tpu.gradients.mc import mc_energy_grad
+            import optax
+            from diffquantum_tpu.ops.cpx import CP as _CP
+            n_seeds_mc = 64
+            psi_mc = jax.tree_util.tree_map(
+                lambda x: jnp.broadcast_to(x, (n_seeds_mc,) + x.shape),
+                prob.psi0)
+            cs_mc = jnp.asarray(rng.standard_normal(
+                (n_seeds_mc,) + prob.envelope.coeff_shape).astype(np.float32)
+                * 1e-3)
+            opt_mc = optax.adam(2e-2)
+
+            def seed_grad(c, p_re, p_im, k):
+                return mc_energy_grad(prob.ham, prob.envelope,
+                                      prob.measurement, c, _CP(p_re, p_im),
+                                      float(prob.T), k, n_steps,
+                                      backend="product_fused")
+
+            def mc_epoch(carry, k):
+                cs, ost = carry
+                ks = jax.random.split(k, n_seeds_mc)
+                g = jax.vmap(seed_grad)(cs, psi_mc.re, psi_mc.im, ks)
+                updates, ost = opt_mc.update(g.astype(cs.dtype), ost, cs)
+                return (optax.apply_updates(cs, updates), ost), None
+
+            blk_mc = 20
+
+            @jax.jit
+            def run_mc_block(carry, keys):
+                return jax.lax.scan(mc_epoch, carry, keys)[0]
+
+            keys_mc = jax.random.split(jax.random.PRNGKey(0), blk_mc)
+            lat_mc = median_latency(run_mc_block,
+                                    ((cs_mc, opt_mc.init(cs_mc)), keys_mc),
+                                    n_warmup=2, n_runs=6)
+            _emit({"metric": "seeds64_mc_epoch_latency",
+                   "value": round(lat_mc / blk_mc * 1e3, 3),
+                   "unit": "ms (64-seed 12q MC-gradient epoch, "
+                           "fused kernels)"})
+        except Exception as e:
+            print(f"mc seeds bench failed: {e}", file=sys.stderr)
+
+    print(f"bench done in {time.time() - _T0:.0f}s", file=sys.stderr,
+          flush=True)
+    # LAST stdout line = the headline (stable parse target)
+    _emit(headline, primary=True)
 
 
 if __name__ == "__main__":

@@ -56,7 +56,13 @@ class SimulatorPlain:
     def __init__(self, n_basis=5, basis="BSpline", n_epoch=200, log_dir=None,
                  n_step=100, lr=2e-2, is_noisy=False,
                  measure_sample_times=1000, method_name="Ours",
-                 sampling_measure=False, per_step=10):
+                 sampling_measure=False, per_step=10, seed=None):
+        # ``seed`` is an extension over the reference constructor
+        # (`sim_plain.py:20-22`): one persistent generator drives the MC
+        # sample times, shot draws, and noise, so compat-layer runs are
+        # reproducible (the reference draws from the unseeded global
+        # numpy state). seed=None keeps OS-entropy behavior.
+        self._rng = np.random.default_rng(seed)
         self.n_basis = n_basis
         self.basis = basis
         self.log_name = basis
@@ -143,7 +149,7 @@ class SimulatorPlain:
 
     def stochastic_measure(self, psi, per_Pauli=100):
         """Shot-based Pauli estimation (`sim_plain.py:101-117`)."""
-        rng = np.random.default_rng()
+        rng = self._rng
         psi = np.asarray(psi, dtype=np.complex128).reshape(-1)
         ans = 0.0
         for entry in self.Pauli_M:
@@ -175,7 +181,7 @@ class SimulatorPlain:
     def compute_energy_grad_MC(self, M, H, initial_state, coeff=1.0):
         """The paper's MC estimator, reference algorithm shape
         (`sim_plain.py:156-231`), numpy execution."""
-        rng = np.random.default_rng()
+        rng = self._rng
         s = rng.uniform() * self.T
         sc = np.asarray(self._coeff_np())
         n_hs = len(H) - 1
@@ -214,7 +220,7 @@ class SimulatorPlain:
     def compute_energy_grad_FD(self, M, H, initial_state, delta=1e-3,
                                coeff=1.0):
         """Central finite differences (`sim_plain.py:308-353`)."""
-        rng = np.random.default_rng()
+        rng = self._rng
         sc = self._coeff_np()
         n_hs = len(H) - 1
         grad = np.zeros_like(sc)

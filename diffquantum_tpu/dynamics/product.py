@@ -281,6 +281,36 @@ def _symmetrize_rots(qubits, kinds, theta_x, axis: int):
             jnp.concatenate([half, rev], axis=axis))
 
 
+def _mega_hop_dispatch(psi_flat: CP, ud_full, th_x, h0th, signs_arr,
+                       entries, kinds, n, fast) -> CP:
+    """Route one (unbatched) hop-carrying 19-24q evolution through the
+    palindromic-schedule mega engine: relabel qubits to the feasible
+    chunk/free/lane layout (:func:`..ops.fused_mega_hop.
+    plan_chunked_hop_layout`), bit-transpose the state and sign planes in,
+    evolve, transpose back. The transposes are XLA ops outside the custom
+    VJP, so psi0's cotangent flows through them automatically."""
+    from ..ops.fused_mega_hop import (chunked_evolve_mega_hop, invert_perm,
+                                      permute_amplitude_bits,
+                                      plan_chunked_hop_layout)
+    perm = plan_chunked_hop_layout(entries, kinds, n)
+    if perm is None:  # fused_eligible guards this; defensive only
+        raise ValueError("no feasible chunk layout for this hop graph; "
+                         "use backend='product'")
+    pos_of = invert_perm(perm)
+    entries_pos = tuple(
+        (min(pos_of[e[0]], pos_of[e[1]]), max(pos_of[e[0]], pos_of[e[1]]))
+        if isinstance(e, tuple) else pos_of[e] for e in entries)
+    psip = CP(permute_amplitude_bits(psi_flat.re, perm),
+              permute_amplitude_bits(psi_flat.im, perm))
+    out = chunked_evolve_mega_hop(
+        psip, ud_full, th_x,
+        permute_amplitude_bits(h0th, perm),
+        permute_amplitude_bits(signs_arr, perm),
+        entries_pos, n, tuple(kinds), fast)
+    return CP(permute_amplitude_bits(out.re, pos_of),
+              permute_amplitude_bits(out.im, pos_of))
+
+
 # Largest size the VMEM-resident packed kernels carry on chip: the 18q
 # backward needs a 40 MiB scoped-vmem window (fine); the 19q one needs
 # ~64+ MiB, which crashes the remote compile helper (measured). Past 18
@@ -302,7 +332,7 @@ def fused_eligible(ham: ControlledHamiltonian) -> bool:
       drive sets), provided the possibly-palindromic op sequence fits the
       128 angle lanes;
     - 18-19: additionally need the packed-phase form (every diagonal
-      control row two-valued, ≤30 terms — Pauli-Z strings qualify) so the
+      control row two-valued, ≤120 terms — Pauli-Z strings qualify) so the
       kernel computes phases in-kernel and keeps HBM-resident boundary
       buffers, staying under the 16 MiB VMEM budget
       (:mod:`..ops.fused_product` packed kernels); no hops there;
@@ -336,18 +366,27 @@ def fused_eligible(ham: ControlledHamiltonian) -> bool:
             used.append(st.qubit)
         elif st.kind != "diag":
             return False
-    if has_hop and ham.n_qubits > 17:
-        # hops ride the streamed VMEM kernels only (≤17q)
-        return False
-    if ham.n_qubits < 18:
-        # streamed kernels: the (palindromic when qubits are shared) op
-        # sequence must fit the 128 angle lanes of one tx row
-        if n_rot * (2 if len(set(used)) < len(used) else 1) > 128:
+    if has_hop and ham.n_qubits > _VMEM_PACKED_MAX:
+        # 19-24q hops ride the palindromic-schedule mega engine
+        # (ops/fused_mega_hop.py) — needs a feasible qubit→position
+        # relabeling (hop graph boundary fits the low free bits)
+        from ..ops.fused_mega_hop import plan_chunked_hop_layout
+        entries = [(min(st.qubit, st.qubit2), max(st.qubit, st.qubit2))
+                   for st in ham.structure if st.kind == "hop"]
+        if plan_chunked_hop_layout(entries, ("hop",) * len(entries),
+                                   ham.n_qubits) is None:
             return False
+    # every fused kernel streams the op sequence through the 128 angle
+    # lanes of one tx row; the VMEM kernels double the row for shared-qubit
+    # (palindromic) sequences, the 19+q engines halve angle VALUES instead
+    doubled = 2 if (ham.n_qubits <= _VMEM_PACKED_MAX
+                    and len(set(used)) < len(used)) else 1
+    if n_rot * doubled > 128:
+        return False
     if ham.n_qubits >= 18:
         from ..ops.fused_product import pack_diag_signs
         try:
-            _, diag_rows, *_ = split_structure(ham)
+            _, diag_rows, *_ = split_structure_ext(ham)
         except ValueError:
             return False
         if pack_diag_signs(diag_rows) is None:
@@ -413,16 +452,15 @@ def evolve_product_fused(
     # 18+ qubits REQUIRE the packed form (no [n_steps, d] tables fit).
     packed = pack_diag_signs(diag_rows) if n >= _PACKED_MIN_QUBITS \
         else None
-    if hop_pairs:
-        if n >= 18:  # fused_eligible already rejects this combination
-            raise ValueError(
-                "hop (XX+YY) drives ride the streamed fused kernels only "
-                "(<= 17 qubits); use backend='product' at this size")
+    # hops: streamed kernels <= 17q, packed VMEM kernels at 18q, the
+    # palindromic-schedule mega engine (fused_mega_hop) at 19-24q
+    hop_mega = bool(hop_pairs) and n > _VMEM_PACKED_MAX
+    if hop_pairs and not hop_mega and n < _PACKED_MIN_QUBITS:
         packed = None  # streamed kernels carry the hop op plan
     if packed is None and n >= 18:
         raise ValueError(
             "18+ qubit fused evolution needs the packed-phase form "
-            "(every diagonal control row two-valued, ≤30 terms); use "
+            "(every diagonal control row two-valued, ≤120 terms); use "
             "backend='product' for general diagonals at this size")
 
     def packed_evolve(psi_b, ud_full, th_x, h0th, signs_arr, qubits, kinds):
@@ -433,19 +471,34 @@ def evolve_product_fused(
         57.3 ms, 22q 145.6 vs 138 ms) but ~20x faster to compile (20q
         forward: 36 s vs 724 s — one kernel vs 60+ chained pallas calls),
         and compile time is the binding constraint on this toolchain.
+        Hop drive sets take the palindromic-schedule hop mega engine.
         psi_b/ud_full/th_x carry a leading batch dim (chunked engine runs
         per-seed)."""
         if n <= _VMEM_PACKED_MAX:
             return fused_product_evolve_packed(
                 psi_b, ud_full, th_x, h0th, signs_arr, qubits, n, kinds,
                 fast)
-        from ..ops.fused_chunked import chunked_evolve_mega
-        outs = [chunked_evolve_mega(
-            CP(psi_b.re[i], psi_b.im[i]), ud_full[:, i], th_x[:, i],
-            h0th, signs_arr, qubits, n, kinds, fast)
-            for i in range(psi_b.re.shape[0])]
-        return CP(jnp.stack([o.re for o in outs]),
-                  jnp.stack([o.im for o in outs]))
+        if hop_mega:
+            run1 = functools.partial(_mega_hop_dispatch, h0th=h0th,
+                                     signs_arr=signs_arr, entries=qubits,
+                                     kinds=kinds, n=n, fast=fast)
+            outs = [run1(CP(psi_b.re[i], psi_b.im[i]), ud_full[:, i],
+                         th_x[:, i]) for i in range(psi_b.re.shape[0])]
+            return CP(jnp.stack([o.re for o in outs]),
+                      jnp.stack([o.im for o in outs]))
+        if psi_b.re.shape[0] == 1:
+            from ..ops.fused_chunked import chunked_evolve_mega
+            out = chunked_evolve_mega(
+                CP(psi_b.re[0], psi_b.im[0]), ud_full[:, 0], th_x[:, 0],
+                h0th, signs_arr, qubits, n, kinds, fast)
+            return CP(out.re[None], out.im[None])
+        # seed populations compile ONCE: the batched mega kernel grids
+        # over (B, n_steps + 1) instead of emitting one mega kernel per
+        # seed (round 3 Python-looped here — 64 compiles at 20q)
+        from ..ops.fused_chunked import chunked_evolve_mega_batched
+        return chunked_evolve_mega_batched(psi_b, ud_full, th_x, h0th,
+                                           signs_arr, qubits, n, kinds,
+                                           fast)
 
     diag_table = jnp.asarray(np.stack(diag_rows), dtype=rdt) if diag_rows \
         else jnp.zeros((0, ham.dim), dtype=rdt)
@@ -475,7 +528,7 @@ def evolve_product_fused(
                                 jnp.asarray(consts, rdt), precision=_HP)
         ud_full = jnp.concatenate([ud_core, off[..., None]], axis=-1)
         signs_arr = jnp.asarray(signs_np) if signs_np.size else \
-            jnp.zeros((ham.dim,), jnp.int32)
+            jnp.zeros((1, ham.dim), jnp.int32)
         return ud_full, (half * h0_vec).astype(rdt), signs_arr
 
     batched = psi0.ndim > 1
@@ -502,8 +555,9 @@ def evolve_product_fused(
             oneq_qubits, kinds, theta_x,
             dtc * jnp.moveaxis(jnp.take(u, hi, axis=1).astype(rdt), 2, 0),
             axis=2)
-        oneq_qubits, kinds, theta_x = _symmetrize_rots(
-            oneq_qubits, kinds, theta_x, axis=2)
+        if not hop_mega:  # the hop mega engine palindromizes internally
+            oneq_qubits, kinds, theta_x = _symmetrize_rots(
+                oneq_qubits, kinds, theta_x, axis=2)
 
         if packed is not None:
             ud_full, h0th, signs_arr = packed_tables(
@@ -529,6 +583,12 @@ def evolve_product_fused(
         # within budget: the packed kernels raise Mosaic's scoped-vmem
         # window toward the ~128 MiB physical VMEM (measured, round 3);
         # the streamed kernels keep the conservative default window
+        psi32f = psi0.astype(rdt)
+        if packed is not None and n > _VMEM_PACKED_MAX:
+            # HBM-resident mega engines: the VMEM footprint is slab-sized
+            # (not state-sized), so the whole seed population runs as one
+            # batched kernel — no VMEM-budget batch chunking
+            return run(psi32f, theta_x)
         r_rows = ham.dim // 128
         bytes_per_seed = r_rows * 128 * 4 * planes
         budget = (64 if packed is not None else 12) * 2**20
@@ -564,8 +624,9 @@ def evolve_product_fused(
              jnp.zeros((0, n_steps), dtype=u.dtype)).astype(rdt)
     oneq_qubits, kinds, theta_x = with_hops(
         oneq_qubits, kinds, theta_x, dtc * u_hop.T, axis=1)
-    oneq_qubits, kinds, theta_x = _symmetrize_rots(
-        oneq_qubits, kinds, theta_x, axis=1)
+    if not hop_mega:  # the hop mega engine palindromizes internally
+        oneq_qubits, kinds, theta_x = _symmetrize_rots(
+            oneq_qubits, kinds, theta_x, axis=1)
 
     if packed is not None:
         ud_full, h0th, signs_arr = packed_tables(u_diag.T)  # [T, n_diag+1]

@@ -57,8 +57,8 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from .cpx import CP
-from .fused_product import (_multi_dot, _multi_map, _pdot, _perm_stack,
-                            _split_qubits)
+from .fused_product import (_PLANE_BITS, _multi_dot, _multi_map, _pdot,
+                            _perm_stack, _split_qubits)
 
 _LANES = 128
 _LANE_QUBITS = 7
@@ -117,14 +117,17 @@ def _flip2(x, hi, axis_len, tail_shape, sign=False):
 
 def _theta_row(ud_row, h0_blk, signs_blk, n_diag):
     """Per-slab diagonal phase from a [1, 128] angle row: layout =
-    [a_0..a_{n_diag-1}, offset, h0_mult]; returns the slab's 2-D shape."""
+    [a_0..a_{n_diag-1}, offset, h0_mult]; signs_blk is the [P, F, 128]
+    packed sign bit-plane slab (30 terms per int32 plane). Returns the
+    slab's 2-D shape."""
     off = ud_row[0, n_diag]
     mult = ud_row[0, n_diag + 1]
     th = mult * h0_blk + off
     for k in range(n_diag):
         a = ud_row[0, k]
         bit = jnp.bitwise_and(
-            jax.lax.shift_right_logical(signs_blk, np.int32(k)),
+            jax.lax.shift_right_logical(signs_blk[k // _PLANE_BITS],
+                                        np.int32(k % _PLANE_BITS)),
             np.int32(1)).astype(jnp.float32)
         th = th + a - (2.0 * a) * bit
     return th
@@ -284,7 +287,8 @@ def _a_bwd_core(y_re, y_im, l_re, l_im, ud_row, tx_row, h0_blk, sg_blk,
     row = jnp.zeros((1, _LANES), jnp.float32)
     for k in range(n_diag):
         bit = jnp.bitwise_and(
-            jax.lax.shift_right_logical(sg_blk, np.int32(k)),
+            jax.lax.shift_right_logical(sg_blk[k // _PLANE_BITS],
+                                        np.int32(k % _PLANE_BITS)),
             np.int32(1)).astype(jnp.float32)
         sk = jnp.sum(gth * bit)
         row = jnp.where(lane_ids == k, s0 - 2.0 * sk, row)
@@ -384,12 +388,15 @@ def _passA_call(kernel, state, rowu, rowx, h0th3, signs3, perms, c, f,
     re, im = state
     slab = pl.BlockSpec((1, fdim, _LANES), lambda i: (i, 0, 0),
                         memory_space=pltpu.VMEM)
+    sgslab = pl.BlockSpec((1, signs3.shape[1], fdim, _LANES),
+                          lambda i: (i, 0, 0, 0),
+                          memory_space=pltpu.VMEM)
     row = pl.BlockSpec((1, 1, _LANES), lambda i: (0, 0, 0),
                        memory_space=pltpu.VMEM)
     out_re, out_im = pl.pallas_call(
         kernel,
         grid=(cdim,),
-        in_specs=[row, row, slab, slab, slab, slab,
+        in_specs=[row, row, slab, sgslab, slab, slab,
                   pl.BlockSpec(perms.shape, lambda i: (0, 0, 0),
                                memory_space=pltpu.VMEM)],
         out_specs=(slab, slab),
@@ -431,6 +438,9 @@ def _passA_bwd_call(kernel, yl, rowu, rowx, h0th3, signs3, perms, c, f,
     y_re, y_im, l_re, l_im = yl
     slab = pl.BlockSpec((1, fdim, _LANES), lambda i: (i, 0, 0),
                         memory_space=pltpu.VMEM)
+    sgslab = pl.BlockSpec((1, signs3.shape[1], fdim, _LANES),
+                          lambda i: (i, 0, 0, 0),
+                          memory_space=pltpu.VMEM)
     row = pl.BlockSpec((1, 1, _LANES), lambda i: (0, 0, 0),
                        memory_space=pltpu.VMEM)
     grow = pl.BlockSpec((1, _LANES), lambda i: (0, 0),
@@ -439,7 +449,7 @@ def _passA_bwd_call(kernel, yl, rowu, rowx, h0th3, signs3, perms, c, f,
     outs = pl.pallas_call(
         kernel,
         grid=(cdim,),
-        in_specs=[row, row, slab, slab, slab, slab, slab, slab,
+        in_specs=[row, row, slab, sgslab, slab, slab, slab, slab,
                   pl.BlockSpec(perms.shape, lambda i: (0, 0, 0),
                                memory_space=pltpu.VMEM)],
         out_specs=(slab, slab, slab, slab, grow, grow),
@@ -513,7 +523,8 @@ def _setup(ud, theta_x, h0th, signs, x_qubits, n_qubits, kinds, fast):
     zeros_row = jnp.zeros(_LANES, jnp.float32)
 
     h0th3 = h0th.reshape(cdim, fdim, _LANES).astype(jnp.float32)
-    signs3 = signs.reshape(cdim, fdim, _LANES)
+    signs3 = jnp.moveaxis(
+        signs.reshape(signs.shape[0], cdim, fdim, _LANES), 0, 1)
     return (c, f, chunk_rots, free_rots, lane_rots, perms, n_steps, n_diag,
             interp, ud_rows, merged, tx_rows, zeros_row, h0th3, signs3)
 
@@ -528,7 +539,7 @@ def chunked_evolve(psi0: CP, ud: jnp.ndarray, theta_x: jnp.ndarray,
     psi0: CP [2^n]; ud: [n_steps, n_diag+1] scaled diag controls (slot
     k = dt/2·u_k·w_k, last = offset; see the packed kernels); theta_x:
     [n_steps, n_x]; h0th: [2^n] drift half-angles (zero cotangent); signs:
-    [2^n] int32 packed sign bits (float0 cotangent)."""
+    [P, 2^n] int32 packed sign bit-planes (float0 cotangent)."""
     return _forward_ck(psi0, ud, theta_x, h0th, signs, x_qubits, n_qubits,
                        kinds, fast_math)
 
@@ -677,7 +688,12 @@ def _mega_copy(src, dst, sem, k):
 
 
 def _make_mega_fwd(free_rots, lane_rots, chunk_rots, n_diag, c, f, bf,
-                   fast, n_steps):
+                   fast, n_steps, batched=False):
+    """``batched=True`` grids over (B, n_steps + 1): seed b is
+    program_id(0), its state lives at index b of the leading axis of the
+    HBM-resident planes, and its angle rows come from per-seed row blocks
+    — one compiled kernel for the whole seed population (round 3 Python-
+    looped per seed: a 64-seed 20q run emitted 64 mega kernels)."""
     cdim, fdim = 2**c, 2**f
     nsl = fdim // bf
     has_b = bool(chunk_rots)
@@ -685,23 +701,33 @@ def _make_mega_fwd(free_rots, lane_rots, chunk_rots, n_diag, c, f, bf,
     def kernel(udm_ref, txa_ref, txb_ref, h0_hbm, sg_hbm, in_re, in_im,
                perms_ref, out_re, out_im, a_re, a_im, a_h0, a_sg,
                b_re, b_im, sem):
-        t = pl.program_id(0)
+        if batched:
+            b = pl.program_id(0)
+            t = pl.program_id(1)
+            st_q = lambda arr, q: arr.at[b, q]                # noqa: E731
+            st_f = lambda arr, o: arr.at[b, :, pl.ds(o, bf)]  # noqa: E731
+            rowread = lambda ref: ref[0, 0]                   # noqa: E731
+        else:
+            t = pl.program_id(0)
+            st_q = lambda arr, q: arr.at[q]                   # noqa: E731
+            st_f = lambda arr, o: arr.at[:, pl.ds(o, bf)]     # noqa: E731
+            rowread = lambda ref: ref[0]                      # noqa: E731
 
         if has_b:
             @pl.when(t > 0)
             def _():
                 def bodyB(s, _):
                     o = s * bf
-                    c1 = _mega_copy(out_re.at[:, pl.ds(o, bf)], b_re, sem, 0)
-                    c2 = _mega_copy(out_im.at[:, pl.ds(o, bf)], b_im, sem, 1)
+                    c1 = _mega_copy(st_f(out_re, o), b_re, sem, 0)
+                    c2 = _mega_copy(st_f(out_im, o), b_im, sem, 1)
                     c1.wait()
                     c2.wait()
-                    re, im = _b_fwd_core(b_re[:], b_im[:], txb_ref[0],
+                    re, im = _b_fwd_core(b_re[:], b_im[:], rowread(txb_ref),
                                          chunk_rots, cdim, fast)
                     b_re[:] = re
                     b_im[:] = im
-                    c3 = _mega_copy(b_re, out_re.at[:, pl.ds(o, bf)], sem, 0)
-                    c4 = _mega_copy(b_im, out_im.at[:, pl.ds(o, bf)], sem, 1)
+                    c3 = _mega_copy(b_re, st_f(out_re, o), sem, 0)
+                    c4 = _mega_copy(b_im, st_f(out_im, o), sem, 1)
                     c3.wait()
                     c4.wait()
                     return 0
@@ -709,19 +735,20 @@ def _make_mega_fwd(free_rots, lane_rots, chunk_rots, n_diag, c, f, bf,
                 jax.lax.fori_loop(0, nsl, bodyB, 0)
 
         def bodyA(q, _):
-            cps = [_mega_copy(out_re.at[q], a_re, sem, 0),
-                   _mega_copy(out_im.at[q], a_im, sem, 1),
+            cps = [_mega_copy(st_q(out_re, q), a_re, sem, 0),
+                   _mega_copy(st_q(out_im, q), a_im, sem, 1),
                    _mega_copy(h0_hbm.at[q], a_h0, sem, 2),
                    _mega_copy(sg_hbm.at[q], a_sg, sem, 3)]
             for cp in cps:
                 cp.wait()
-            re, im = _a_fwd_core(a_re[:], a_im[:], udm_ref[0], txa_ref[0],
-                                 a_h0[:], a_sg[:], perms_ref, free_rots,
-                                 lane_rots, n_diag, c, fdim, fast)
+            re, im = _a_fwd_core(a_re[:], a_im[:], rowread(udm_ref),
+                                 rowread(txa_ref), a_h0[:], a_sg[:],
+                                 perms_ref, free_rots, lane_rots, n_diag,
+                                 c, fdim, fast)
             a_re[:] = re
             a_im[:] = im
-            c5 = _mega_copy(a_re, out_re.at[q], sem, 0)
-            c6 = _mega_copy(a_im, out_im.at[q], sem, 1)
+            c5 = _mega_copy(a_re, st_q(out_re, q), sem, 0)
+            c6 = _mega_copy(a_im, st_q(out_im, q), sem, 1)
             c5.wait()
             c6.wait()
             return 0
@@ -732,7 +759,7 @@ def _make_mega_fwd(free_rots, lane_rots, chunk_rots, n_diag, c, f, bf,
 
 
 def _make_mega_bwd(free_rots, lane_rots, chunk_rots, n_diag, c, f, bf,
-                   fast, n_steps):
+                   fast, n_steps, batched=False):
     cdim, fdim = 2**c, 2**f
     nsl = fdim // bf
     has_b = bool(chunk_rots)
@@ -742,7 +769,23 @@ def _make_mega_bwd(free_rots, lane_rots, chunk_rots, n_diag, c, f, bf,
                y_re_o, y_im_o, l_re_o, l_im_o, gudm_ref, gtxa_ref,
                gtxb_ref, ay_re, ay_im, al_re, al_im, a_h0, a_sg,
                by_re, by_im, bl_re, bl_im, acc_ud, acc_ta, acc_tb, sem):
-        i = pl.program_id(0)  # processes step s = n_steps - i
+        if batched:
+            b = pl.program_id(0)
+            i = pl.program_id(1)  # processes step s = n_steps - i
+            st_q = lambda arr, q: arr.at[b, q]                # noqa: E731
+            st_f = lambda arr, o: arr.at[b, :, pl.ds(o, bf)]  # noqa: E731
+            rowread = lambda ref: ref[0, 0]                   # noqa: E731
+
+            def rowwrite(ref, v):
+                ref[0, 0] = v
+        else:
+            i = pl.program_id(0)  # processes step s = n_steps - i
+            st_q = lambda arr, q: arr.at[q]                   # noqa: E731
+            st_f = lambda arr, o: arr.at[:, pl.ds(o, bf)]     # noqa: E731
+            rowread = lambda ref: ref[0]                      # noqa: E731
+
+            def rowwrite(ref, v):
+                ref[0] = v
 
         acc_ud[:] = jnp.zeros((1, _LANES), jnp.float32)
         acc_ta[:] = jnp.zeros((1, _LANES), jnp.float32)
@@ -750,10 +793,10 @@ def _make_mega_bwd(free_rots, lane_rots, chunk_rots, n_diag, c, f, bf,
 
         # ---- invert the A pass of step s (phases + free/lane rots) ----
         def bodyA(q, _):
-            cps = [_mega_copy(y_re_o.at[q], ay_re, sem, 0),
-                   _mega_copy(y_im_o.at[q], ay_im, sem, 1),
-                   _mega_copy(l_re_o.at[q], al_re, sem, 2),
-                   _mega_copy(l_im_o.at[q], al_im, sem, 3)]
+            cps = [_mega_copy(st_q(y_re_o, q), ay_re, sem, 0),
+                   _mega_copy(st_q(y_im_o, q), ay_im, sem, 1),
+                   _mega_copy(st_q(l_re_o, q), al_re, sem, 2),
+                   _mega_copy(st_q(l_im_o, q), al_im, sem, 3)]
             for cp in cps:
                 cp.wait()
             c5 = _mega_copy(h0_hbm.at[q], a_h0, sem, 0)
@@ -761,8 +804,8 @@ def _make_mega_bwd(free_rots, lane_rots, chunk_rots, n_diag, c, f, bf,
             c5.wait()
             c6.wait()
             y_re, y_im, l_re, l_im, row, rrow = _a_bwd_core(
-                ay_re[:], ay_im[:], al_re[:], al_im[:], udm_ref[0],
-                txa_ref[0], a_h0[:], a_sg[:], perms_ref, free_rots,
+                ay_re[:], ay_im[:], al_re[:], al_im[:], rowread(udm_ref),
+                rowread(txa_ref), a_h0[:], a_sg[:], perms_ref, free_rots,
                 lane_rots, n_diag, c, fdim, fast)
             acc_ud[:] = acc_ud[:] + row
             acc_ta[:] = acc_ta[:] + rrow
@@ -770,10 +813,10 @@ def _make_mega_bwd(free_rots, lane_rots, chunk_rots, n_diag, c, f, bf,
             ay_im[:] = y_im
             al_re[:] = l_re
             al_im[:] = l_im
-            cps = [_mega_copy(ay_re, y_re_o.at[q], sem, 0),
-                   _mega_copy(ay_im, y_im_o.at[q], sem, 1),
-                   _mega_copy(al_re, l_re_o.at[q], sem, 2),
-                   _mega_copy(al_im, l_im_o.at[q], sem, 3)]
+            cps = [_mega_copy(ay_re, st_q(y_re_o, q), sem, 0),
+                   _mega_copy(ay_im, st_q(y_im_o, q), sem, 1),
+                   _mega_copy(al_re, st_q(l_re_o, q), sem, 2),
+                   _mega_copy(al_im, st_q(l_im_o, q), sem, 3)]
             for cp in cps:
                 cp.wait()
             return 0
@@ -786,41 +829,33 @@ def _make_mega_bwd(free_rots, lane_rots, chunk_rots, n_diag, c, f, bf,
             def _():
                 def bodyB(s, _):
                     o = s * bf
-                    cps = [_mega_copy(y_re_o.at[:, pl.ds(o, bf)], by_re,
-                                      sem, 0),
-                           _mega_copy(y_im_o.at[:, pl.ds(o, bf)], by_im,
-                                      sem, 1),
-                           _mega_copy(l_re_o.at[:, pl.ds(o, bf)], bl_re,
-                                      sem, 2),
-                           _mega_copy(l_im_o.at[:, pl.ds(o, bf)], bl_im,
-                                      sem, 3)]
+                    cps = [_mega_copy(st_f(y_re_o, o), by_re, sem, 0),
+                           _mega_copy(st_f(y_im_o, o), by_im, sem, 1),
+                           _mega_copy(st_f(l_re_o, o), bl_re, sem, 2),
+                           _mega_copy(st_f(l_im_o, o), bl_im, sem, 3)]
                     for cp in cps:
                         cp.wait()
                     y_re, y_im, l_re, l_im, rrow = _b_bwd_core(
                         by_re[:], by_im[:], bl_re[:], bl_im[:],
-                        txb_ref[0], chunk_rots, cdim, fast)
+                        rowread(txb_ref), chunk_rots, cdim, fast)
                     acc_tb[:] = acc_tb[:] + rrow
                     by_re[:] = y_re
                     by_im[:] = y_im
                     bl_re[:] = l_re
                     bl_im[:] = l_im
-                    cps = [_mega_copy(by_re, y_re_o.at[:, pl.ds(o, bf)],
-                                      sem, 0),
-                           _mega_copy(by_im, y_im_o.at[:, pl.ds(o, bf)],
-                                      sem, 1),
-                           _mega_copy(bl_re, l_re_o.at[:, pl.ds(o, bf)],
-                                      sem, 2),
-                           _mega_copy(bl_im, l_im_o.at[:, pl.ds(o, bf)],
-                                      sem, 3)]
+                    cps = [_mega_copy(by_re, st_f(y_re_o, o), sem, 0),
+                           _mega_copy(by_im, st_f(y_im_o, o), sem, 1),
+                           _mega_copy(bl_re, st_f(l_re_o, o), sem, 2),
+                           _mega_copy(bl_im, st_f(l_im_o, o), sem, 3)]
                     for cp in cps:
                         cp.wait()
                     return 0
 
                 jax.lax.fori_loop(0, nsl, bodyB, 0)
 
-        gudm_ref[0] = acc_ud[:]
-        gtxa_ref[0] = acc_ta[:]
-        gtxb_ref[0] = acc_tb[:]
+        rowwrite(gudm_ref, acc_ud[:])
+        rowwrite(gtxa_ref, acc_ta[:])
+        rowwrite(gtxb_ref, acc_tb[:])
 
     return kernel
 
@@ -860,7 +895,8 @@ def _setup_mega(ud, theta_x, h0th, signs, x_qubits, n_qubits, kinds, fast):
     udm, txa, txb = udm[:, None, :], txa[:, None, :], txb[:, None, :]
 
     h0th3 = h0th.reshape(cdim, fdim, _LANES).astype(jnp.float32)
-    signs3 = signs.reshape(cdim, fdim, _LANES)
+    signs3 = jnp.moveaxis(
+        signs.reshape(signs.shape[0], cdim, fdim, _LANES), 0, 1)
     return (c, f, cdim, fdim, bf, chunk_rots, free_rots, lane_rots, perms,
             n_steps, n_diag, interp, udm, txa, txb, h0th3, signs3)
 
@@ -901,7 +937,8 @@ def _forward_mega(psi0, ud, theta_x, h0th, signs, x_qubits, n_qubits,
         scratch_shapes=[pltpu.VMEM((fdim, _LANES), jnp.float32),
                         pltpu.VMEM((fdim, _LANES), jnp.float32),
                         pltpu.VMEM((fdim, _LANES), jnp.float32),
-                        pltpu.VMEM((fdim, _LANES), jnp.int32),
+                        pltpu.VMEM((signs3.shape[1], fdim, _LANES),
+                                   jnp.int32),
                         pltpu.VMEM((cdim, bf, _LANES), jnp.float32),
                         pltpu.VMEM((cdim, bf, _LANES), jnp.float32),
                         pltpu.SemaphoreType.DMA((4,))],
@@ -952,7 +989,8 @@ def _bwd_mega(x_qubits, n_qubits, kinds, fast_math, residuals, lam):
                         pltpu.VMEM((fdim, _LANES), jnp.float32),
                         pltpu.VMEM((fdim, _LANES), jnp.float32),
                         pltpu.VMEM((fdim, _LANES), jnp.float32),
-                        pltpu.VMEM((fdim, _LANES), jnp.int32),
+                        pltpu.VMEM((signs3.shape[1], fdim, _LANES),
+                                   jnp.int32),
                         pltpu.VMEM((cdim, bf, _LANES), jnp.float32),
                         pltpu.VMEM((cdim, bf, _LANES), jnp.float32),
                         pltpu.VMEM((cdim, bf, _LANES), jnp.float32),
@@ -992,3 +1030,186 @@ def _bwd_mega(x_qubits, n_qubits, kinds, fast_math, residuals, lam):
 
 
 chunked_evolve_mega.defvjp(_fwd_mega, _bwd_mega)
+
+
+# ===========================================================================
+# Batched mega: the whole SEED POPULATION as one pallas_call — grid
+# (B, n_steps + 1), seed-major so each seed's time steps stay sequential.
+# Round 3 Python-looped chunked_evolve_mega per seed, compiling one mega
+# kernel per seed (~1 min each at 20q); this form compiles ONCE for any B.
+# Angle rows are per-seed [T+1, B, 1, 128] blocks (trailing (1, 128) =
+# the array's trailing dims — the Mosaic block-divisibility rule); the
+# state planes carry a leading B axis indexed by program_id(0) in the
+# manual DMA.
+# ===========================================================================
+
+def _setup_mega_b(ud, theta_x, h0th, signs, x_qubits, n_qubits, kinds,
+                  fast):
+    """Like :func:`_setup_mega` but ud [T, B, n_slots] / theta_x
+    [T, B, n_x] → per-seed row arrays [T+1, B, 1, 128]."""
+    kinds = kinds or ("x",) * len(x_qubits)
+    c, f = _plan(n_qubits)
+    cdim, fdim = 2**c, 2**f
+    bf = min(2 ** (_F_BITS - c) if c > 0 else fdim, fdim)
+    chunk_rots, free_rots, lane_rots = _partition_rots(
+        x_qubits, kinds, n_qubits, c)
+    perms = jnp.asarray(_perm_stack(lane_rots, n_qubits))
+    n_steps, b, n_slots = ud.shape
+    n_diag = n_slots - 1
+    interp = jax.default_backend() == "cpu"
+
+    def pad_row(v, extra=None):
+        row = jnp.zeros(v.shape[:-1] + (_LANES,), jnp.float32)
+        row = row.at[..., :v.shape[-1]].set(v.astype(jnp.float32))
+        if extra is not None:
+            row = row.at[..., v.shape[-1]].set(extra)
+        return row
+
+    ud_rows = pad_row(ud, extra=1.0)                    # [T, B, 128]
+    if n_steps > 1:
+        merged = pad_row(ud[:-1] + ud[1:], extra=2.0)
+        udm = jnp.concatenate([ud_rows[0:1], merged, ud_rows[-1:]])
+    else:
+        udm = jnp.concatenate([ud_rows, ud_rows])
+    tx_rows = pad_row(theta_x)                          # [T, B, 128]
+    zrow = jnp.zeros((1, b, _LANES), jnp.float32)
+    txa = jnp.concatenate([tx_rows, zrow])              # [T+1, B, 128]
+    txb = jnp.concatenate([zrow, tx_rows])
+    udm, txa, txb = (v[:, :, None, :] for v in (udm, txa, txb))
+
+    h0th3 = h0th.reshape(cdim, fdim, _LANES).astype(jnp.float32)
+    signs3 = jnp.moveaxis(
+        signs.reshape(signs.shape[0], cdim, fdim, _LANES), 0, 1)
+    return (c, f, cdim, fdim, bf, chunk_rots, free_rots, lane_rots, perms,
+            n_steps, b, n_diag, interp, udm, txa, txb, h0th3, signs3)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8))
+def chunked_evolve_mega_batched(psi0: CP, ud: jnp.ndarray,
+                                theta_x: jnp.ndarray, h0th: jnp.ndarray,
+                                signs: jnp.ndarray, x_qubits: tuple,
+                                n_qubits: int, kinds: tuple = None,
+                                fast_math: bool = False) -> CP:
+    """Seed-batched :func:`chunked_evolve_mega`: psi0 CP [B, 2^n], ud
+    [n_steps, B, n_diag+1], theta_x [n_steps, B, n_x] — per-seed pulses,
+    ONE compiled kernel for the whole population."""
+    return _forward_mega_b(psi0, ud, theta_x, h0th, signs, x_qubits,
+                           n_qubits, kinds, fast_math)
+
+
+def _forward_mega_b(psi0, ud, theta_x, h0th, signs, x_qubits, n_qubits,
+                    kinds=None, fast_math=False):
+    (c, f, cdim, fdim, bf, chunk_rots, free_rots, lane_rots, perms,
+     n_steps, b, n_diag, interp, udm, txa, txb, h0th3,
+     signs3) = _setup_mega_b(ud, theta_x, h0th, signs, x_qubits, n_qubits,
+                             kinds, fast_math)
+    kernel = _make_mega_fwd(free_rots, lane_rots, chunk_rots, n_diag, c, f,
+                            bf, fast_math, n_steps, batched=True)
+    row = pl.BlockSpec((1, 1, 1, _LANES), lambda bb, i: (i, bb, 0, 0),
+                       memory_space=pltpu.VMEM)
+    anyspec = pl.BlockSpec(memory_space=pl.ANY)
+    shp = (b, cdim, fdim, _LANES)
+    out_re, out_im = pl.pallas_call(
+        kernel,
+        grid=(b, n_steps + 1),
+        in_specs=[row, row, row, anyspec, anyspec, anyspec, anyspec,
+                  pl.BlockSpec(perms.shape, lambda bb, i: (0, 0, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=(anyspec, anyspec),
+        out_shape=(jax.ShapeDtypeStruct(shp, jnp.float32),
+                   jax.ShapeDtypeStruct(shp, jnp.float32)),
+        input_output_aliases={5: 0, 6: 1},
+        scratch_shapes=[pltpu.VMEM((fdim, _LANES), jnp.float32),
+                        pltpu.VMEM((fdim, _LANES), jnp.float32),
+                        pltpu.VMEM((fdim, _LANES), jnp.float32),
+                        pltpu.VMEM((signs3.shape[1], fdim, _LANES),
+                                   jnp.int32),
+                        pltpu.VMEM((cdim, bf, _LANES), jnp.float32),
+                        pltpu.VMEM((cdim, bf, _LANES), jnp.float32),
+                        pltpu.SemaphoreType.DMA((4,))],
+        interpret=interp,
+        **_mega_vmem(c),
+    )(udm, txa, txb, h0th3, signs3,
+      psi0.re.reshape(shp).astype(jnp.float32),
+      psi0.im.reshape(shp).astype(jnp.float32), perms)
+    d = 2**n_qubits
+    return CP(out_re.reshape(b, d), out_im.reshape(b, d))
+
+
+def _fwd_mega_b(psi0, ud, theta_x, h0th, signs, x_qubits, n_qubits,
+                kinds=None, fast_math=False):
+    out = _forward_mega_b(psi0, ud, theta_x, h0th, signs, x_qubits,
+                          n_qubits, kinds, fast_math)
+    return out, (out, ud, theta_x, h0th, signs)
+
+
+def _bwd_mega_b(x_qubits, n_qubits, kinds, fast_math, residuals, lam):
+    psi_T, ud, theta_x, h0th, signs = residuals
+    (c, f, cdim, fdim, bf, chunk_rots, free_rots, lane_rots, perms,
+     n_steps, b, n_diag, interp, udm, txa, txb, h0th3,
+     signs3) = _setup_mega_b(ud, theta_x, h0th, signs, x_qubits, n_qubits,
+                             kinds, fast_math)
+    kernel = _make_mega_bwd(free_rots, lane_rots, chunk_rots, n_diag, c, f,
+                            bf, fast_math, n_steps, batched=True)
+    grow = pl.BlockSpec((1, 1, 1, _LANES),
+                        lambda bb, i: (n_steps - i, bb, 0, 0),
+                        memory_space=pltpu.VMEM)
+    anyspec = pl.BlockSpec(memory_space=pl.ANY)
+    shp = (b, cdim, fdim, _LANES)
+    st = jax.ShapeDtypeStruct(shp, jnp.float32)
+    gr = jax.ShapeDtypeStruct((n_steps + 1, b, 1, _LANES), jnp.float32)
+    outs = pl.pallas_call(
+        kernel,
+        grid=(b, n_steps + 1),
+        in_specs=[grow, grow, grow, anyspec, anyspec, anyspec, anyspec,
+                  anyspec, anyspec,
+                  pl.BlockSpec(perms.shape, lambda bb, i: (0, 0, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=(anyspec, anyspec, anyspec, anyspec, grow, grow, grow),
+        out_shape=(st, st, st, st, gr, gr, gr),
+        input_output_aliases={5: 0, 6: 1, 7: 2, 8: 3},
+        scratch_shapes=[pltpu.VMEM((fdim, _LANES), jnp.float32),
+                        pltpu.VMEM((fdim, _LANES), jnp.float32),
+                        pltpu.VMEM((fdim, _LANES), jnp.float32),
+                        pltpu.VMEM((fdim, _LANES), jnp.float32),
+                        pltpu.VMEM((fdim, _LANES), jnp.float32),
+                        pltpu.VMEM((signs3.shape[1], fdim, _LANES),
+                                   jnp.int32),
+                        pltpu.VMEM((cdim, bf, _LANES), jnp.float32),
+                        pltpu.VMEM((cdim, bf, _LANES), jnp.float32),
+                        pltpu.VMEM((cdim, bf, _LANES), jnp.float32),
+                        pltpu.VMEM((cdim, bf, _LANES), jnp.float32),
+                        pltpu.VMEM((1, _LANES), jnp.float32),
+                        pltpu.VMEM((1, _LANES), jnp.float32),
+                        pltpu.VMEM((1, _LANES), jnp.float32),
+                        pltpu.SemaphoreType.DMA((4,))],
+        interpret=interp,
+        **_mega_vmem(c),
+    )(udm, txa, txb, h0th3, signs3,
+      psi_T.re.reshape(shp).astype(jnp.float32),
+      psi_T.im.reshape(shp).astype(jnp.float32),
+      lam.re.reshape(shp).astype(jnp.float32),
+      lam.im.reshape(shp).astype(jnp.float32), perms)
+    gudm = outs[4][:, :, 0]   # [T+1, B, 128]
+    gtxa = outs[5][:, :, 0]
+    gtxb = outs[6][:, :, 0]
+
+    gud = jnp.zeros((n_steps, gudm.shape[1], _LANES), jnp.float32)
+    gud = gud.at[0].add(gudm[0])
+    gud = gud.at[n_steps - 1].add(gudm[n_steps])
+    if n_steps > 1:
+        mid = gudm[1:n_steps]
+        gud = gud.at[:-1].add(mid)
+        gud = gud.at[1:].add(mid)
+    gtx = gtxa[:n_steps] + gtxb[1:]
+
+    d = 2**n_qubits
+    bsz = gudm.shape[1]
+    return (CP(outs[2].reshape(bsz, d), outs[3].reshape(bsz, d)),
+            gud[:, :, :ud.shape[2]].astype(ud.dtype),
+            gtx[:, :, :theta_x.shape[2]].astype(theta_x.dtype),
+            jnp.zeros_like(h0th),
+            np.zeros(signs.shape, dtype=jax.dtypes.float0))
+
+
+chunked_evolve_mega_batched.defvjp(_fwd_mega_b, _bwd_mega_b)

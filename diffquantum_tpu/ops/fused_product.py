@@ -908,7 +908,7 @@ fused_product_evolve_batched.defvjp(_fwd_b, _bwd_b)
 # fused kernel on one chip.
 # ===========================================================================
 
-_MAX_PACKED_TERMS = 30  # int32 bit budget (sign bit kept clear)
+_MAX_PACKED_TERMS = 120  # 4 int32 bit-planes x 30 bits each
 
 # Mosaic's DEFAULT scoped-vmem window is 16 MiB, but the v5e core has
 # ~128 MiB of physical VMEM (measured: 120 MiB of live pallas buffers
@@ -932,25 +932,43 @@ def _vmem_params(n_planes: int, b: int, r: int):
     gets the full measured hardware window."""
     if b * r < 2048:
         return {}
-    # measured appetite: ~32 plane-equivalents for the backward at 18q;
-    # scale with the state and cap at the hardware budget
-    need = 40 * b * r * _LANES * 4
+    # Round-4 on-chip findings (BENCH_r03 OOM + the 18q chained-scan test):
+    # the FORWARD's scoped demand CHASES the window (44 MiB granted →
+    # 45.06 MiB demanded; 28 → fits), while the BACKWARD-inside-a-scan
+    # demands a FIXED 42.62 MiB regardless of the window (42.62 at both
+    # 28 and 40 MiB limits — the scan's transpose fuses extra operands
+    # onto the kernel's stack). So the two roles need DIFFERENT windows:
+    # a modest one for the forward (n_planes <= 10) and ~44 MiB for the
+    # backward (n_planes > 10). Env DQ_VMEM_MIB_FWD / DQ_VMEM_MIB_BWD
+    # override for on-chip experiments.
+    import os
+    if n_planes <= 10:  # forward kernels
+        mib = int(os.environ.get("DQ_VMEM_MIB_FWD", "28"))
+    else:               # backward kernels
+        mib = int(os.environ.get("DQ_VMEM_MIB_BWD", "44"))
     return {"compiler_params": pltpu.CompilerParams(
-        vmem_limit_bytes=int(min(max(need, 32 * 2**20), _VMEM_HW_BYTES)))}
+        vmem_limit_bytes=int(min(mib * 2**20, _VMEM_HW_BYTES)))}
+
+
+_PLANE_BITS = 30  # sign bits per int32 plane (sign bit + 1 kept clear)
 
 
 def pack_diag_signs(diag_rows):
     """Decompose two-valued diagonal rows as ``row_k = c_k + w_k * s_k``
-    with s_k ∈ {−1, +1}; pack the signs bitwise into one int32 vector
-    (bit k set ⇔ s_k < 0). Returns (signs[d] int32, consts[n], scales[n])
-    or None if any row has >2 distinct values or n > 30."""
+    with s_k ∈ {−1, +1}; pack the signs bitwise into int32 bit-planes
+    (plane k//30, bit k%30 set ⇔ s_k < 0). Returns
+    (signs[P, d] int32, consts[n], scales[n]) with P = ceil(n/30) ≥ 1,
+    or None if any row has >2 distinct values or n > 120. Multi-plane
+    packing (round 4) is what admits molecule drive sets — a 20q chain
+    has 37 ZZ couplers, past the single-int32 budget that capped round 3."""
     rows = [np.asarray(r, dtype=np.float64) for r in diag_rows]
     if len(rows) > _MAX_PACKED_TERMS:
         return None
     if not rows:
-        return (np.zeros(0, np.int32), np.zeros(0), np.zeros(0))
+        return (np.zeros((1, 0), np.int32), np.zeros(0), np.zeros(0))
     d = rows[0].shape[0]
-    signs = np.zeros(d, np.int32)
+    n_planes = max(1, -(-len(rows) // _PLANE_BITS))
+    signs = np.zeros((n_planes, d), np.int32)
     consts, scales = [], []
     for k, row in enumerate(rows):
         lo, hi = float(row.min()), float(row.max())
@@ -964,28 +982,34 @@ def pack_diag_signs(diag_rows):
             s_neg = s < 0
         consts.append(c)
         scales.append(w)
-        signs |= (s_neg.astype(np.int32) << k)
+        signs[k // _PLANE_BITS] |= (s_neg.astype(np.int32)
+                                    << (k % _PLANE_BITS))
     return signs, np.asarray(consts), np.asarray(scales)
 
 
 def _theta_packed(ud_ref, h0th_ref, signs_ref, n_diag, b, r):
     """In-kernel per-step diagonal phase: [B, r, 128] from the packed sign
-    plane and the step's ≤128 control scalars (slot n_diag = offset)."""
+    bit-planes ([P, r, 128] int32, 30 terms per plane) and the step's ≤128
+    control scalars (slot n_diag = offset)."""
     off = ud_ref[0, n_diag]  # [B, 1, 128] lane-replicated offset
     th = jnp.broadcast_to(h0th_ref[:][None], (b, r, _LANES)) + off
-    p = signs_ref[:]  # [r, 128] int32
     for k in range(n_diag):
+        p = signs_ref[k // _PLANE_BITS]  # [r, 128] int32
         a = ud_ref[0, k]  # [B, 1, 128]
-        bit = jnp.bitwise_and(jax.lax.shift_right_logical(p, np.int32(k)),
-                              np.int32(1)).astype(jnp.float32)
+        bit = jnp.bitwise_and(
+            jax.lax.shift_right_logical(p, np.int32(k % _PLANE_BITS)),
+            np.int32(1)).astype(jnp.float32)
         # a * s_k = a - 2 a bit
         th = th + a - (2.0 * a) * jnp.broadcast_to(bit[None],
                                                    (b, r, _LANES))
     return th
 
 
-def _make_forward_kernel_pk(n_steps, row_rots, lane_rots, n_diag,
+def _make_forward_kernel_pk(n_steps, ops, n_diag,
                             fast=False, dma_boundary=False):
+    bflip = lambda v, b, _n: _bflip_row(v, b)       # noqa: E731
+    bsflip = lambda v, b, _n: _bsflip_row(v, b)     # noqa: E731
+
     def kernel(ud_ref, tx_ref, h0th_ref, signs_ref, pin_re, pin_im,
                perms_ref, out_re, out_im, s_re, s_im, *sems):
         i = pl.program_id(0)
@@ -1014,26 +1038,32 @@ def _make_forward_kernel_pk(n_steps, row_rots, lane_rots, n_diag,
             s_re[:] = re
             s_im[:] = im
 
-        def rot(j, kind, g_multi):
+        def rot(op):
+            (j, kind, _, _, mask_spec) = op
+            g_multi = _op_generator_multi(op, perms_ref, 0, fast, bflip,
+                                          bsflip, _blane_dot)
             th = tx_ref[0, j]  # [B, 1, 128]
             c, s = jnp.cos(th), jnp.sin(th)
             if kind == "x":
                 g_im, g_re = g_multi([s_im[:], s_re[:]])
                 re = c * s_re[:] + s * g_im
                 im = c * s_im[:] - s * g_re
-            else:  # Y
+            elif kind == "y":
                 g_re, g_im = g_multi([s_re[:], s_im[:]])
                 re = c * s_re[:] + s * g_re
                 im = c * s_im[:] + s * g_im
+            else:  # hop: see the streamed batched kernel
+                m = _hop_mask(s_re.shape, mask_spec)
+                ct = 1.0 + m * (c - 1.0)
+                g_im, g_re = g_multi([s_im[:], s_re[:]])
+                re = ct * s_re[:] + s * (m * g_im)
+                im = ct * s_im[:] - s * (m * g_re)
             s_re[:] = re
             s_im[:] = im
 
         phase()
-        for (j, q, kind) in row_rots:
-            flip = _bflip_row if kind == "x" else _bsflip_row
-            rot(j, kind, _multi_map(lambda v, q=q, f=flip: f(v, q)))
-        for li, (j, q, kind) in enumerate(lane_rots):
-            rot(j, kind, _multi_dot(perms_ref[li], _blane_dot, fast))
+        for op in ops:
+            rot(op)
         phase()
 
         @pl.when(i == n_steps - 1)
@@ -1053,11 +1083,13 @@ def _make_forward_kernel_pk(n_steps, row_rots, lane_rots, n_diag,
     return kernel
 
 
-def _make_backward_kernel_pk(n_steps, row_rots, lane_rots, n_diag,
+def _make_backward_kernel_pk(n_steps, ops, n_diag,
                              fast=False, dma_boundary=False):
     """Packed-phase adjoint: reconstructs the state by inverting each op
     (O(1) memory in n_steps); per-step diag gradients are reduced in-kernel
     to the ≤128 control scalars (no [n_steps, d] gradient stream)."""
+    bflip = lambda v, b, _n: _bflip_row(v, b)       # noqa: E731
+    bsflip = lambda v, b, _n: _bsflip_row(v, b)     # noqa: E731
 
     def kernel(ud_ref, tx_ref, h0th_ref, signs_ref, pT_re, pT_im,
                lamT_re, lamT_im, perms_ref, gud_ref, gtx_ref,
@@ -1083,7 +1115,6 @@ def _make_backward_kernel_pk(n_steps, row_rots, lane_rots, n_diag,
                 l_im[:] = lamT_im[:]
 
         b, r = y_re.shape[0], y_re.shape[1]
-        p_plane = signs_ref[:]
 
         def red(v):  # [B, r, 128] → per-seed scalars
             if v.shape[0] == 1:
@@ -1106,8 +1137,11 @@ def _make_backward_kernel_pk(n_steps, row_rots, lane_rots, n_diag,
             s0 = red(gth)
             g_s0[0] = s0 if g_s0[0] is None else g_s0[0] + s0
             for k in range(n_diag):
-                bit = jnp.bitwise_and(jax.lax.shift_right_logical(p_plane, np.int32(k)),
-                                      np.int32(1)).astype(jnp.float32)
+                bit = jnp.bitwise_and(
+                    jax.lax.shift_right_logical(
+                        signs_ref[k // _PLANE_BITS],
+                        np.int32(k % _PLANE_BITS)),
+                    np.int32(1)).astype(jnp.float32)
                 sk = red(gth * jnp.broadcast_to(bit[None], (b, r, _LANES)))
                 g_bits[k] = sk if g_bits[k] is None else g_bits[k] + sk
             # x = e^{+i th} y ; lam_x = e^{+i th} lam_y
@@ -1122,10 +1156,13 @@ def _make_backward_kernel_pk(n_steps, row_rots, lane_rots, n_diag,
 
         g_rot = {}
 
-        def undo_rot(j, kind, g_multi):
+        def undo_rot(op):
             # G(x) derived from G(y) via G^2 = I / K^2 = -I: 4 generator
             # applications per rotation instead of 6, all four packed
             # into ONE lane matmul.
+            (j, kind, _, _, mask_spec) = op
+            g_multi = _op_generator_multi(op, perms_ref, 0, fast, bflip,
+                                          bsflip, _blane_dot)
             thx = tx_ref[0, j]  # [B, 1, 128]
             cx, sx = jnp.cos(thx), jnp.sin(thx)
             if kind == "x":
@@ -1139,7 +1176,7 @@ def _make_backward_kernel_pk(n_steps, row_rots, lane_rots, n_diag,
                            + l_im[:] * (-sx * x_im - cx * gx_re))
                 nl_re = cx * l_re[:] - sx * gl_im
                 nl_im = cx * l_im[:] + sx * gl_re
-            else:  # Y: inverse = transpose = c I − s K (same map for x, lam)
+            elif kind == "y":  # inverse = transpose = c I − s K
                 ky_re, ky_im, kl_re, kl_im = g_multi(
                     [y_re[:], y_im[:], l_re[:], l_im[:]])
                 x_re = cx * y_re[:] - sx * ky_re
@@ -1150,6 +1187,21 @@ def _make_backward_kernel_pk(n_steps, row_rots, lane_rots, n_diag,
                            + l_im[:] * (-sx * x_im + cx * gx_im))
                 nl_re = cx * l_re[:] - sx * kl_re
                 nl_im = cx * l_im[:] - sx * kl_im
+            else:  # hop: see the streamed batched backward kernel
+                m = _hop_mask(y_re.shape, mask_spec)
+                ct = 1.0 + m * (cx - 1.0)
+                ty_re, ty_im, tl_im, tl_re = g_multi(
+                    [y_re[:], y_im[:], l_im[:], l_re[:]])
+                gy_re = m * ty_re
+                gy_im = m * ty_im
+                x_re = ct * y_re[:] - sx * gy_im
+                x_im = ct * y_im[:] + sx * gy_re
+                gx_re = cx * gy_re - sx * (m * y_im[:])
+                gx_im = cx * gy_im + sx * (m * y_re[:])
+                contrib = (l_re[:] * (-sx * (m * x_re) + cx * gx_im)
+                           + l_im[:] * (-sx * (m * x_im) - cx * gx_re))
+                nl_re = ct * l_re[:] - sx * (m * tl_im)
+                nl_im = ct * l_im[:] + sx * (m * tl_re)
             g_rot[j] = red(contrib)
             y_re[:] = x_re
             y_im[:] = x_im
@@ -1157,12 +1209,8 @@ def _make_backward_kernel_pk(n_steps, row_rots, lane_rots, n_diag,
             l_im[:] = nl_im
 
         undo_phase()  # trailing half-phase
-        for li in range(len(lane_rots) - 1, -1, -1):
-            j, q, kind = lane_rots[li]
-            undo_rot(j, kind, _multi_dot(perms_ref[li], _blane_dot, fast))
-        for (j, q, kind) in reversed(row_rots):
-            flip = _bflip_row if kind == "x" else _bsflip_row
-            undo_rot(j, kind, _multi_map(lambda v, q=q, f=flip: f(v, q)))
+        for op in reversed(ops):
+            undo_rot(op)
         undo_phase()  # leading half-phase
 
         lane_ids = jax.lax.broadcasted_iota(jnp.int32, (b, _LANES), 1)
@@ -1207,7 +1255,7 @@ def fused_product_evolve_packed(psi0: CP, ud: jnp.ndarray,
     controls (slot k = dt/2·u_k·w_k, last slot = the scalar offset
     dt/2·Σ u_k·c_k); theta_x: [n_steps, B, n_x] rotation angles; h0th:
     [2^n] f32 drift half-angles dt/2·h0 (constant per problem, zero
-    cotangent); signs: [2^n] int32 packed sign bits from
+    cotangent); signs: [P, 2^n] int32 packed sign bit-planes from
     :func:`pack_diag_signs` (integer — float0 cotangent)."""
     return _forward_pk(psi0, ud, theta_x, h0th, signs, x_qubits, n_qubits,
                        kinds, fast_math)
@@ -1216,20 +1264,21 @@ def fused_product_evolve_packed(psi0: CP, ud: jnp.ndarray,
 def _pk_common(ud, theta_x, x_qubits, kinds, n_qubits):
     kinds = kinds or ("x",) * len(x_qubits)
     n_steps, b, n_slots = ud.shape
-    row_rots, lane_rots = _split_qubits(x_qubits, kinds, n_qubits)
-    perms = _perm_stack(lane_rots, n_qubits)
-    return n_steps, b, n_slots - 1, row_rots, lane_rots, perms
+    # ordered op plan (sequence order preserved — hops do not commute
+    # with same-site 1q rotations), exactly like the streamed kernels
+    ops, perms = _plan_ops(x_qubits, kinds, n_qubits)
+    return n_steps, b, n_slots - 1, ops, perms
 
 
 def _forward_pk(psi0, ud, theta_x, h0th, signs, x_qubits, n_qubits,
                 kinds=None, fast_math=False):
-    n_steps, b, n_diag, row_rots, lane_rots, perms = _pk_common(
+    n_steps, b, n_diag, ops, perms = _pk_common(
         ud, theta_x, x_qubits, kinds, n_qubits)
     d = h0th.shape[-1]
     r = d // _LANES
     interp = jax.default_backend() == "cpu"
     dma = n_qubits >= 18 and not interp
-    kernel = _make_forward_kernel_pk(n_steps, row_rots, lane_rots, n_diag,
+    kernel = _make_forward_kernel_pk(n_steps, ops, n_diag,
                                      fast_math, dma)
     n_x = max(theta_x.shape[2], 1)
     bspace = pl.ANY if dma else pltpu.VMEM
@@ -1251,8 +1300,8 @@ def _forward_pk(psi0, ud, theta_x, h0th, signs, x_qubits, n_qubits,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((r, _LANES), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((r, _LANES), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((signs.shape[0], r, _LANES),
+                         lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
             state_spec, state_spec,
             pl.BlockSpec(perms.shape, lambda i: (0, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -1266,7 +1315,7 @@ def _forward_pk(psi0, ud, theta_x, h0th, signs, x_qubits, n_qubits,
     )(_pad_tx_b(ud),
       _pad_tx_b(theta_x),
       h0th.reshape(r, _LANES).astype(jnp.float32),
-      signs.reshape(r, _LANES),
+      signs.reshape(signs.shape[0], r, _LANES),
       psi0.re.reshape(b, r, _LANES).astype(jnp.float32),
       psi0.im.reshape(b, r, _LANES).astype(jnp.float32),
       jnp.asarray(perms))
@@ -1282,13 +1331,13 @@ def _fwd_pk(psi0, ud, theta_x, h0th, signs, x_qubits, n_qubits, kinds=None,
 
 def _bwd_pk(x_qubits, n_qubits, kinds, fast_math, residuals, lam):
     psi_T, ud, theta_x, h0th, signs = residuals
-    n_steps, b, n_diag, row_rots, lane_rots, perms = _pk_common(
+    n_steps, b, n_diag, ops, perms = _pk_common(
         ud, theta_x, x_qubits, kinds, n_qubits)
     d = h0th.shape[-1]
     r = d // _LANES
     interp = jax.default_backend() == "cpu"
     dma = n_qubits >= 18 and not interp
-    kernel = _make_backward_kernel_pk(n_steps, row_rots, lane_rots, n_diag,
+    kernel = _make_backward_kernel_pk(n_steps, ops, n_diag,
                                       fast_math, dma)
     n_x = max(theta_x.shape[2], 1)
     rev5 = lambda i: (n_steps - 1 - i, 0, 0, 0, 0)  # noqa: E731
@@ -1312,8 +1361,8 @@ def _bwd_pk(x_qubits, n_qubits, kinds, fast_math, residuals, lam):
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((r, _LANES), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((r, _LANES), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((signs.shape[0], r, _LANES),
+                         lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
             state_spec, state_spec, state_spec, state_spec,
             pl.BlockSpec(perms.shape, lambda i: (0, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -1335,7 +1384,7 @@ def _bwd_pk(x_qubits, n_qubits, kinds, fast_math, residuals, lam):
     )(_pad_tx_b(ud),
       _pad_tx_b(theta_x),
       h0th.reshape(r, _LANES).astype(jnp.float32),
-      signs.reshape(r, _LANES),
+      signs.reshape(signs.shape[0], r, _LANES),
       psi_T.re.reshape(b, r, _LANES).astype(jnp.float32),
       psi_T.im.reshape(b, r, _LANES).astype(jnp.float32),
       lam.re.reshape(b, r, _LANES).astype(jnp.float32),

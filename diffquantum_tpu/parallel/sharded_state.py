@@ -363,10 +363,10 @@ def _evolve_sharded_chunked(ham, envelope, coeff, psi0, T0, T, horizon,
             raise ValueError(
                 "local_backend='chunked' needs the packed-phase form: "
                 "every diagonal control row two-valued (Pauli-Z strings), "
-                "<= 30 terms")
+                "<= 120 terms")
         signs_np, consts, scales = packed
     else:
-        signs_np = np.zeros(d, np.int32)
+        signs_np = np.zeros((1, d), np.int32)
         consts = np.zeros(0)
         scales = np.zeros(0)
 
@@ -422,7 +422,7 @@ def _evolve_sharded_chunked(ham, envelope, coeff, psi0, T0, T, horizon,
     shmap = shard_map(
         inner, mesh=mesh,
         in_specs=(P(state_axis), P(state_axis), P(state_axis),
-                  P(state_axis), P(), P(), P()),
+                  P(None, state_axis), P(), P(), P()),
         out_specs=(P(state_axis), P(state_axis)),
         check_vma=False,  # pallas outputs carry no varying-mesh-axes info
     )

@@ -181,3 +181,50 @@ def test_mega_multi_chunk_20q():
 
 def test_mega_single_step():
     _compare_mega(12, n_steps=1, seed=10)
+
+
+def test_mega_batched_matches_per_seed():
+    """chunked_evolve_mega_batched (ONE kernel, grid (B, T+1)) vs the
+    per-seed mega: values and summed-loss gradients must agree to fp
+    tolerance (same cores, per-seed DMA windows)."""
+    from diffquantum_tpu.ops.fused_chunked import (chunked_evolve_mega,
+                                                   chunked_evolve_mega_batched)
+    n, n_steps, bsz = 18, 3, 2
+    prob = maxcut.build_maxcut(n, maxcut.ring_graph(n), n_basis=4,
+                               dense=False)
+    rng = np.random.default_rng(11)
+    outs = []
+    for s in range(bsz):
+        coeff = jnp.asarray(rng.standard_normal(
+            prob.envelope.coeff_shape).astype(np.float32) * 0.3)
+        outs.append(_packed_args(prob, coeff, n_steps))
+    ud_b = jnp.stack([o[0] for o in outs], axis=1)     # [T, B, nd+1]
+    tx_b = jnp.stack([o[1] for o in outs], axis=1)     # [T, B, n_x]
+    h0th, signs, qubits, nq, kinds = outs[0][2:]
+    psi_b = jax.tree_util.tree_map(lambda x: jnp.stack([x] * bsz),
+                                   prob.psi0)
+    w = prob.measurement.diag
+
+    def loss_b(ud, tx):
+        psi = chunked_evolve_mega_batched(psi_b, ud, tx, h0th, signs,
+                                          qubits, nq, kinds, False)
+        return jnp.sum(cpx.abs2(psi) * w)
+
+    def loss_s(ud, tx):
+        tot = 0.0
+        for s in range(bsz):
+            psi = chunked_evolve_mega(
+                cpx.CP(psi_b.re[s], psi_b.im[s]), ud[:, s], tx[:, s], h0th,
+                signs, qubits, nq, kinds, False)
+            tot = tot + jnp.sum(cpx.abs2(psi) * w)
+        return tot
+
+    v_b, (gud_b, gtx_b) = jax.value_and_grad(loss_b, argnums=(0, 1))(
+        ud_b, tx_b)
+    v_s, (gud_s, gtx_s) = jax.value_and_grad(loss_s, argnums=(0, 1))(
+        ud_b, tx_b)
+    assert abs(float(v_b) - float(v_s)) < 1e-6, (float(v_b), float(v_s))
+    np.testing.assert_allclose(np.asarray(gud_b), np.asarray(gud_s),
+                               rtol=1e-4, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(gtx_b), np.asarray(gtx_s),
+                               rtol=1e-4, atol=1e-6)

@@ -130,11 +130,67 @@ def test_hop_batched_seeds():
 
 
 def test_hop_eligibility_rules():
-    """Hops gate eligibility to streamed sizes and the 128 angle lanes."""
+    """Hops gate eligibility to the VMEM-resident kernels (streamed ≤17q,
+    packed 18q) and the 128 angle lanes."""
     ham, *_ = make_hop_problem(10, [(0, 9)])
     assert fused_eligible(ham)
-    big, *_ = make_hop_problem(18, [(0, 17)], with_xy=False, with_zz=False)
-    assert not fused_eligible(big)  # hops need the streamed (<=17q) form
+    e18, *_ = make_hop_problem(18, [(0, 17)], with_xy=False, with_zz=False)
+    assert fused_eligible(e18)  # round-4: packed kernels carry hops at 18q
+    big, *_ = make_hop_problem(19, [(0, 18)], with_xy=False, with_zz=False)
+    assert not fused_eligible(big)  # chunked engine: no hop op plan yet
+
+
+def _force_packed(monkeypatch):
+    import diffquantum_tpu.dynamics.product as dp
+    monkeypatch.setattr(dp, "_PACKED_MIN_QUBITS", 0)
+
+
+def test_hop_packed_row_lane_pairs(monkeypatch):
+    """Hops on the PACKED-phase kernels (the 18q form, router forced to
+    exercise it at 10q): row/row, row/lane and lane/lane pairs through the
+    ordered op plan + in-kernel packed phases."""
+    _force_packed(monkeypatch)
+    _compare(10, [(0, 1), (1, 8), (7, 9)], with_xy=False, seed=8)
+
+
+def test_hop_packed_molecule_shape(monkeypatch):
+    """The molecule drive set {X, Y, hop, ZZ} on the packed kernels —
+    shared qubits force the palindromic op sequence through the packed
+    form's ordered plan."""
+    _force_packed(monkeypatch)
+    _compare(10, [(i, i + 1) for i in range(9)], with_xy=True, seed=9)
+
+
+def test_hop_packed_batched_seeds(monkeypatch):
+    """Per-seed batched PACKED kernels with hops."""
+    _force_packed(monkeypatch)
+    n, n_steps, b = 10, 6, 3
+    ham, env, coeff, psi0, w = make_hop_problem(
+        n, [(1, 2), (5, 9)], with_xy=True, seed=10)
+    assert fused_eligible(ham)
+    rng = np.random.default_rng(11)
+    coeffs = jnp.asarray(
+        rng.standard_normal((b,) + env.coeff_shape).astype(np.float32)
+        * 0.3)
+    batch = jax.tree_util.tree_map(lambda x: jnp.stack([x] * b), psi0)
+    T = 2.0
+
+    def loss_f(cs):
+        psi = evolve_product_fused(ham, env, cs, batch, 0.0, T, horizon=T,
+                                   n_steps=n_steps)
+        return jnp.sum(cpx.abs2(psi) * w)
+
+    def loss_x(cs):
+        e = jax.vmap(lambda c, p: jnp.sum(cpx.abs2(
+            evolve_product(ham, env, c, p, 0.0, T, horizon=T,
+                           n_steps=n_steps)) * w))(cs, batch)
+        return jnp.sum(e)
+
+    vf, gf = jax.value_and_grad(loss_f)(coeffs)
+    vx, gx = jax.value_and_grad(loss_x)(coeffs)
+    np.testing.assert_allclose(float(vf), float(vx), rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(gf), np.asarray(gx),
+                               rtol=1e-3, atol=1e-5)
 
 
 def test_streamed_capacity_guard_hop_free():

@@ -26,17 +26,30 @@ def test_pack_diag_signs_decomposition():
     out = pack_diag_signs(rows)
     assert out is not None
     signs, consts, scales = out
+    assert signs.shape == (1, 4)
     np.testing.assert_allclose(consts, [0.0, 0.5, 3.0])
     np.testing.assert_allclose(scales, [1.0, 0.5, 0.0])
     # reconstruct each row from c + w * (1 - 2*bit)
     for k, row in enumerate(rows):
-        s = 1.0 - 2.0 * ((signs >> k) & 1)
+        s = 1.0 - 2.0 * ((signs[k // 30] >> (k % 30)) & 1)
+        np.testing.assert_allclose(consts[k] + scales[k] * s, row)
+
+
+def test_pack_diag_signs_multi_plane():
+    """>30 rows spill into a second int32 bit-plane (the 20q-molecule
+    shape: 37 ZZ couplers — past the single-plane budget of round 3)."""
+    rng = np.random.default_rng(0)
+    rows = [np.where(rng.random(8) < 0.5, -1.0, 1.0) for _ in range(37)]
+    signs, consts, scales = pack_diag_signs(rows)
+    assert signs.shape == (2, 8)
+    for k, row in enumerate(rows):
+        s = 1.0 - 2.0 * ((signs[k // 30] >> (k % 30)) & 1)
         np.testing.assert_allclose(consts[k] + scales[k] * s, row)
 
 
 def test_pack_diag_signs_rejects():
     assert pack_diag_signs([np.array([0.0, 1.0, 2.0, 1.0])]) is None
-    many = [np.array([1.0, -1.0])] * 31
+    many = [np.array([1.0, -1.0])] * 121
     assert pack_diag_signs(many) is None
     signs, consts, scales = pack_diag_signs([])
     assert signs.size == 0 and consts.size == 0

@@ -1,0 +1,187 @@
+"""Hop drives at 19-24 qubits: the palindromic-schedule mega engine
+(ops/fused_mega_hop.py) behind the evolve_product_fused router.
+
+The engine is a DIFFERENT second-order integrator than evolve_product
+(Strang-within-Strang across the pass partition vs the full-sequence
+palindrome), so finite-dt states differ by O(dt^2): exactness is asserted
+where the schedules coincide (all ops pairwise commuting), second-order
+convergence where they don't, and gradients by finite differences through
+the engine itself (interpret mode on CPU; real-chip coverage in
+tpu_tests)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from diffquantum_tpu.dynamics.product import (evolve_product,
+                                              evolve_product_fused,
+                                              fused_eligible)
+from diffquantum_tpu.ops import cpx
+from diffquantum_tpu.ops.fused_mega_hop import (invert_perm,
+                                                permute_amplitude_bits,
+                                                plan_chunked_hop_layout)
+from tests.test_fused_hop import make_hop_problem
+
+
+def test_layout_planner_chain_20q():
+    """Chain + next-nearest hops at 20q (c=3): the planner must keep the
+    chunk set's hop-neighbors out of the high-free positions [c, 2c)."""
+    pairs = [(i, i + 1) for i in range(19)] + [(i, i + 2) for i in range(18)]
+    kinds = ("hop",) * len(pairs)
+    perm = plan_chunked_hop_layout(pairs, kinds, 20)
+    assert perm is not None and sorted(perm) == list(range(20))
+    c = 3
+    chunk = set(perm[:c])
+    high_free = set(perm[c:2 * c])
+    adj = set()
+    for (i, j) in pairs:
+        if i in chunk:
+            adj.add(j)
+        if j in chunk:
+            adj.add(i)
+    assert not (high_free & adj)
+
+
+def test_layout_planner_infeasible():
+    """A complete hop graph leaves no qubit outside the chunk boundary."""
+    n = 20
+    pairs = [(i, j) for i in range(n) for j in range(i + 1, n)]
+    assert plan_chunked_hop_layout(pairs, ("hop",) * len(pairs), n) is None
+    # and fused_eligible must reject it (falls back to the XLA product)
+    ham, *_ = make_hop_problem(19, [(i, j) for i in range(19)
+                                    for j in range(i + 1, 19)],
+                               with_xy=False, with_zz=False)
+    assert not fused_eligible(ham)
+
+
+def test_permute_amplitude_bits_roundtrip():
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((3, 2**5)).astype(np.float32))
+    perm = (2, 0, 4, 1, 3)
+    y = permute_amplitude_bits(x, perm)
+    # position p carries qubit perm[p]
+    xt = np.asarray(x).reshape(3, 2, 2, 2, 2, 2)
+    yt = np.asarray(y).reshape(3, 2, 2, 2, 2, 2)
+    np.testing.assert_array_equal(yt, xt.transpose(0, 3, 1, 5, 2, 4))
+    back = permute_amplitude_bits(y, invert_perm(perm))
+    np.testing.assert_array_equal(np.asarray(back), np.asarray(x))
+
+
+def _loss_pair(ham, env, psi0, w, T, n_steps):
+    def f(evolver):
+        def loss(c):
+            psi = evolver(ham, env, c, psi0, 0.0, T, horizon=T,
+                          n_steps=n_steps)
+            return jnp.sum(cpx.abs2(psi) * w, axis=-1)
+        return loss
+    return f(evolve_product_fused), f(evolve_product)
+
+
+def test_disjoint_ops_exact_19q():
+    """All-commuting drive set (disjoint hops, no 1q overlap): the A/B
+    palindrome collapses to the plain product, so the hop mega engine
+    must match evolve_product exactly at finite dt — values AND grads."""
+    n = 19
+    hop_pairs = [(0, 1), (4, 9), (12, 17)]  # spans chunk/free/lane bits
+    ham, env, coeff, psi0, w = make_hop_problem(
+        n, hop_pairs, with_xy=False, with_zz=True, seed=20)
+    assert fused_eligible(ham)
+    loss_f, loss_x = _loss_pair(ham, env, psi0, w, 2.0, 3)
+    vf, gf = jax.value_and_grad(loss_f)(coeff)
+    vx, gx = jax.value_and_grad(loss_x)(coeff)
+    np.testing.assert_allclose(float(vf), float(vx), rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(gf), np.asarray(gx),
+                               rtol=2e-3, atol=2e-5)
+
+
+def _force_small_chunk_plan(monkeypatch, c=2, f=4):
+    """Route small problems through the hop mega engine with REAL chunk
+    bits: shrink the free-bit budget so a 13q state gets c=2 chunk bits
+    (production plans c>0 only at 19+ qubits — interpret-mode runs at
+    those sizes take tens of minutes; real-size coverage lives in
+    tpu_tests). The bf >= 8 sublane rule only binds on real Mosaic, not
+    in interpret mode."""
+    import diffquantum_tpu.dynamics.product as dp
+    import diffquantum_tpu.ops.fused_mega_hop as mh
+
+    def plan(n_qubits):
+        row_bits = n_qubits - 7
+        ff = min(row_bits, f)
+        return row_bits - ff, ff
+
+    monkeypatch.setattr(mh, "_plan", plan)
+    monkeypatch.setattr(dp, "_PACKED_MIN_QUBITS", 0)
+    monkeypatch.setattr(dp, "_VMEM_PACKED_MAX", 0)  # all hops -> mega
+
+
+def test_molecule_chain_second_order_13q(monkeypatch):
+    """The molecule shape (X/Y on every qubit + hop chain up to 3rd
+    neighbors + 33 ZZ rows = two sign bit-planes), shared qubits across
+    the A/B partition, c=2 chunk bits with crossing hops through the
+    relabeled low-free positions. The engine's state error vs a fine-grid
+    evolve_product reference must shrink ~4x when dt halves (second
+    order), staying commensurate with evolve_product's own error; the
+    state must stay normalized."""
+    _force_small_chunk_plan(monkeypatch)
+    n = 13
+    pairs = [(i, i + k) for k in (1, 2, 3) for i in range(n - k)]
+    # CONSTANT envelopes (poly basis, n_basis=1): the left-endpoint
+    # piecewise-constant envelope sampling is O(dt) and shared by both
+    # engines — with time-independent drives the measured error is PURE
+    # splitting error, which is what this test grades
+    ham, env, coeff, psi0, w = make_hop_problem(n, pairs, with_xy=True,
+                                                seed=21, n_basis=3)
+    from diffquantum_tpu.pulses.envelope import SimpleEnvelope
+    env = SimpleEnvelope(basis="poly", n_basis=1, omegas=env.omegas)
+    rng = np.random.default_rng(21)
+    coeff = jnp.asarray(
+        rng.standard_normal(env.coeff_shape).astype(np.float32) * 0.8)
+    assert fused_eligible(ham)
+    T = 1.0
+
+    def final(evolver, n_steps):
+        return evolver(ham, env, coeff, psi0, 0.0, T, horizon=T,
+                       n_steps=n_steps)
+
+    ref = final(evolve_product, 64)
+
+    def err(psi):
+        return float(jnp.max(jnp.abs(psi.re - ref.re))
+                     + jnp.max(jnp.abs(psi.im - ref.im)))
+
+    out8 = final(evolve_product_fused, 8)
+    assert abs(float(cpx.norm2(out8)) - 1.0) < 1e-4
+    e8 = err(out8)
+    e16 = err(final(evolve_product_fused, 16))
+    x8 = err(final(evolve_product, 8))
+    assert e16 < e8 / 2.8, (e8, e16)   # ~4x for a 2nd-order scheme
+    assert e8 < 6.0 * max(x8, 1e-6), (e8, x8)  # same order of accuracy
+
+
+def test_molecule_gradient_fd_13q(monkeypatch):
+    """Adjoint gradients THROUGH the hop mega engine (custom VJP +
+    bit-transposes) against finite differences on the coefficients —
+    exact regardless of the splitting order."""
+    _force_small_chunk_plan(monkeypatch)
+    n = 13
+    pairs = [(i, i + 1) for i in range(n - 1)] + \
+            [(i, i + 2) for i in range(n - 2)]
+    ham, env, coeff, psi0, w = make_hop_problem(n, pairs, with_xy=True,
+                                                seed=22, n_basis=3)
+    assert fused_eligible(ham)
+    T, n_steps = 1.0, 3
+
+    def loss(c):
+        psi = evolve_product_fused(ham, env, c, psi0, 0.0, T, horizon=T,
+                                   n_steps=n_steps)
+        return jnp.sum(cpx.abs2(psi) * w, axis=-1)
+
+    v0, g = jax.value_and_grad(loss)(coeff)
+    assert np.isfinite(float(v0))
+    rng = np.random.default_rng(23)
+    direction = jnp.asarray(
+        rng.standard_normal(coeff.shape).astype(np.float32))
+    eps = 1e-3
+    fd = (float(loss(coeff + eps * direction))
+          - float(loss(coeff - eps * direction))) / (2 * eps)
+    an = float(jnp.sum(g * direction))
+    assert abs(fd - an) < 5e-3 * max(1.0, abs(fd)), (fd, an)
