@@ -52,6 +52,8 @@ def main():
                         "many qubits via the score-function MCWF "
                         "estimator (past the density-matrix wall)")
     p.add_argument("--mcwf-epochs", type=int, default=30)
+    p.add_argument("--mcwf-backend", default="auto",
+                   choices=["auto", "xla", "fused"])
     args = p.parse_args()
 
     ham, omegas = control.single_qubit_controls(detuning=0.5)
@@ -107,13 +109,16 @@ def main():
           f"(master equation: {f_aware:.4f})")
 
     if args.mcwf_scale >= 10:
-        mcwf_scale_act(args.mcwf_scale, args.mcwf_epochs)
+        mcwf_scale_act(args.mcwf_scale, args.mcwf_epochs,
+                       args.mcwf_backend)
 
 
-def mcwf_scale_act(n: int, epochs: int):
+def mcwf_scale_act(n: int, epochs: int, backend: str = "auto"):
     """T1-aware maxcut training at n qubits — density matrices are d^2 and
     impossible here; the score-function MCWF estimator is O(d) per
-    trajectory."""
+    trajectory. ``backend='fused'`` runs all trajectories lockstep
+    through one batched Pallas rotation block per step (the 16q+ on-chip
+    path); 'auto' picks fused at >= 14 qubits."""
     from diffquantum_tpu.dynamics.lindblad import (StructuredNoise,
                                                    evolve_mcwf_structured,
                                                    score_surrogate)
@@ -126,12 +131,15 @@ def mcwf_scale_act(n: int, epochs: int):
     noise = StructuredNoise(n, t1=[(q, 0.1) for q in range(n)])
     w = prob.measurement.diag
     T, n_steps, n_traj = float(prob.T), 10, 8
+    if backend == "auto":
+        backend = "fused" if n >= 14 else "xla"
+    print(f"(trajectory engine: backend={backend})")
 
     def loss(cc, key):
         psis, logps = evolve_mcwf_structured(
             prob.ham, prob.envelope, cc, prob.psi0, noise, 0.0, T,
             horizon=T, n_steps=n_steps, key=key, n_traj=n_traj,
-            return_logp=True)
+            return_logp=True, backend=backend)
         vals = jnp.sum(cpx.abs2(psis) * w, axis=-1)
         return score_surrogate(vals, logps)
 

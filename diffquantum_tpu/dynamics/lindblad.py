@@ -586,7 +586,7 @@ def evolve_dephasing_trajectories(
 @functools.partial(
     jax.jit,
     static_argnames=("envelope", "horizon", "n_steps", "n_traj",
-                     "t_sample", "return_logp"))
+                     "t_sample", "return_logp", "backend"))
 def evolve_mcwf_structured(
     ham,                         # structured ControlledHamiltonian
     envelope,
@@ -601,6 +601,7 @@ def evolve_mcwf_structured(
     n_traj: int,
     t_sample: str = "left",
     return_logp: bool = False,
+    backend: str = "xla",
 ) -> CP:
     """Quantum-jump trajectories on the product-formula engine — the
     scalable open-system path (the dense :func:`evolve_mcwf` caps out with
@@ -619,8 +620,18 @@ def evolve_mcwf_structured(
     no-jump). Combined with :func:`score_surrogate` this yields an
     UNBIASED gradient of the ensemble-averaged objective — the pathwise
     part differentiates the trajectory map with outcomes held fixed, the
-    score part accounts for the coeff-dependence of the jump measure."""
+    score part accounts for the coeff-dependence of the jump measure.
+
+    ``backend='fused'`` (round 4) runs all trajectories LOCKSTEP through
+    one batched Pallas rotation block per step
+    (:func:`..ops.fused_product.fused_rot_block`) instead of the per-op
+    XLA rotations — the on-chip path for 16q+ noise-aware training
+    (Pauli X/Y drive sets; same math, same per-trajectory key chain as
+    the XLA path, so trajectories match draw for draw)."""
     from .product import apply_1q_pauli_rot, split_structure
+    if backend not in ("xla", "fused"):
+        raise ValueError(f"backend must be 'xla' or 'fused', "
+                         f"got {backend!r}")
 
     n = ham.n_qubits
     (diag_idx, diag_rows, h0_diag, oneq_idx, oneq_qubits,
@@ -682,6 +693,101 @@ def evolve_mcwf_structured(
             psi = apply_1q_pauli_rot(psi, frac * uq[i], oneq_qubits[i], n,
                                      locals_re[i], locals_im[i])
         return cpx.mul(CP(ph_re, ph_im), psi)
+
+    if backend == "fused":
+        from .product import _pauli_kind, _symmetrize_rots
+        from ..ops.fused_product import fused_rot_block
+        kinds = tuple(_pauli_kind(g) for g in oneq_locals)
+        if any(kd is None for kd in kinds):
+            raise ValueError(
+                "backend='fused' needs Pauli X/Y 1q drives; use "
+                "backend='xla' for general involutory generators")
+        qubits_t, kinds_t, theta_tbl = _symmetrize_rots(
+            list(oneq_qubits), kinds, dt_c * u_oneq.T, axis=1)
+
+        def det_step_b(psi_b, ud, th_row):
+            theta_half = (0.5 * dt_c) * (
+                h0_vec + jnp.matmul(ud, diag_table,
+                                    precision=jax.lax.Precision.HIGHEST))
+            ph = CP(jnp.cos(theta_half) * decay_half,
+                    -jnp.sin(theta_half) * decay_half)
+            psi_b = cpx.mul(ph, psi_b)  # [d] broadcasts over [B, d]
+            if theta_tbl.shape[1]:
+                th_b = jnp.broadcast_to(th_row[None],
+                                        (n_traj, th_row.shape[0]))
+                psi_b = fused_rot_block(psi_b, th_b, tuple(qubits_t), n,
+                                        kinds_t)
+            return cpx.mul(ph, psi_b)
+
+        def step_b(carry, xs):
+            psi, ks, logp = carry  # CP [B, d], keys [B], logp [B]
+            ud, uq, th_row = xs
+            trip = jax.vmap(lambda kk: jax.random.split(kk, 3))(ks)
+            ks_n, k_r, k_c = trip[:, 0], trip[:, 1], trip[:, 2]
+            p2 = cpx.abs2(psi)  # [B, d]
+            ws = []
+            for bi, bit in enumerate(t1_bits):
+                occ = jnp.sum(jnp.where((j_idx & bit) > 0, p2, 0.0),
+                              axis=-1)
+                ws.append(dt_c * t1_gammas[bi] * occ)
+            for di in range(n_deph):
+                ws.append(dt_c * 0.5 * deph_gammas[di]
+                          * jnp.sum(p2, axis=-1))
+            w = jnp.stack(ws, axis=-1) if ws else \
+                jnp.zeros((n_traj, 0), rdt)
+            dp = jnp.sum(w, axis=-1)  # [B]
+
+            det = det_step_b(psi, ud, th_row)
+            det = cpx.rscale(det, jax.lax.rsqrt(cpx.norm2(det)
+                                                + eps)[:, None])
+
+            cand_re, cand_im = [], []
+            for bit in t1_bits:
+                src = j_idx | jnp.int32(bit)
+                keep = (j_idx & bit) == 0
+                jr = jnp.where(keep, jnp.take(psi.re, src, axis=-1), 0.0)
+                ji = jnp.where(keep, jnp.take(psi.im, src, axis=-1), 0.0)
+                s2 = jnp.maximum(jnp.sum(jr * jr + ji * ji, axis=-1),
+                                 cand_floor)
+                nrm = jax.lax.rsqrt(s2)[:, None]
+                cand_re.append(jr * nrm)
+                cand_im.append(ji * nrm)
+            for bit in deph_bits:
+                sgn = jnp.where((j_idx & bit) > 0, -1.0, 1.0).astype(rdt)
+                cand_re.append(psi.re * sgn)
+                cand_im.append(psi.im * sgn)
+            if cand_re:
+                cre = jnp.stack(cand_re, axis=1)  # [B, n_ch, d]
+                cim = jnp.stack(cand_im, axis=1)
+                idx = jax.vmap(jax.random.categorical)(
+                    k_c, jnp.log(w + eps))  # [B]
+                jump_re = jnp.take_along_axis(
+                    cre, idx[:, None, None], axis=1)[:, 0]
+                jump_im = jnp.take_along_axis(
+                    cim, idx[:, None, None], axis=1)[:, 0]
+                chosen_logw = jnp.log(
+                    jnp.take_along_axis(w, idx[:, None], axis=1)[:, 0]
+                    + eps)
+            else:
+                jump_re, jump_im = det.re, det.im
+                chosen_logw = jnp.zeros((n_traj,), rdt)
+            take = jax.vmap(lambda kk: jax.random.uniform(
+                kk, dtype=rdt))(k_r) < dp  # [B]
+            tk = take[:, None]
+            psi = CP(jnp.where(tk, jump_re, det.re),
+                     jnp.where(tk, jump_im, det.im))
+            logp = logp + jnp.where(
+                take, chosen_logw,
+                jnp.log1p(-jnp.clip(dp, 0.0, 1.0 - 1e-7)))
+            return (psi, ks_n, logp), None
+
+        keys0 = jax.random.split(key, n_traj)
+        psi_b0 = CP(jnp.broadcast_to(psi0.re.astype(rdt), (n_traj, d)),
+                    jnp.broadcast_to(psi0.im.astype(rdt), (n_traj, d)))
+        (psis, _, logps), _ = jax.lax.scan(
+            step_b, (psi_b0, keys0, jnp.zeros((n_traj,), rdt)),
+            (u_diag.T, u_oneq.T, theta_tbl))
+        return (psis, logps) if return_logp else psis
 
     def one_trajectory(k0):
         def step(carry, xs):

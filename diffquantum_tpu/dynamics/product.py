@@ -322,6 +322,81 @@ _VMEM_PACKED_MAX = 18
 _PACKED_MIN_QUBITS = 18
 
 
+def select_engine(ham: ControlledHamiltonian) -> str:
+    """The load-bearing routing table, one name per regime (VERDICT r3
+    asked for this to be explicit and unit-testable — tests/test_router.py
+    pins every boundary):
+
+    | engine      | qubits             | drive sets                       |
+    |-------------|--------------------|----------------------------------|
+    | 'streamed'  | 10 .. 17           | Pauli X/Y 1q, diag, hops; the    |
+    |             | (< _PACKED_MIN)    | (palindromic) op list fits 128   |
+    |             |                    | angle lanes                      |
+    | 'packed'    | 18                 | + every diag control two-valued  |
+    |             | (.. _VMEM_PACKED_  | (≤120 terms, int32 bit-planes)   |
+    |             | MAX)               |                                  |
+    | 'mega'      | 19 .. 24, hop-free | packed-phase chunked HBM engine  |
+    | 'mega_hop'  | 19 .. 24 with hops | + feasible chunk layout for the  |
+    |             |                    | hop graph (palindromic schedule) |
+    | 'xla'       | everything else    | lax.scan product engine          |
+
+    Returns the engine name; 'xla' means no fused Pallas engine applies
+    (:func:`fused_eligible` is exactly ``select_engine(ham) != 'xla'``).
+    """
+    if ham.structure is None or not (10 <= ham.n_qubits <= 24):
+        return "xla"
+    if ham.h0_structure is None or ham.h0_structure.kind != "diag":
+        return "xla"
+    n = ham.n_qubits
+    n_rot, used, hop_entries = 0, [], []
+    for st in ham.structure:
+        if st.kind == "1q" and _pauli_kind(st.local) is None:
+            g = np.asarray(st.local)
+            diag_local = (np.allclose(g, np.diag(np.diagonal(g)),
+                                      atol=1e-12)
+                          and np.max(np.abs(np.diagonal(g).imag)) < 1e-12)
+            if not diag_local:  # diagonal 1q (Z-like) folds into phases
+                return "xla"
+            continue  # folds into the phases, costs no rotation slot
+        if st.kind == "hop":
+            hop_entries.append((min(st.qubit, st.qubit2),
+                                max(st.qubit, st.qubit2)))
+            n_rot += 1
+            used += [st.qubit, st.qubit2]
+        elif st.kind == "1q":
+            n_rot += 1
+            used.append(st.qubit)
+        elif st.kind != "diag":
+            return "xla"
+    # every fused kernel streams the op sequence through the 128 angle
+    # lanes of one tx row; the VMEM kernels double the row for
+    # shared-qubit (palindromic) sequences, 19+q engines halve angle
+    # VALUES instead
+    doubled = 2 if (n <= _VMEM_PACKED_MAX
+                    and len(set(used)) < len(used)) else 1
+    if n_rot * doubled > 128:
+        return "xla"
+    if n < _PACKED_MIN_QUBITS:
+        return "streamed"
+    # 18+: the packed-phase form is mandatory (no [n_steps, d] tables fit)
+    from ..ops.fused_product import pack_diag_signs
+    try:
+        _, diag_rows, *_ = split_structure_ext(ham)
+    except ValueError:
+        return "xla"
+    if pack_diag_signs(diag_rows) is None:
+        return "xla"
+    if n <= _VMEM_PACKED_MAX:
+        return "packed"
+    if hop_entries:
+        from ..ops.fused_mega_hop import plan_chunked_hop_layout
+        if plan_chunked_hop_layout(hop_entries,
+                                   ("hop",) * len(hop_entries), n) is None:
+            return "xla"
+        return "mega_hop"
+    return "mega"
+
+
 def fused_eligible(ham: ControlledHamiltonian) -> bool:
     """Whether a fused Pallas evolution engine applies: 10-24 qubits,
     diagonal H0, every 1q term a Pauli X or Y, hops at streamed sizes.
@@ -343,55 +418,7 @@ def fused_eligible(ham: ControlledHamiltonian) -> bool:
       276 ms / 24q at 562 ms per 30-step value+grad chain (measured on
       chip, clean 2x-per-qubit scaling). 24 = the engine's architectural
       max (pass-B blocks need >= 8 sublanes)."""
-    if ham.structure is None or not (10 <= ham.n_qubits <= 24):
-        return False
-    if ham.h0_structure is None or ham.h0_structure.kind != "diag":
-        return False
-    n_rot, used, has_hop = 0, [], False
-    for st in ham.structure:
-        if st.kind == "1q" and _pauli_kind(st.local) is None:
-            g = np.asarray(st.local)
-            diag_local = (np.allclose(g, np.diag(np.diagonal(g)),
-                                      atol=1e-12)
-                          and np.max(np.abs(np.diagonal(g).imag)) < 1e-12)
-            if not diag_local:  # diagonal 1q (Z-like) folds into the phases
-                return False
-            continue  # folds into phases, costs no rotation slot
-        if st.kind == "hop":
-            has_hop = True
-            n_rot += 1
-            used += [st.qubit, st.qubit2]
-        elif st.kind == "1q":
-            n_rot += 1
-            used.append(st.qubit)
-        elif st.kind != "diag":
-            return False
-    if has_hop and ham.n_qubits > _VMEM_PACKED_MAX:
-        # 19-24q hops ride the palindromic-schedule mega engine
-        # (ops/fused_mega_hop.py) — needs a feasible qubit→position
-        # relabeling (hop graph boundary fits the low free bits)
-        from ..ops.fused_mega_hop import plan_chunked_hop_layout
-        entries = [(min(st.qubit, st.qubit2), max(st.qubit, st.qubit2))
-                   for st in ham.structure if st.kind == "hop"]
-        if plan_chunked_hop_layout(entries, ("hop",) * len(entries),
-                                   ham.n_qubits) is None:
-            return False
-    # every fused kernel streams the op sequence through the 128 angle
-    # lanes of one tx row; the VMEM kernels double the row for shared-qubit
-    # (palindromic) sequences, the 19+q engines halve angle VALUES instead
-    doubled = 2 if (ham.n_qubits <= _VMEM_PACKED_MAX
-                    and len(set(used)) < len(used)) else 1
-    if n_rot * doubled > 128:
-        return False
-    if ham.n_qubits >= 18:
-        from ..ops.fused_product import pack_diag_signs
-        try:
-            _, diag_rows, *_ = split_structure_ext(ham)
-        except ValueError:
-            return False
-        if pack_diag_signs(diag_rows) is None:
-            return False
-    return True
+    return select_engine(ham) != "xla"
 
 
 @functools.partial(

@@ -105,6 +105,57 @@ def _distributed_1q_rot(psi: CP, theta, kind: str, bit: jnp.ndarray,
     raise ValueError(f"unsupported distributed generator {kind!r}")
 
 
+def _flip_local_bit(x: jnp.ndarray, qubit_local: int, n_local: int
+                    ) -> jnp.ndarray:
+    """Flip one local-qubit bit of the block's last axis (XOR gather as a
+    reshape + axis flip — XLA, not a kernel)."""
+    lead = x.shape[:-1]
+    left = 2**qubit_local
+    right = 2 ** (n_local - qubit_local - 1)
+    y = x.reshape(lead + (left, 2, right))
+    y = jnp.flip(y, axis=len(lead) + 1)
+    return y.reshape(lead + (left * 2 * right,))
+
+
+def _distributed_hop_rot(psi: CP, theta, qi: int, qj: int, k: int,
+                         n_local: int, me, axis_name: str,
+                         axis_size: int) -> CP:
+    """exp(-i theta (XX + YY)) on a pair with >= 1 DISTRIBUTED qubit: one
+    ppermute fetches the partner block (XOR over the distributed bits),
+    local member bits flip locally, and the {01, 10} mask combines this
+    device's distributed-bit values with a local iota bit. Rotates the
+    masked subspace by 2*theta (same convention as
+    :func:`..dynamics.product.apply_hop_rot`)."""
+    dist = [q for q in (qi, qj) if q < k]
+    loc = [q for q in (qi, qj) if q >= k]
+    mask = 0
+    for q in dist:
+        mask |= 1 << (k - 1 - q)
+    perm = [(i, i ^ mask) for i in range(axis_size)]
+    pp_re = jax.lax.ppermute(psi.re, axis_name, perm)
+    pp_im = jax.lax.ppermute(psi.im, axis_name, perm)
+    for q in loc:
+        pp_re = _flip_local_bit(pp_re, q - k, n_local)
+        pp_im = _flip_local_bit(pp_im, q - k, n_local)
+    # {01, 10} indicator: XOR of the pair's two bits of the GLOBAL index
+    d_local = psi.re.shape[-1]
+    jloc = jnp.arange(d_local, dtype=jnp.int32)
+    bits = []
+    for q in (qi, qj):
+        if q < k:
+            bits.append(jnp.broadcast_to((me >> (k - 1 - q)) & 1,
+                                         (d_local,)))
+        else:
+            bits.append((jloc >> (n_local - 1 - (q - k))) & 1)
+    m = jnp.bitwise_xor(bits[0], bits[1]).astype(psi.re.dtype)
+    th = _bcast_theta(theta, psi.re.ndim - jnp.asarray(theta).ndim)
+    c = jnp.cos(2.0 * th)
+    s = jnp.sin(2.0 * th)
+    ct = 1.0 + m * (c - 1.0)
+    return CP(ct * psi.re + s * (m * pp_im),
+              ct * psi.im - s * (m * pp_re))
+
+
 def _classify_local(g: np.ndarray) -> str:
     if np.allclose(g, np.array([[0, 1], [1, 0]])):
         return "x"
@@ -154,12 +205,17 @@ def evolve_product_sharded(
       O(dt^2);
     - ``'auto'``: fused when eligible on TPU, else xla.
     """
+    from ..dynamics.product import split_structure_ext
     n = ham.n_qubits
     (diag_idx, diag_rows, h0_diag, oneq_idx, oneq_qubits,
-     oneq_locals) = split_structure(
-        ham, hop_msg="the state-sharded engine does not support 'hop' "
-        "(XX+YY) terms yet; use the single-device product backend "
-        "(evolve_product)")
+     oneq_locals, hop_idx, hop_pairs) = split_structure_ext(ham)
+    if hop_pairs and local_backend not in ("xla", "auto"):
+        raise ValueError(
+            "hop (XX+YY) drives on the sharded engine ride "
+            "local_backend='xla' (local pairs exactly, distributed pairs "
+            "via one ppermute each)")
+    if hop_pairs:
+        local_backend = "xla"
 
     axis_size = mesh.shape[state_axis]
     k = int(round(np.log2(axis_size)))
@@ -167,6 +223,9 @@ def evolve_product_sharded(
     n_local = n - k
 
     if local_backend == "chunked":
+        if hop_pairs:
+            raise ValueError("local_backend='chunked' does not support "
+                             "'hop' terms; use local_backend='xla'")
         return _evolve_sharded_chunked(
             ham, envelope, coeff, psi0, T0, T, horizon, n_steps, mesh,
             state_axis, batch_axis, k, n_local,
@@ -193,13 +252,17 @@ def evolve_product_sharded(
     ctrl_axis = -2
     di = jnp.asarray(diag_idx, dtype=jnp.int32)
     qi = jnp.asarray(oneq_idx, dtype=jnp.int32)
+    hi = jnp.asarray(hop_idx, dtype=jnp.int32)
     u_diag = jnp.take(u, di, axis=ctrl_axis) if diag_idx else \
         jnp.zeros(u.shape[:-2] + (0, n_steps), dtype=u.dtype)
     u_oneq = jnp.take(u, qi, axis=ctrl_axis) if oneq_idx else \
         jnp.zeros(u.shape[:-2] + (0, n_steps), dtype=u.dtype)
+    u_hop = jnp.take(u, hi, axis=ctrl_axis) if hop_idx else \
+        jnp.zeros(u.shape[:-2] + (0, n_steps), dtype=u.dtype)
     # scan xs layout: [n_steps, (S,) n_k]
     u_diag = jnp.moveaxis(u_diag, -1, 0).astype(rdt)
     u_oneq = jnp.moveaxis(u_oneq, -1, 0).astype(rdt)
+    u_hop = jnp.moveaxis(u_hop, -1, 0).astype(rdt)
     dt = jnp.asarray(dt, dtype=rdt)
     locals_np = [np.asarray(g) for g in oneq_locals]
     kinds = [_classify_local(g) for g in locals_np]
@@ -212,10 +275,12 @@ def evolve_product_sharded(
     diag_spec = P(state_axis)
     u_spec = P(None, batch_axis, None) if per_seed else P()
 
-    # same-qubit non-commuting drives (X+Y two-quadrature) need palindromic
-    # sub-step ordering to keep the Strang split second-order — see
+    # same-qubit non-commuting drives (X+Y two-quadrature, or a hop
+    # overlapping a 1q drive) need palindromic sub-step ordering to keep
+    # the Strang split second-order — see
     # ..dynamics.product._symmetrize_rots
-    palindromic = len(set(oneq_qubits)) < len(oneq_qubits)
+    used_qubits = list(oneq_qubits) + [q for pr in hop_pairs for q in pr]
+    palindromic = len(set(used_qubits)) < len(used_qubits)
 
     # static local/distributed partition (distinct-qubit rotations commute,
     # so grouping locals before distributed ones preserves the product; a
@@ -244,7 +309,7 @@ def evolve_product_sharded(
         loc_idx_arr = jnp.asarray(loc_ids, dtype=jnp.int32)
         dist_dup = len({oneq_qubits[i] for i in dist_ids}) < len(dist_ids)
 
-    def inner(psi_re, psi_im, dtab, h0v, ud_t, uq_t):
+    def inner(psi_re, psi_im, dtab, h0v, ud_t, uq_t, uh_t):
         psi = CP(psi_re, psi_im)
         me = jax.lax.axis_index(state_axis)
 
@@ -258,25 +323,38 @@ def evolve_product_sharded(
             return _distributed_1q_rot(p, th, kinds[i], bit, mask,
                                        state_axis, axis_size)
 
+        def apply_hop(p, hidx, th):
+            qi_, qj_ = hop_pairs[hidx]
+            if qi_ >= k and qj_ >= k:
+                from ..dynamics.product import apply_hop_rot
+                return apply_hop_rot(p, _bcast_theta(th, 0), qi_ - k,
+                                     qj_ - k, n_local)
+            return _distributed_hop_rot(p, th, qi_, qj_, k, n_local, me,
+                                        state_axis, axis_size)
+
         def step_xla(p, xs):
-            ud, uq = xs  # [(S,) n_diag], [(S,) n_oneq]
+            ud, uq, uh = xs  # [(S,) n_diag], [(S,) n_oneq], [(S,) n_hop]
             # local diagonal phase: [(S,) d_local]
             theta_half = (0.5 * dt) * (h0v + jnp.matmul(ud, dtab, precision=jax.lax.Precision.HIGHEST))
             ph = _phase_cp(theta_half)
             p = cpx.mul(CP(jnp.broadcast_to(ph.re, p.re.shape),
                            jnp.broadcast_to(ph.im, p.im.shape)), p)
-            order = list(range(m_rots)) + list(reversed(range(m_rots))) \
-                if palindromic else list(range(m_rots))
+            rot_ops = [("1q", i) for i in range(m_rots)] \
+                + [("hop", h) for h in range(len(hop_pairs))]
+            order = rot_ops + rot_ops[::-1] if palindromic else rot_ops
             frac = 0.5 * dt if palindromic else dt
-            for i in order:
-                p = apply_rot(p, i, frac * uq[..., i])
+            for kind_op, i in order:
+                if kind_op == "1q":
+                    p = apply_rot(p, i, frac * uq[..., i])
+                else:
+                    p = apply_hop(p, i, frac * uh[..., i])
             p = cpx.mul(CP(jnp.broadcast_to(ph.re, p.re.shape),
                            jnp.broadcast_to(ph.im, p.im.shape)), p)
             return p, None
 
         def step_fused(p, xs):
             from ..ops.fused_product import fused_rot_block
-            ud, uq = xs
+            ud, uq, _uh = xs
             theta_half = (0.5 * dt) * (h0v + jnp.matmul(
                 ud, dtab, precision=jax.lax.Precision.HIGHEST))
             ph = _phase_cp(theta_half)
@@ -301,7 +379,7 @@ def evolve_product_sharded(
 
         step = step_fused if local_backend == "fused" else step_xla
 
-        out, _ = jax.lax.scan(step, psi, (ud_t, uq_t))
+        out, _ = jax.lax.scan(step, psi, (ud_t, uq_t, uh_t))
         return out.re, out.im
 
     for i, kind in enumerate(kinds):
@@ -311,14 +389,14 @@ def evolve_product_sharded(
     shmap = shard_map(
         inner, mesh=mesh,
         in_specs=(state_spec, state_spec, P(None, state_axis), diag_spec,
-                  u_spec, u_spec),
+                  u_spec, u_spec, u_spec),
         out_specs=(state_spec, state_spec),
         # pallas_call outputs carry no varying-mesh-axes metadata; the fused
         # local blocks are strictly per-shard, so the check is vacuous here
         check_vma=False,
     )
     re, im = shmap(psi0.re.astype(rdt), psi0.im.astype(rdt), diag_table,
-                   h0_vec, u_diag, u_oneq)
+                   h0_vec, u_diag, u_oneq, u_hop)
     return CP(re, im)
 
 
@@ -447,3 +525,68 @@ def sharded_diag_expectation(psi: CP, diag: jnp.ndarray, mesh: Mesh,
     return shard_map(inner, mesh=mesh,
                      in_specs=(state_spec, state_spec, P(state_axis)),
                      out_specs=out_spec)(psi.re, psi.im, diag)
+
+
+def sharded_strings_expectation(psi: CP, strings, mesh: Mesh,
+                                state_axis: str = "state",
+                                batch_axis: Optional[str] = None
+                                ) -> jnp.ndarray:
+    """``<psi|M|psi>`` for a matrix-free Pauli-sum observable
+    (:class:`...measure.PauliStringSet`) with the amplitude axis SHARDED:
+    each term's XOR-index flip splits into a distributed part (top k bits
+    — one ``lax.ppermute`` block exchange riding ICI) and a local part
+    (an in-shard gather); the parity sign likewise splits into the
+    device-coordinate parity and a local-iota parity. One psum of the
+    accumulated real total at the end. This closes the SPMD measurement
+    gap for non-diagonal costs (TFIM/Heisenberg/molecules) —
+    :func:`sharded_diag_expectation` covers only diagonal observables."""
+    axis_size = mesh.shape[state_axis]
+    k = int(round(np.log2(axis_size)))
+    assert 2**k == axis_size, "state axis size must be a power of two"
+    n = strings.n_qubits
+    n_local = n - k
+    d_local = 2**n_local
+    batched = psi.ndim > 1
+    state_spec = P(batch_axis, state_axis) if batched else P(state_axis)
+    out_spec = P(batch_axis) if batched else P()
+
+    def _parity(x):
+        # popcount parity of a non-negative int32 array (shift amounts as
+        # int32 constants — a python int promotes to int64 under x64)
+        for sh in (16, 8, 4, 2, 1):
+            x = jnp.bitwise_xor(
+                x, jax.lax.shift_right_logical(x, jnp.int32(sh)))
+        return jnp.bitwise_and(x, jnp.int32(1))
+
+    def inner(p_re, p_im, weights):
+        me = jax.lax.axis_index(state_axis)
+        j = jnp.arange(d_local, dtype=jnp.int32)
+        total = jnp.zeros(p_re.shape[:-1], p_re.dtype)
+        for t in range(strings.n_terms):
+            flip, yz = strings.flips[t], strings.yz_masks[t]
+            flip_dist = flip >> n_local
+            flip_loc = flip & (d_local - 1)
+            yz_dist = yz >> n_local
+            yz_loc = yz & (d_local - 1)
+            if flip_dist:
+                perm = [(i, i ^ flip_dist) for i in range(axis_size)]
+                qr = jax.lax.ppermute(p_re, state_axis, perm)
+                qi = jax.lax.ppermute(p_im, state_axis, perm)
+            else:
+                qr, qi = p_re, p_im
+            jp = j ^ jnp.int32(flip_loc)
+            # sign parity of the PARTNER's global index & yz mask
+            par = (_parity(jp & jnp.int32(yz_loc))
+                   + _parity((me ^ flip_dist) & yz_dist)) % 2
+            s = (1.0 - 2.0 * par).astype(p_re.dtype)
+            pre = jnp.take(qr, jp, axis=-1) * s
+            pim = jnp.take(qi, jp, axis=-1) * s
+            g_re = jnp.sum(p_re * pre + p_im * pim, axis=-1)
+            g_im = jnp.sum(p_re * pim - p_im * pre, axis=-1)
+            e = (g_re, -g_im, -g_re, g_im)[strings.n_ys[t] % 4]
+            total = total + weights[t] * e
+        return jax.lax.psum(total, state_axis)
+
+    return shard_map(inner, mesh=mesh,
+                     in_specs=(state_spec, state_spec, P()),
+                     out_specs=out_spec)(psi.re, psi.im, strings.weights)

@@ -638,3 +638,56 @@ def test_noise_aware_training_mcwf_14q():
         updates, state = opt.update(g, state, cc)
         cc = optax.apply_updates(cc, updates)
     assert losses[-1] < losses[0], losses
+
+
+def test_structured_mcwf_fused_backend_matches_xla():
+    """backend='fused' (lockstep trajectories through one batched Pallas
+    rotation block per step) must reproduce the XLA path draw for draw:
+    same per-trajectory key chain => same jump decisions => same states
+    and log-likelihoods to fp tolerance; the hybrid score gradient stays
+    finite and matches."""
+    from diffquantum_tpu.dynamics.lindblad import (StructuredNoise,
+                                                   evolve_mcwf_structured,
+                                                   score_surrogate)
+    from diffquantum_tpu.models import maxcut
+
+    n = 12
+    prob = maxcut.build_maxcut(n, maxcut.ring_graph(n), n_basis=4,
+                               dense=False)
+    rng = np.random.default_rng(3)
+    coeff = jnp.asarray(rng.standard_normal(
+        prob.envelope.coeff_shape).astype(np.float32) * 0.3)
+    noise = StructuredNoise(n, t1=[(q, 0.3) for q in range(0, n, 2)],
+                            dephasing=[(1, 0.2), (7, 0.4)])
+    key = jax.random.PRNGKey(9)
+    kw = dict(T0=0.0, T=float(prob.T), horizon=float(prob.T), n_steps=12,
+              key=key, n_traj=6, return_logp=True)
+
+    ps_x, lp_x = evolve_mcwf_structured(prob.ham, prob.envelope, coeff,
+                                        prob.psi0, noise, backend="xla",
+                                        **kw)
+    ps_f, lp_f = evolve_mcwf_structured(prob.ham, prob.envelope, coeff,
+                                        prob.psi0, noise, backend="fused",
+                                        **kw)
+    np.testing.assert_allclose(np.asarray(ps_f.re), np.asarray(ps_x.re),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(ps_f.im), np.asarray(ps_x.im),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(lp_f), np.asarray(lp_x),
+                               rtol=1e-4, atol=1e-5)
+
+    w = prob.measurement.diag
+
+    def loss(cc, backend):
+        psis, logps = evolve_mcwf_structured(
+            prob.ham, prob.envelope, cc, prob.psi0, noise,
+            backend=backend, **kw)
+        vals = jnp.sum(cpx.abs2(psis) * w, axis=-1)
+        return score_surrogate(vals, logps)
+
+    vf, gf = jax.value_and_grad(lambda c: loss(c, "fused"))(coeff)
+    vx, gx = jax.value_and_grad(lambda c: loss(c, "xla"))(coeff)
+    assert np.isfinite(float(vf))
+    np.testing.assert_allclose(float(vf), float(vx), rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(gf), np.asarray(gx),
+                               rtol=5e-3, atol=1e-5)
