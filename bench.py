@@ -49,7 +49,7 @@ def median_latency(fn, args, n_warmup=3, n_runs=20):
 
 
 def amortized_step_latency(step_fn, coeff, chain: int = 100, n_runs: int = 15,
-                           with_single: bool = False):
+                           with_single: bool = False, extra=()):
     """Per-step latency with dispatch overhead amortized: ``chain`` gradient
     steps chained inside ONE compiled program (a lax.scan), exactly like the
     compiled training loops run in practice (train_energy EPOCH_BLOCK).
@@ -64,9 +64,12 @@ def amortized_step_latency(step_fn, coeff, chain: int = 100, n_runs: int = 15,
     number nobody records."""
     import jax
 
-    def chained(c):
+    def chained(c, *ex):
+        # ``extra`` rides as jit ARGUMENTS (not closure constants): a
+        # closed-over [2^n] f32 cost vector serializes as a 4-64 MiB
+        # dense MLIR constant at 20-24 qubits (round-4 compile-size fix)
         def body(c, _):
-            _, g = step_fn(c)
+            _, g = step_fn(c, *ex)
             return c - 1e-6 * g, None
         out, _ = jax.lax.scan(body, c, None, length=chain)
         return out
@@ -74,9 +77,9 @@ def amortized_step_latency(step_fn, coeff, chain: int = 100, n_runs: int = 15,
     chained_j = jax.jit(chained)
     single = None
     if with_single:
-        single_j = jax.jit(lambda c: step_fn(c)[1])
-        single = median_latency(single_j, (coeff,), n_runs=n_runs)
-    multi = median_latency(chained_j, (coeff,), n_runs=n_runs)
+        single_j = jax.jit(lambda c, *ex: step_fn(c, *ex)[1])
+        single = median_latency(single_j, (coeff, *extra), n_runs=n_runs)
+    multi = median_latency(chained_j, (coeff, *extra), n_runs=n_runs)
     return multi / chain, single
 
 
@@ -115,18 +118,19 @@ def main():
         evolver = evolve_product_fused if fused_eligible(prob.ham) \
             else evolve_product
 
-        def loss(c):
+        def loss(c, wv):
             psi = evolver(prob.ham, prob.envelope, c, prob.psi0, 0.0,
                           prob.T, horizon=prob.T, n_steps=ns)
-            return jnp.sum(cpx.abs2(psi) * prob.measurement.diag, axis=-1)
+            return jnp.sum(cpx.abs2(psi) * wv, axis=-1)
 
         c0 = jnp.asarray(rng.standard_normal(
             prob.envelope.coeff_shape).astype(np.float32) * 1e-3)
-        return prob, ns, jax.value_and_grad(loss), c0
+        return prob, ns, jax.value_and_grad(loss), c0, prob.measurement.diag
 
     # ---- headline: 12q QAOA pulse-gradient step --------------------------
-    prob, n_steps, grad12, c12 = maxcut_grad_fn(12)
-    lat_step, single = amortized_step_latency(grad12, c12, with_single=True)
+    prob, n_steps, grad12, c12, w12 = maxcut_grad_fn(12)
+    lat_step, single = amortized_step_latency(grad12, c12, with_single=True,
+                                              extra=(w12,))
     ms = lat_step * 1e3
     headline = {
         "metric": "qaoa12_pulse_grad_step_latency",
@@ -160,9 +164,9 @@ def main():
         if not section(label, est):
             continue
         try:
-            _, _, g_n, c_n = maxcut_grad_fn(nq)
+            _, _, g_n, c_n, w_n = maxcut_grad_fn(nq)
             per_n, _ = amortized_step_latency(g_n, c_n, chain=chain_n,
-                                              n_runs=6)
+                                              n_runs=6, extra=(w_n,))
             _emit({"metric": label, "value": round(per_n * 1e3, 3),
                    "unit": f"ms ({nq}q full pulse-grad step)"})
         except Exception as e:
@@ -201,14 +205,14 @@ def main():
         is_fused = fused_eligible(ham_m)
         evolver = evolve_product_fused if is_fused else evolve_product
 
-        def loss_m(c):
+        def loss_m(c, wv):
             psi = evolver(ham_m, env_m, c, psi0, 0.0, 2.0, horizon=2.0,
                           n_steps=n_steps)
-            return jnp.sum(cpx.abs2(psi) * w_m, axis=-1)
+            return jnp.sum(cpx.abs2(psi) * wv, axis=-1)
 
         cm = jnp.asarray(rng.standard_normal(
             env_m.coeff_shape).astype(np.float32) * 1e-3)
-        return jax.value_and_grad(loss_m), cm, len(structure), is_fused
+        return jax.value_and_grad(loss_m), cm, len(structure), is_fused, w_m
 
     for nmol, chain_n, est, label in (
             (12, 10, 180, "molecule12q_hop_grad_step"),
@@ -216,7 +220,7 @@ def main():
         if not section(label, est):
             continue
         try:
-            g_m, cm, n_ctl, is_fused = molecule_grad_fn(nmol)
+            g_m, cm, n_ctl, is_fused, w_m = molecule_grad_fn(nmol)
             if nmol >= 18 and not is_fused:
                 # chained XLA-product grads at 16M amplitudes risk the
                 # known giant-program worker crash — frontier molecule
@@ -225,7 +229,7 @@ def main():
                       f"{nmol}q", file=sys.stderr)
                 continue
             per_m, _ = amortized_step_latency(g_m, cm, chain=chain_n,
-                                              n_runs=6)
+                                              n_runs=6, extra=(w_m,))
             _emit({"metric": label, "value": round(per_m * 1e3, 3),
                    "unit": f"ms ({n_ctl}-control X/Y+hop+ZZ drive set, "
                            "fused hop op plan)"})

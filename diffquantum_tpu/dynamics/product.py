@@ -547,15 +547,26 @@ def evolve_product_fused(
 
     def packed_tables(u_diag_tk):
         """[T, ..., n_diag] diag controls → (ud_full [T, ..., n_diag+1],
-        h0th [d], signs [d]) for the packed kernels."""
-        signs_np, consts, scales = packed
+        h0th [d], signs [P, d]) for the packed kernels. The sign planes
+        are built ON DEVICE from parity masks whenever the rows are
+        Pauli-Z-string-shaped (they virtually always are) — a [P, d]
+        int32 constant is 4-16 MiB of serialized program at 20-24q
+        (:func:`..ops.fused_product.parity_sign_masks`)."""
+        from ..ops.fused_product import (parity_sign_masks,
+                                         signs_planes_device)
+        par = parity_sign_masks(diag_rows)
+        if par is not None:
+            masks, consts, scales = par
+            signs_arr = signs_planes_device(masks, ham.dim)
+        else:
+            signs_np, consts, scales = packed
+            signs_arr = jnp.asarray(signs_np) if signs_np.size else \
+                jnp.zeros((1, ham.dim), jnp.int32)
         half = 0.5 * dtc
         ud_core = half * u_diag_tk * jnp.asarray(scales, rdt)
         off = half * jnp.einsum("...k,k->...", u_diag_tk,
                                 jnp.asarray(consts, rdt), precision=_HP)
         ud_full = jnp.concatenate([ud_core, off[..., None]], axis=-1)
-        signs_arr = jnp.asarray(signs_np) if signs_np.size else \
-            jnp.zeros((1, ham.dim), jnp.int32)
         return ud_full, (half * h0_vec).astype(rdt), signs_arr
 
     batched = psi0.ndim > 1
@@ -620,6 +631,13 @@ def evolve_product_fused(
         bytes_per_seed = r_rows * 128 * 4 * planes
         budget = (64 if packed is not None else 12) * 2**20
         b_max = max(1, int(budget // bytes_per_seed))
+        if packed is not None and n >= _PACKED_MIN_QUBITS:
+            # 18q VMEM-packed kernels: Mosaic's measured scoped appetite
+            # is ~13.4 MiB/seed forward and ~42.6 MiB/seed backward
+            # against the 28 / 48 MiB windows (chip-measured round 4,
+            # the MC-estimator branch batch OOMed at chunk=4) — only
+            # b=1 kernels are safe once gradients flow
+            b_max = 1
         chunk = 1
         while chunk * 2 <= min(b, b_max):
             chunk *= 2

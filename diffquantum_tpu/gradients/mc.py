@@ -218,11 +218,25 @@ def mc_energy_grad(
     return jnp.tensordot(ps_k.astype(dDdc.dtype), dDdc, axes=1)
 
 
+def _mc_sample_mode(ham, mode: str) -> str:
+    """'vmap' maps the sample axis onto one wide program; 'map' runs
+    samples as sequential lax.map iterations of ONE traced body. The
+    packed/mega fused kernels (18+ qubits) cannot be vmapped — Pallas
+    auto-batching would need non-trivial blocks on ANY-memory-space
+    state buffers (chip-measured failure, tpu_tests::
+    test_mc_estimator_18q_on_chip) and one 18q+ sample already fills the
+    chip, so 'auto' picks 'map' exactly where the fused router does."""
+    if mode != "auto":
+        return mode
+    from ..dynamics.product import _PACKED_MIN_QUBITS
+    return "map" if ham.n_qubits >= _PACKED_MIN_QUBITS else "vmap"
+
+
 def mc_energy_grad_batch(ham, envelope, measurement, coeff, psi0, T, key,
                          n_steps, n_samples: int, strategy: str = "iid",
-                         **kw) -> jnp.ndarray:
-    """Average of ``n_samples`` MC gradient samples (vmapped — the
-    variance-reduction scale-out the reference lacks).
+                         sample_mode: str = "auto", **kw) -> jnp.ndarray:
+    """Average of ``n_samples`` MC gradient samples (the variance-reduction
+    scale-out the reference lacks).
 
     The only randomness in the noiseless estimator is the split time
     ``s ~ U(0, T)``; its sampling ``strategy`` controls the variance at
@@ -234,23 +248,31 @@ def mc_energy_grad_batch(ham, envelope, measurement, coeff, psi0, T, key,
     - ``'stratified'``: one uniform per equal sub-interval
       (s_i = (i + u_i) T / N) — kills the between-strata variance, leaving
       only the within-stratum wiggle. Unbiased in all three cases.
+
+    ``sample_mode``: 'vmap' | 'map' | 'auto' — see :func:`_mc_sample_mode`
+    (18+ qubit fused paths need 'map').
     """
     keys = jax.random.split(key, n_samples)
     one = lambda k, s: mc_energy_grad(  # noqa: E731
         ham, envelope, measurement, coeff, psi0, T, k, n_steps, s=s, **kw)
+    if _mc_sample_mode(ham, sample_mode) == "vmap":
+        over = jax.vmap(one)
+    else:
+        over = lambda ks, ss: jax.lax.map(  # noqa: E731
+            lambda xs: one(*xs), (ks, ss))
     ftype = jnp.result_type(float)
     if strategy == "iid":
-        grads = jax.vmap(lambda k: one(k, None))(keys)
+        u = jax.vmap(lambda k: jax.random.uniform(
+            jax.random.split(k)[0], dtype=ftype))(keys)
+        ss = u * T
     elif strategy == "antithetic":
         if n_samples % 2:
             raise ValueError("antithetic sampling needs even n_samples")
         u = jax.random.uniform(key, (n_samples // 2,), dtype=ftype)
         ss = jnp.concatenate([u, 1.0 - u]) * T
-        grads = jax.vmap(one)(keys, ss)
     elif strategy == "stratified":
         u = jax.random.uniform(key, (n_samples,), dtype=ftype)
         ss = (jnp.arange(n_samples, dtype=ftype) + u) * (T / n_samples)
-        grads = jax.vmap(one)(keys, ss)
     else:
         raise ValueError(f"unknown sampling strategy {strategy!r}")
-    return grads.mean(axis=0)
+    return over(keys, ss).mean(axis=0)

@@ -57,8 +57,9 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from .cpx import CP
-from .fused_product import (_PLANE_BITS, _multi_dot, _multi_map, _pdot,
-                            _perm_stack, _split_qubits)
+from .fused_product import (_PLANE_BITS, _as_perms_operand,
+                            _multi_dot, _multi_map, _pdot, _perm_stack,
+                            _split_qubits)
 
 _LANES = 128
 _LANE_QUBITS = 7
@@ -500,7 +501,7 @@ def _setup(ud, theta_x, h0th, signs, x_qubits, n_qubits, kinds, fast):
     cdim, fdim = 2**c, 2**f
     chunk_rots, free_rots, lane_rots = _partition_rots(
         x_qubits, kinds, n_qubits, c)
-    perms = jnp.asarray(_perm_stack(lane_rots, n_qubits))
+    perms = _as_perms_operand(_perm_stack(lane_rots, n_qubits))
     n_steps, n_slots = ud.shape
     n_diag = n_slots - 1
     interp = jax.default_backend() == "cpu"
@@ -867,7 +868,7 @@ def _setup_mega(ud, theta_x, h0th, signs, x_qubits, n_qubits, kinds, fast):
     bf = min(2 ** (_F_BITS - c) if c > 0 else fdim, fdim)
     chunk_rots, free_rots, lane_rots = _partition_rots(
         x_qubits, kinds, n_qubits, c)
-    perms = jnp.asarray(_perm_stack(lane_rots, n_qubits))
+    perms = _as_perms_operand(_perm_stack(lane_rots, n_qubits))
     n_steps, n_slots = ud.shape
     n_diag = n_slots - 1
     interp = jax.default_backend() == "cpu"
@@ -1053,7 +1054,7 @@ def _setup_mega_b(ud, theta_x, h0th, signs, x_qubits, n_qubits, kinds,
     bf = min(2 ** (_F_BITS - c) if c > 0 else fdim, fdim)
     chunk_rots, free_rots, lane_rots = _partition_rots(
         x_qubits, kinds, n_qubits, c)
-    perms = jnp.asarray(_perm_stack(lane_rots, n_qubits))
+    perms = _as_perms_operand(_perm_stack(lane_rots, n_qubits))
     n_steps, b, n_slots = ud.shape
     n_diag = n_slots - 1
     interp = jax.default_backend() == "cpu"

@@ -91,6 +91,39 @@ def _perm_stack(lane_rots, n_qubits) -> np.ndarray:
     return np.stack(mats)
 
 
+def _as_perms_operand(perms: np.ndarray) -> jnp.ndarray:
+    """Lift a stacked XOR-(signed-)permutation array to the device as an
+    iota PROGRAM instead of a dense constant. Each [128, 128] f32 matrix
+    serializes to ~131 KiB of MLIR and the mega kernels carry dozens,
+    twice (forward + backward) — megabytes of constants per 19-24q
+    program, which slows every compile (compile time is the binding
+    constraint on this toolchain, docs/PERFORMANCE.md). Any matrix that
+    is not an XOR (signed) permutation falls back to the dense stack."""
+    if perms.ndim != 3 or perms.shape[1:] != (_LANES, _LANES):
+        return jnp.asarray(perms)
+    specs = []
+    for mat in perms:
+        nz = np.nonzero(mat[0])[0]
+        if nz.size != 1:
+            return jnp.asarray(perms)
+        mask = int(nz[0])
+        if np.array_equal(mat, _xor_perm_matrix(mask)):
+            specs.append((mask, False))
+        elif np.array_equal(mat, _xor_signed_matrix(mask)):
+            specs.append((mask, True))
+        else:
+            return jnp.asarray(perms)
+    l = jax.lax.iota(jnp.int32, _LANES)
+    r_, c_ = l[:, None], l[None, :]
+    outs = []
+    for mask, signed in specs:
+        hit = jnp.equal(jnp.bitwise_xor(r_, jnp.int32(mask)), c_)
+        val = jnp.where(jnp.bitwise_and(c_, jnp.int32(mask)) > 0,
+                        1.0, -1.0) if signed else 1.0
+        outs.append(jnp.where(hit, val, 0.0).astype(jnp.float32))
+    return jnp.stack(outs)
+
+
 def _plan_ops(x_qubits: Sequence, kinds: Sequence[str], n_qubits: int):
     """Ordered op plan for the STREAMED kernels. ``x_qubits`` entries are
     an int (1q X/Y rotation on that qubit) or an ``(i, j)`` pair with kind
@@ -473,11 +506,12 @@ def _forward(psi0, theta_half, theta_x, x_qubits, n_qubits, kinds=None,
         scratch_shapes=[pltpu.VMEM((r, _LANES), jnp.float32),
                         pltpu.VMEM((r, _LANES), jnp.float32)],
         interpret=(jax.default_backend() == "cpu"),
+        **_vmem_params(10, 1, r),
     )(theta_half.reshape(n_steps, r, _LANES).astype(jnp.float32),
       _pad_tx(theta_x),
       psi0.re.reshape(r, _LANES).astype(jnp.float32),
       psi0.im.reshape(r, _LANES).astype(jnp.float32),
-      jnp.asarray(perms))
+      _as_perms_operand(perms))
     return CP(out_re.reshape(d), out_im.reshape(d))
 
 
@@ -534,13 +568,14 @@ def _bwd(x_qubits, n_qubits, kinds, fast_math, residuals, lam):
                         pltpu.VMEM((r, _LANES), jnp.float32),
                         pltpu.VMEM((r, _LANES), jnp.float32)],
         interpret=(jax.default_backend() == "cpu"),
+        **_vmem_params(14, 1, r),
     )(theta_half.reshape(n_steps, r, _LANES).astype(jnp.float32),
       _pad_tx(theta_x),
       psi_T.re.reshape(r, _LANES).astype(jnp.float32),
       psi_T.im.reshape(r, _LANES).astype(jnp.float32),
       lam.re.reshape(r, _LANES).astype(jnp.float32),
       lam.im.reshape(r, _LANES).astype(jnp.float32),
-      jnp.asarray(perms))
+      _as_perms_operand(perms))
     return (CP(gp_re.reshape(d), gp_im.reshape(d)),
             gth.reshape(n_steps, d).astype(theta_half.dtype),
             gtx[:, 0, :theta_x.shape[1]].astype(theta_x.dtype))
@@ -813,11 +848,12 @@ def _forward_b(psi0, theta_half, theta_x, x_qubits, n_qubits, kinds=None,
         scratch_shapes=[pltpu.VMEM((b, r, _LANES), jnp.float32),
                         pltpu.VMEM((b, r, _LANES), jnp.float32)],
         interpret=(jax.default_backend() == "cpu"),
+        **_vmem_params(10, b, r),
     )(theta_half.reshape(n_steps, b, r, _LANES).astype(jnp.float32),
       _pad_tx_b(theta_x),
       psi0.re.reshape(b, r, _LANES).astype(jnp.float32),
       psi0.im.reshape(b, r, _LANES).astype(jnp.float32),
-      jnp.asarray(perms))
+      _as_perms_operand(perms))
     return CP(out_re.reshape(b, d), out_im.reshape(b, d))
 
 
@@ -866,13 +902,17 @@ def _bwd_b(x_qubits, n_qubits, kinds, fast_math, residuals, lam):
                         pltpu.VMEM((b, r, _LANES), jnp.float32),
                         pltpu.VMEM((b, r, _LANES), jnp.float32)],
         interpret=(jax.default_backend() == "cpu"),
+        # the streamed BATCHED backward's fixed demand crosses the 16 MiB
+        # default past b*r ~ 2048 rows (chip-measured 46.78 MiB at
+        # 16q x 8 trajectories - the fused-MCWF shape)
+        **_vmem_params(14, b, r),
     )(theta_half.reshape(n_steps, b, r, _LANES).astype(jnp.float32),
       _pad_tx_b(theta_x),
       psi_T.re.reshape(b, r, _LANES).astype(jnp.float32),
       psi_T.im.reshape(b, r, _LANES).astype(jnp.float32),
       lam.re.reshape(b, r, _LANES).astype(jnp.float32),
       lam.im.reshape(b, r, _LANES).astype(jnp.float32),
-      jnp.asarray(perms))
+      _as_perms_operand(perms))
     return (CP(gp_re.reshape(b, d), gp_im.reshape(b, d)),
             gth.reshape(n_steps, b, d).astype(theta_half.dtype),
             gtx[:, :, :theta_x.shape[2]].astype(theta_x.dtype))
@@ -935,22 +975,100 @@ def _vmem_params(n_planes: int, b: int, r: int):
     # Round-4 on-chip findings (BENCH_r03 OOM + the 18q chained-scan test):
     # the FORWARD's scoped demand CHASES the window (44 MiB granted →
     # 45.06 MiB demanded; 28 → fits), while the BACKWARD-inside-a-scan
-    # demands a FIXED 42.62 MiB regardless of the window (42.62 at both
-    # 28 and 40 MiB limits — the scan's transpose fuses extra operands
-    # onto the kernel's stack). So the two roles need DIFFERENT windows:
-    # a modest one for the forward (n_planes <= 10) and ~44 MiB for the
+    # demands a FIXED amount regardless of the window (the 18q packed
+    # backward: 42.62 MiB at both 28 and 40 MiB limits — the scan's
+    # transpose fuses extra operands onto the kernel's stack; the
+    # streamed batched backward at 16q x 8 trajectories: 46.78 MiB). So
+    # the two roles need DIFFERENT windows: a modest one for the forward
+    # (n_planes <= 10) and the full 48 MiB hardware-safe cap for the
     # backward (n_planes > 10). Env DQ_VMEM_MIB_FWD / DQ_VMEM_MIB_BWD
     # override for on-chip experiments.
     import os
     if n_planes <= 10:  # forward kernels
         mib = int(os.environ.get("DQ_VMEM_MIB_FWD", "28"))
     else:               # backward kernels
-        mib = int(os.environ.get("DQ_VMEM_MIB_BWD", "44"))
+        mib = int(os.environ.get("DQ_VMEM_MIB_BWD", "48"))
     return {"compiler_params": pltpu.CompilerParams(
         vmem_limit_bytes=int(min(mib * 2**20, _VMEM_HW_BYTES)))}
 
 
 _PLANE_BITS = 30  # sign bits per int32 plane (sign bit + 1 kept clear)
+
+
+def parity_sign_masks(diag_rows):
+    """Express each two-valued diagonal row as
+    ``row_k(j) = c_k + w_k * (-1)^parity(j & m_k)`` — the form every
+    Pauli-Z-string cost has (ZZ couplers, Z fields, their products).
+    Returns ``(masks, consts, scales)`` with ``masks`` python ints, or
+    None when some row is two-valued but not parity-form (then the dense
+    :func:`pack_diag_signs` planes are the fallback).
+
+    Why this exists: the dense sign planes are [P, 2^n] int32 trace-time
+    constants — 4-16 MiB baked into the MLIR module at 20-24 qubits,
+    slowing every compile and (measured, round 4) OOM-killing the remote
+    compile helper on the 20q hop-mega program. Parity masks instead let
+    :func:`signs_planes_device` rebuild the planes ON DEVICE from an
+    iota, shrinking the serialized program to a few bit-ops."""
+    rows = [np.asarray(r, dtype=np.float64) for r in diag_rows]
+    if len(rows) > _MAX_PACKED_TERMS:
+        return None
+    if not rows:
+        return ((), np.zeros(0), np.zeros(0))
+    d = rows[0].shape[0]
+    nbits = int(round(np.log2(d)))
+    j = np.arange(d, dtype=np.int64)
+    masks, consts, scales = [], [], []
+    for row in rows:
+        lo, hi = float(row.min()), float(row.max())
+        c, w = 0.5 * (hi + lo), 0.5 * (hi - lo)
+        if w == 0.0:
+            masks.append(0)
+            consts.append(c)
+            scales.append(0.0)
+            continue
+        s = (row - c) / w
+        if np.max(np.abs(np.abs(s) - 1.0)) > 1e-9:
+            return None  # more than two distinct values
+        neg = s < 0
+        if neg[0]:  # parity(0 & m) = 0 ⇒ absorb a global flip into w
+            w = -w
+            neg = ~neg
+        m = 0
+        for b in range(nbits):
+            if neg[1 << b]:
+                m |= 1 << b
+        x = j & m
+        for sh in (32, 16, 8, 4, 2, 1):
+            x ^= x >> sh
+        if not np.array_equal((x & 1).astype(bool), neg):
+            return None  # two-valued but not a parity function
+        masks.append(m)
+        consts.append(c)
+        scales.append(w)
+    return tuple(masks), np.asarray(consts), np.asarray(scales)
+
+
+def signs_planes_device(masks, d: int) -> jnp.ndarray:
+    """[P, d] int32 sign bit-planes (bit k%30 of plane k//30 set ⇔
+    row k's sign is −1 at that index) computed on device from an iota —
+    the constant-free counterpart of :func:`pack_diag_signs`, bit-for-bit
+    identical planes. Kernels consume either interchangeably."""
+    if not masks:
+        return jnp.zeros((1, d), jnp.int32)
+    j = jax.lax.iota(jnp.int32, d)
+    planes = []
+    for p0 in range(0, len(masks), _PLANE_BITS):
+        plane = jnp.zeros((d,), jnp.int32)
+        for k, m in enumerate(masks[p0:p0 + _PLANE_BITS]):
+            x = jnp.bitwise_and(j, jnp.int32(m))
+            for sh in (16, 8, 4, 2, 1):
+                x = jnp.bitwise_xor(
+                    x, jax.lax.shift_right_logical(x, np.int32(sh)))
+            plane = jnp.bitwise_or(
+                plane, jax.lax.shift_left(jnp.bitwise_and(x, jnp.int32(1)),
+                                          np.int32(k)))
+        planes.append(plane)
+    return jnp.stack(planes)
 
 
 def pack_diag_signs(diag_rows):
@@ -1318,7 +1436,7 @@ def _forward_pk(psi0, ud, theta_x, h0th, signs, x_qubits, n_qubits,
       signs.reshape(signs.shape[0], r, _LANES),
       psi0.re.reshape(b, r, _LANES).astype(jnp.float32),
       psi0.im.reshape(b, r, _LANES).astype(jnp.float32),
-      jnp.asarray(perms))
+      _as_perms_operand(perms))
     return CP(out_re.reshape(b, d), out_im.reshape(b, d))
 
 
@@ -1389,7 +1507,7 @@ def _bwd_pk(x_qubits, n_qubits, kinds, fast_math, residuals, lam):
       psi_T.im.reshape(b, r, _LANES).astype(jnp.float32),
       lam.re.reshape(b, r, _LANES).astype(jnp.float32),
       lam.im.reshape(b, r, _LANES).astype(jnp.float32),
-      jnp.asarray(perms))
+      _as_perms_operand(perms))
     return (CP(gp_re.reshape(b, d), gp_im.reshape(b, d)),
             gud[:, :, :ud.shape[2]].astype(ud.dtype),
             gtx[:, :, :theta_x.shape[2]].astype(theta_x.dtype),

@@ -436,15 +436,23 @@ def _evolve_sharded_chunked(ham, envelope, coeff, psi0, T0, T, horizon,
 
     d = ham.dim
     if diag_rows:
-        packed = pack_diag_signs(diag_rows)
-        if packed is None:
-            raise ValueError(
-                "local_backend='chunked' needs the packed-phase form: "
-                "every diagonal control row two-valued (Pauli-Z strings), "
-                "<= 120 terms")
-        signs_np, consts, scales = packed
+        from ..ops.fused_product import (parity_sign_masks,
+                                         signs_planes_device)
+        par = parity_sign_masks(diag_rows)
+        if par is not None:  # constant-free planes (see packed_tables)
+            masks, consts, scales = par
+            signs_dev = signs_planes_device(masks, d)
+        else:
+            packed = pack_diag_signs(diag_rows)
+            if packed is None:
+                raise ValueError(
+                    "local_backend='chunked' needs the packed-phase form: "
+                    "every diagonal control row two-valued (Pauli-Z "
+                    "strings), <= 120 terms")
+            signs_np, consts, scales = packed
+            signs_dev = jnp.asarray(signs_np)
     else:
-        signs_np = np.zeros((1, d), np.int32)
+        signs_dev = jnp.zeros((1, d), jnp.int32)
         consts = np.zeros(0)
         scales = np.zeros(0)
 
@@ -472,7 +480,7 @@ def _evolve_sharded_chunked(ham, envelope, coeff, psi0, T0, T, horizon,
     theta_dist = half * u_oneq.T[:, jnp.asarray(dist_ids, jnp.int32)] \
         if dist_ids else jnp.zeros((n_steps, 0), rdt)
     h0th = half * jnp.asarray(h0_diag, rdt)
-    signs = jnp.asarray(signs_np)
+    signs = signs_dev
 
     def inner(p_re, p_im, h0v, sg, ud_t, tl_t, td_t):
         me = jax.lax.axis_index(state_axis)

@@ -10,6 +10,7 @@ from diffquantum_tpu.models import control, maxcut
 from diffquantum_tpu.train import TrainConfig, train_energy, train_fidelity
 from diffquantum_tpu.utils.logger import Logger
 from diffquantum_tpu.utils.profiling import timed, wall_timer
+import pytest
 
 F64 = jnp.float64
 
@@ -85,6 +86,7 @@ def test_fidelity_batched_mode():
     assert res.losses_energy[-1] < 0.01
 
 
+@pytest.mark.slow
 def test_long_chain_checkpointed_adjoint():
     # BASELINE.md stretch config (scaled to CPU test budget): long
     # propagator chain with checkpointed reverse-mode through the scan.

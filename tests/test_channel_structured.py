@@ -19,6 +19,7 @@ from diffquantum_tpu.dynamics.product import (evolve_product,
 from diffquantum_tpu.dynamics.propagator import evolve
 from diffquantum_tpu.ops import cpx, linalg
 from diffquantum_tpu.pulses.envelope import ChannelEnvelope
+import pytest
 
 
 def _ring_problem(n, dtype, dense: bool, seed=0):
@@ -70,6 +71,7 @@ def test_channel_product_matches_dense_expm():
     assert errs[1] < 5e-3, errs
 
 
+@pytest.mark.slow
 def test_channel_fused_matches_xla_product():
     """The fused whole-evolution kernel consumes channel-model angle tables
     identically to the XLA product path (values + adjoint gradients)."""
@@ -89,6 +91,7 @@ def test_channel_fused_matches_xla_product():
                                rtol=1e-3, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_channel_structured_14q_trains_adjoint():
     """Carrier/two-quadrature model at 14 qubits, matrix-free: one adjoint
     training step through the product backend moves the coefficients and
@@ -109,6 +112,7 @@ def test_channel_structured_14q_trains_adjoint():
     assert res.losses_raw[-1] < res.losses_raw[0]
 
 
+@pytest.mark.slow
 def test_channel_structured_mc_grad_runs():
     """MC estimator with the full channel Jacobian on a structured (no dense
     operators) problem."""

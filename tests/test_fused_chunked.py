@@ -14,6 +14,7 @@ from diffquantum_tpu.models import maxcut
 from diffquantum_tpu.ops import cpx
 from diffquantum_tpu.ops.fused_chunked import chunked_evolve, _plan
 from diffquantum_tpu.ops.fused_product import pack_diag_signs
+import pytest
 
 
 def _packed_args(prob, coeff, n_steps):
@@ -85,24 +86,28 @@ def _compare(n, n_steps=4, seed=0):
         assert abs(fd - an) < 5e-3 * max(1.0, abs(fd)), (fd, an)
 
 
+@pytest.mark.slow
 def test_chunked_no_chunk_bits_12q():
     """c = 0 (state fits one slab column): pure pass-A path."""
     assert _plan(12) == (0, 5)
     _compare(12, n_steps=5, seed=1)
 
 
+@pytest.mark.slow
 def test_chunked_with_chunk_bits_18q():
     """c = 1: pass B chunk-bit rotations exercised."""
     assert _plan(18) == (1, 10)
     _compare(18, n_steps=3, seed=2)
 
 
+@pytest.mark.slow
 def test_chunked_direct_20q():
     """Direct chunked engine at 20 qubits (multi-chunk pass B)."""
     assert _plan(20) == (3, 10)
     _compare(20, n_steps=2, seed=6)
 
 
+@pytest.mark.slow
 def test_20q_routing_and_parity():
     """20 qubits through the public evolve_product_fused API (routes to
     the chunked HBM-state engine — the VMEM kernel caps at 18q) and
@@ -131,6 +136,7 @@ def test_20q_routing_and_parity():
                                rtol=2e-3, atol=2e-5)
 
 
+@pytest.mark.slow
 def test_chunked_single_step():
     """n_steps=1 boundary handling (no merged interior phases)."""
     _compare(12, n_steps=1, seed=4)
@@ -167,22 +173,27 @@ def _compare_mega(n, n_steps=3, seed=0):
                                rtol=1e-4, atol=1e-6)
 
 
+@pytest.mark.slow
 def test_mega_no_chunk_bits_12q():
     _compare_mega(12, n_steps=4, seed=7)
 
 
+@pytest.mark.slow
 def test_mega_with_chunk_bits_18q():
     _compare_mega(18, n_steps=3, seed=8)
 
 
+@pytest.mark.slow
 def test_mega_multi_chunk_20q():
     _compare_mega(20, n_steps=2, seed=9)
 
 
+@pytest.mark.slow
 def test_mega_single_step():
     _compare_mega(12, n_steps=1, seed=10)
 
 
+@pytest.mark.slow
 def test_mega_batched_matches_per_seed():
     """chunked_evolve_mega_batched (ONE kernel, grid (B, T+1)) vs the
     per-seed mega: values and summed-loss gradients must agree to fp

@@ -16,6 +16,7 @@ from diffquantum_tpu.dynamics.product import (evolve_product,
                                               fused_eligible)
 from diffquantum_tpu.ops import cpx, linalg
 from diffquantum_tpu.pulses.envelope import SimpleEnvelope
+import pytest
 
 
 def make_hop_problem(n, hop_pairs, with_xy=True, with_zz=True, seed=0,
@@ -86,17 +87,20 @@ def test_hop_row_lane_pair():
     _compare(10, [(1, 8)], with_xy=False, seed=3)
 
 
+@pytest.mark.slow
 def test_hop_with_xy_palindromic():
     """The molecule shape: X/Y on every qubit + hop chain + ZZ — shared
     qubits force the palindromic half-angle op sequence."""
     _compare(10, [(i, i + 1) for i in range(9)], with_xy=True, seed=4)
 
 
+@pytest.mark.slow
 def test_hop_11q_asymmetric_rows():
     """11 qubits (R = 16): odd split, hops at both boundaries."""
     _compare(11, [(0, 3), (3, 10)], with_xy=True, seed=5)
 
 
+@pytest.mark.slow
 def test_hop_batched_seeds():
     """Per-seed batched kernels with hops: grads of the summed energy."""
     n, n_steps, b = 10, 6, 3
@@ -130,14 +134,21 @@ def test_hop_batched_seeds():
 
 
 def test_hop_eligibility_rules():
-    """Hops gate eligibility to the VMEM-resident kernels (streamed ≤17q,
-    packed 18q) and the 128 angle lanes."""
+    """Hops are fused-eligible at EVERY size the engines cover: streamed
+    ≤17q, packed 18q, and (round 4) the palindromic-schedule mega engine
+    at 19-24q when a feasible chunk layout exists
+    (tests/test_router.py pins the full regime table)."""
+    from diffquantum_tpu.dynamics.product import select_engine
+
     ham, *_ = make_hop_problem(10, [(0, 9)])
     assert fused_eligible(ham)
     e18, *_ = make_hop_problem(18, [(0, 17)], with_xy=False, with_zz=False)
     assert fused_eligible(e18)  # round-4: packed kernels carry hops at 18q
     big, *_ = make_hop_problem(19, [(0, 18)], with_xy=False, with_zz=False)
-    assert not fused_eligible(big)  # chunked engine: no hop op plan yet
+    assert fused_eligible(big)  # round-4: hop mega engine at 19-24q
+    assert select_engine(big) == "mega_hop"
+    # (the 24/25-qubit architectural boundary is pinned in
+    # tests/test_router.py::test_out_of_band_sizes)
 
 
 def _force_packed(monkeypatch):
@@ -153,6 +164,7 @@ def test_hop_packed_row_lane_pairs(monkeypatch):
     _compare(10, [(0, 1), (1, 8), (7, 9)], with_xy=False, seed=8)
 
 
+@pytest.mark.slow
 def test_hop_packed_molecule_shape(monkeypatch):
     """The molecule drive set {X, Y, hop, ZZ} on the packed kernels —
     shared qubits force the palindromic op sequence through the packed
@@ -161,6 +173,7 @@ def test_hop_packed_molecule_shape(monkeypatch):
     _compare(10, [(i, i + 1) for i in range(9)], with_xy=True, seed=9)
 
 
+@pytest.mark.slow
 def test_hop_packed_batched_seeds(monkeypatch):
     """Per-seed batched PACKED kernels with hops."""
     _force_packed(monkeypatch)

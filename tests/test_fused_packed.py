@@ -66,6 +66,7 @@ def _loss_fns(prob, n_steps):
 
 
 @pytest.mark.parametrize("n", [18, 19])
+@pytest.mark.slow
 def test_packed_18_19q_matches_xla(n):
     """The sizes past the streamed kernels' VMEM wall: 18q = packed
     phases + HBM-resident boundary buffers in the VMEM kernel, 19q =
@@ -128,6 +129,7 @@ def _parity(ham, env, coeff, psi0, meas_diag, T=2.0, n_steps=6):
                                rtol=2e-3, atol=2e-5)
 
 
+@pytest.mark.slow
 def test_packed_two_valued_rows(monkeypatch):
     """{0,1} projector-style diagonals (c=w=0.5) and a nonzero drift
     diagonal pack correctly — values and gradients match XLA."""
@@ -144,6 +146,7 @@ def test_packed_two_valued_rows(monkeypatch):
     _parity(*args)
 
 
+@pytest.mark.slow
 def test_streamed_fallback_three_valued_rows():
     """A 3-valued diagonal row cannot pack — the wrapper must fall back to
     the streamed-table kernels and still match XLA."""
@@ -160,6 +163,7 @@ def test_streamed_fallback_three_valued_rows():
     _parity(*args)
 
 
+@pytest.mark.slow
 def test_packed_batched_per_seed(monkeypatch):
     """Batched packed kernel: per-seed coefficients, values + summed-energy
     gradients vs vmapped XLA product (router forced — production routes
@@ -208,3 +212,58 @@ def test_fused_eligible_18q_requires_packable():
                                                  diag=np.zeros(d)),
         dtype=jnp.float32)
     assert not fused_eligible(ham)
+
+
+def test_parity_sign_masks_match_dense_planes():
+    """parity_sign_masks + signs_planes_device must reproduce
+    pack_diag_signs' planes BIT FOR BIT (and the c/w decomposition up to
+    the absorbed global flip) for every Pauli-Z-string-shaped row — the
+    constant-free path that keeps [P, 2^n] int32 sign planes out of the
+    serialized 18-24q programs (round-4 compile-helper OOM fix)."""
+    from diffquantum_tpu.ops.fused_product import (parity_sign_masks,
+                                                   signs_planes_device)
+
+    n = 12
+    d = 2**n
+    rng = np.random.default_rng(7)
+    rows = [linalg.zz_diagonal(n, i, (i + 1) % n) for i in range(n)]
+    rows += [3.5 * linalg.zz_diagonal(n, 2, 9) - 1.25,  # scaled + offset
+             np.full(d, 0.75),                          # constant row
+             -2.0 * linalg.z_diagonal(n, 5)]            # single-Z field
+    # a 4-qubit parity string (Z x Z x Z x Z on random qubits)
+    zzzz = (linalg.z_diagonal(n, 1) * linalg.z_diagonal(n, 4)
+            * linalg.z_diagonal(n, 7) * linalg.z_diagonal(n, 10))
+    rows.append(zzzz)
+
+    par = parity_sign_masks(rows)
+    assert par is not None
+    masks, consts, scales = par
+    dense = pack_diag_signs(rows)
+    assert dense is not None
+    planes = np.asarray(signs_planes_device(masks, d))
+
+    # identical decomposition row by row (reconstruct and compare)
+    j = np.arange(d)
+    for k, row in enumerate(rows):
+        bit = (planes[k // 30] >> (k % 30)) & 1
+        rec = consts[k] + scales[k] * (1.0 - 2.0 * bit)
+        np.testing.assert_allclose(rec, np.asarray(row), atol=1e-12)
+
+    # and bit-identical planes when the sign conventions line up
+    _, dconsts, dscales = dense
+    same = np.asarray(dscales) * np.asarray(scales) >= 0
+    dplanes = np.asarray(dense[0])
+    for k in range(len(rows)):
+        dbit = (dplanes[k // 30] >> (k % 30)) & 1
+        bit = (planes[k // 30] >> (k % 30)) & 1
+        if same[k] or dscales[k] == 0 or scales[k] == 0:
+            np.testing.assert_array_equal(bit, dbit)
+        else:
+            np.testing.assert_array_equal(bit, 1 - dbit)
+
+    # a two-valued but NON-parity row must fall back (return None)
+    bad = np.ones(d)
+    bad[:3] = -1.0  # {j<3} is not a parity set
+    assert parity_sign_masks([bad]) is None
+    # ...while pack_diag_signs still accepts it (dense fallback exists)
+    assert pack_diag_signs([bad]) is not None

@@ -10,6 +10,7 @@ from diffquantum_tpu.dynamics.product import (evolve_product,
                                               fused_eligible)
 from diffquantum_tpu.models import maxcut
 from diffquantum_tpu.ops import cpx
+import pytest
 
 
 def make(n=10, n_basis=4, seed=0):
@@ -56,6 +57,7 @@ def test_fused_forward_matches_xla():
                                atol=5e-5)
 
 
+@pytest.mark.slow
 def test_fused_batched_per_seed_matches_xla():
     prob, _ = make(10)
     rng = np.random.default_rng(3)
@@ -90,6 +92,7 @@ def test_fused_batched_per_seed_matches_xla():
                                rtol=2e-3, atol=2e-5)
 
 
+@pytest.mark.slow
 def test_fused_gradient_matches_xla_adjoint():
     prob, coeff = make(10, seed=1)
     n_steps = 10
@@ -112,6 +115,7 @@ def test_fused_gradient_matches_xla_adjoint():
                                rtol=2e-3, atol=2e-5)
 
 
+@pytest.mark.slow
 def test_fused_xy_drives_match_xla():
     """Mixed X+Y single-qubit drives through the fused kernel (Y uses
     signed-permutation real mixes) vs the XLA product backend, values and

@@ -16,6 +16,7 @@ from diffquantum_tpu.dynamics.lindblad import (CollapseSet,
                                                expectation_rho)
 from diffquantum_tpu.ops import cpx, linalg
 from diffquantum_tpu.pulses.envelope import SimpleEnvelope
+import pytest
 
 F64 = jnp.float64
 
@@ -352,6 +353,7 @@ def test_lindblad_structured_matches_dense():
                                atol=1e-8)
 
 
+@pytest.mark.slow
 def test_lindblad_structured_gradient():
     """Gradients through the structured dissipative evolution: (a) finite
     differences on its own loss, (b) agreement with the dense-engine
@@ -389,6 +391,7 @@ def test_lindblad_structured_gradient():
     np.testing.assert_allclose(an, fd, rtol=1e-5, atol=1e-8)
 
 
+@pytest.mark.slow
 def test_dephasing_trajectories_match_master_equation():
     """Random-Z-phase unitary unraveling of pure dephasing: trajectory-mean
     density vs the dense master equation (statistical tolerance), and the
@@ -451,6 +454,7 @@ def test_dephasing_trajectories_rejects_t1():
                                       key=jax.random.PRNGKey(0), n_traj=4)
 
 
+@pytest.mark.slow
 def test_noise_aware_training_structured_11q():
     """Noise-aware pulse optimization past dense-operator sizes: a few
     Adam steps through evolve_lindblad_structured at 11 qubits (no dense
@@ -498,6 +502,7 @@ def _mcwf_score_loss(ham, env, psi0, noise, w, T, n_steps, key, n_traj):
     return loss
 
 
+@pytest.mark.slow
 def test_mcwf_score_zero_noise_limit():
     """gamma -> 0: the hybrid pathwise+score gradient reduces to the
     closed-system product-engine gradient (deterministic, tight)."""
@@ -605,6 +610,7 @@ def test_mcwf_score_pathwise_only_is_biased():
     assert err_full < err_path, (err_full, err_path)
 
 
+@pytest.mark.slow
 def test_noise_aware_training_mcwf_14q():
     """T1-aware pulse optimization PAST the density-matrix d^2 wall: Adam
     through the score-function MCWF estimator at 14 qubits (no [d, d]
@@ -640,6 +646,7 @@ def test_noise_aware_training_mcwf_14q():
     assert losses[-1] < losses[0], losses
 
 
+@pytest.mark.slow
 def test_structured_mcwf_fused_backend_matches_xla():
     """backend='fused' (lockstep trajectories through one batched Pallas
     rotation block per step) must reproduce the XLA path draw for draw:

@@ -17,6 +17,7 @@ from diffquantum_tpu.models import maxcut
 from diffquantum_tpu.ops import cpx
 from diffquantum_tpu.train.config import TrainConfig
 from diffquantum_tpu.train.fidelity import _projector, train_fidelity
+import pytest
 
 
 def _structured_problem(n, dtype=jnp.float64, n_basis=4):
@@ -74,6 +75,7 @@ def test_mc_target_measurement_equals_dense_projector():
                                rtol=1e-9, atol=1e-12)
 
 
+@pytest.mark.slow
 def test_mc_fidelity_estimator_unbiased_structured():
     """Mean of many MC fidelity-gradient samples approaches the adjoint
     gradient of |<t|psi(T)>|^2 (up to the absorbed 1/T Jacobian), on a
@@ -102,6 +104,7 @@ def test_mc_fidelity_estimator_unbiased_structured():
     assert cos > 0.95, (cos, g_mc, g_adj)
 
 
+@pytest.mark.slow
 def test_train_fidelity_mc_structured_14q():
     """Hardware-realistic control training beyond the dense-projector limit:
     14-qubit structured problem, MC gradients, matrix-free target."""

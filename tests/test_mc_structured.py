@@ -5,6 +5,7 @@ import numpy as np
 
 from diffquantum_tpu.gradients.mc import mc_energy_grad
 from diffquantum_tpu.models import maxcut
+import pytest
 
 F64 = jnp.float64
 
@@ -33,6 +34,7 @@ def test_mc_structured_matches_dense_same_key():
                                atol=1e-9)
 
 
+@pytest.mark.slow
 def test_mc_structured_14q_runs():
     n = 14
     prob = maxcut.build_maxcut(n, maxcut.ring_graph(n), n_basis=4, dtype=F64)
@@ -55,3 +57,45 @@ def test_mc_structured_sampling_noisy():
                        prob.psi0, prob.T, jax.random.PRNGKey(1), 15,
                        sampling=True, noisy=True)
     assert np.all(np.isfinite(np.asarray(g)))
+
+
+def test_mc_batch_map_matches_vmap_and_auto_routing():
+    """sample_mode='map' (lax.map — required by the 18q+ packed kernels,
+    whose ANY-space state buffers cannot be vmap-batched; chip-measured in
+    tpu_tests::test_mc_estimator_18q_on_chip) must agree with 'vmap' to
+    f32 reduction-order noise for every sampling strategy, and 'auto'
+    must pick 'map' exactly at the packed-engine boundary (18 qubits)."""
+    from diffquantum_tpu.dynamics.hamiltonian import (ControlledHamiltonian,
+                                                      TermStructure)
+    from diffquantum_tpu.gradients.mc import (_mc_sample_mode,
+                                              mc_energy_grad_batch)
+    from diffquantum_tpu.ops import linalg
+
+    prob = maxcut.build_maxcut(6, maxcut.ring_graph(6), n_basis=4,
+                               dense=False)
+    rng = np.random.default_rng(0)
+    c = jnp.asarray(rng.standard_normal(prob.envelope.coeff_shape),
+                    jnp.float32) * 0.3
+    key = jax.random.PRNGKey(3)
+    for strat in ("iid", "antithetic", "stratified"):
+        kw = dict(n_samples=4, strategy=strat)
+        gv = mc_energy_grad_batch(prob.ham, prob.envelope, prob.measurement,
+                                  c, prob.psi0, float(prob.T), key, 8,
+                                  sample_mode="vmap", **kw)
+        gm = mc_energy_grad_batch(prob.ham, prob.envelope, prob.measurement,
+                                  c, prob.psi0, float(prob.T), key, 8,
+                                  sample_mode="map", **kw)
+        np.testing.assert_allclose(np.asarray(gv), np.asarray(gm),
+                                   rtol=2e-5, atol=5e-6)
+
+    def ring_ham(n):
+        structure = [TermStructure(kind="1q", qubit=q, local=linalg.X)
+                     for q in range(n)]
+        return ControlledHamiltonian.create_structured(
+            2**n, tuple(structure),
+            h0_structure=TermStructure(kind="diag", diag=np.zeros(2**n)),
+            dtype=jnp.float32)
+
+    assert _mc_sample_mode(ring_ham(17), "auto") == "vmap"
+    assert _mc_sample_mode(ring_ham(18), "auto") == "map"
+    assert _mc_sample_mode(ring_ham(18), "vmap") == "vmap"

@@ -9,6 +9,7 @@ import numpy as np
 from diffquantum_tpu.measure import (PauliStringSet, qwc_groups,
                                      stochastic_measure_strings)
 from diffquantum_tpu.ops import cpx
+import pytest
 
 F64 = jnp.float64
 
@@ -107,6 +108,7 @@ def test_grouped_sampling_batched_states():
     np.testing.assert_allclose(est, want, atol=0.03)
 
 
+@pytest.mark.slow
 def test_sampled_mc_training_descends():
     """Hardware-realistic training through the grouped sampler: MC pulse
     gradients (stratified, variance-reduced) with finite-shot QWC-grouped

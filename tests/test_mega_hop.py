@@ -20,6 +20,7 @@ from diffquantum_tpu.ops.fused_mega_hop import (invert_perm,
                                                 permute_amplitude_bits,
                                                 plan_chunked_hop_layout)
 from tests.test_fused_hop import make_hop_problem
+import pytest
 
 
 def test_layout_planner_chain_20q():
@@ -113,6 +114,7 @@ def _force_small_chunk_plan(monkeypatch, c=2, f=4):
     monkeypatch.setattr(dp, "_VMEM_PACKED_MAX", 0)  # all hops -> mega
 
 
+@pytest.mark.slow
 def test_molecule_chain_second_order_13q(monkeypatch):
     """The molecule shape (X/Y on every qubit + hop chain up to 3rd
     neighbors + 33 ZZ rows = two sign bit-planes), shared qubits across
@@ -157,6 +159,7 @@ def test_molecule_chain_second_order_13q(monkeypatch):
     assert e8 < 6.0 * max(x8, 1e-6), (e8, x8)  # same order of accuracy
 
 
+@pytest.mark.slow
 def test_molecule_gradient_fd_13q(monkeypatch):
     """Adjoint gradients THROUGH the hop mega engine (custom VJP +
     bit-transposes) against finite differences on the coefficients —

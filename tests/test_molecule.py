@@ -10,6 +10,7 @@ import numpy as np
 
 from diffquantum_tpu.models import molecule as mol
 from diffquantum_tpu.ops import linalg
+import pytest
 
 R_EQ = 0.7414  # Angstrom
 
@@ -125,6 +126,7 @@ def test_number_penalty_is_diagonal_and_correct():
     np.testing.assert_allclose(rebuilt, want, atol=1e-10)
 
 
+@pytest.mark.slow
 def test_h3_plus_vqe_near_sector_ground():
     """6-qubit H3+ pulse VQE with the number penalty lands near the sector
     FCI energy. The landscape has seed-dependent plateaus, so this uses the
@@ -185,6 +187,7 @@ def test_symbolic_jw_matches_dense_ladders():
         np.testing.assert_allclose(f1, f2, atol=1e-10)
 
 
+@pytest.mark.slow
 def test_h6_chain_builder_matrix_free():
     """H6 (12 spin orbitals): fully matrix-free construction — symbolic JW
     terms, structure-tagged (fused-eligible) drives, sector-FCI oracle

@@ -9,6 +9,7 @@ from diffquantum_tpu.dynamics.ode import evolve_ode, fd_energy_grad_ode
 from diffquantum_tpu.dynamics.propagator import evolve
 from diffquantum_tpu.models import maxcut
 from diffquantum_tpu.ops import cpx
+import pytest
 
 F64 = jnp.float64
 
@@ -51,6 +52,7 @@ def test_ode_engine_batched_states():
                                    np.asarray(one.re), atol=1e-9)
 
 
+@pytest.mark.slow
 def test_ode_fd_gradient_matches_trotter_fd():
     """The mesolve-semantics FD gradient (adaptive forward sims, the
     reference's `sim_plain.py:308-353` recipe) agrees with the vmapped

@@ -25,6 +25,7 @@ from diffquantum_tpu.dynamics.product import (evolve_product,
 from diffquantum_tpu.dynamics.propagator import evolve
 from diffquantum_tpu.models import maxcut
 from diffquantum_tpu.ops import cpx
+import pytest
 
 
 def _demo_problem(dtype=jnp.float64):
@@ -125,6 +126,7 @@ def test_fused_10q_within_sampling_error_of_ode():
     assert e_fused < e_coarse * 1.05 + 1e-4, (e_fused, e_coarse)
 
 
+@pytest.mark.slow
 def test_midpoint_sampling_is_second_order():
     """t_sample='mid' upgrades the piecewise-constant envelope error from
     O(dt) to O(dt^2) vs the TRUE dynamics — both for the dense expm chain
@@ -152,6 +154,7 @@ def test_midpoint_sampling_is_second_order():
         assert errs["mid"][-1] < errs["left"][-1] / 10, (backend, errs)
 
 
+@pytest.mark.slow
 def test_step_doubling_error_tracks_true_error():
     """The oracle-free step-doubling estimate must sit within ~2x of the
     true (adaptive-ODE) error, for both grid orders; calibrate_n_steps

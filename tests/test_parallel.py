@@ -12,6 +12,7 @@ from diffquantum_tpu.parallel.mesh import make_mesh, train_energy_seeds
 from diffquantum_tpu.parallel.sharded_state import (
     evolve_product_sharded, sharded_diag_expectation)
 from diffquantum_tpu.train import TrainConfig
+import pytest
 
 F64 = jnp.float64
 
@@ -63,6 +64,7 @@ def test_sharded_product_batched_two_axes():
                                atol=1e-10)
 
 
+@pytest.mark.slow
 def test_sharded_evolution_differentiable():
     n = 4
     prob = maxcut.build_maxcut(n, maxcut.ring_graph(n), n_basis=4,
@@ -122,6 +124,7 @@ def test_train_energy_seeds_mc_mode():
     assert res.best_loss - lam_min < 1.0
 
 
+@pytest.mark.slow
 def test_train_energy_seeds_batched():
     prob = maxcut.demo_problem(dtype=F64)
     cfg = TrainConfig(n_basis=6, n_epoch=40, lr=5e-2, dtype="float64", seed=0)
@@ -135,6 +138,7 @@ def test_train_energy_seeds_batched():
     assert res.best_loss - lam_min < 0.5
 
 
+@pytest.mark.slow
 def test_train_energy_seeds_meshed_fused_kernel():
     """Meshed seed training with the batched fused kernel shard_mapped over
     the data axis (the round-1 mesh path silently fell back to XLA): must
@@ -158,6 +162,7 @@ def test_train_energy_seeds_meshed_fused_kernel():
                                atol=1e-5)
 
 
+@pytest.mark.slow
 def test_train_energy_seeds_meshed_fused_mc():
     """Round-3: the MC estimator (the paper's hardware-realistic mode) is
     shard_mapped over the data axis with the FUSED kernels inside — it

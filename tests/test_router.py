@@ -39,6 +39,7 @@ def test_ring_boundaries(n, engine):
     assert select_engine(_min_ham(n)) == engine
 
 
+@pytest.mark.slow
 def test_out_of_band_sizes():
     assert select_engine(_min_ham(9)) == "xla"   # < 10: not worth a kernel
     assert select_engine(_min_ham(25)) == "xla"  # > 24: pass-B sublanes

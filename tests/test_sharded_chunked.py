@@ -63,6 +63,7 @@ def test_sharded_chunked_exact_no_distributed_drives():
     assert err < 5e-6, err
 
 
+@pytest.mark.slow
 def test_sharded_chunked_second_order_with_distributed_drives():
     """Drives on distributed qubits: the half-angle palindromic wrap is a
     different (still symmetric) composition. Against the 'xla' sharded
@@ -94,6 +95,7 @@ def test_sharded_chunked_second_order_with_distributed_drives():
     assert acc < 5e-2, acc
 
 
+@pytest.mark.slow
 def test_sharded_chunked_gradients():
     """Adjoint gradients through shard_map + per-step chunked custom VJP:
     finite-difference check on the spectral coefficients."""

@@ -50,6 +50,7 @@ def _problem(dup_local=False):
 
 
 @pytest.mark.parametrize("dup_local", [False, True])
+@pytest.mark.slow
 def test_sharded_fused_matches_xla(dup_local):
     ham, env, coeff, psi0, T = _problem(dup_local)
     mesh = make_mesh({"state": 2})
@@ -69,6 +70,7 @@ def test_sharded_fused_matches_xla(dup_local):
     assert err2 < 5e-6, err2
 
 
+@pytest.mark.slow
 def test_sharded_fused_gradients_match():
     """Adjoint through shard_map + the kernel's custom VJP must equal the
     XLA sharded path's gradient."""
@@ -95,6 +97,7 @@ def test_sharded_fused_gradients_match():
                                rtol=2e-3, atol=2e-5)
 
 
+@pytest.mark.slow
 def test_sharded_fused_seed_batch():
     """data x state mesh, per-seed coefficients, fused local blocks."""
     ham, env, coeff, psi0, T = _problem()

@@ -81,6 +81,7 @@ def test_same_qubit_xy_second_order():
     assert 3.0 < r2 < 5.5, (errs, r2)
 
 
+@pytest.mark.slow
 def test_same_qubit_xy_fused_matches_xla_product():
     """The fused kernel's symmetrized rotation list must reproduce the XLA
     palindromic product (same splitting → tight f32 agreement), including

@@ -5,6 +5,7 @@ import numpy as np
 
 from diffquantum_tpu.models import control, maxcut, vqe_h2
 from diffquantum_tpu.train import TrainConfig, train_energy, train_fidelity
+import pytest
 
 
 def test_maxcut_demo_adjoint_converges():
@@ -90,6 +91,7 @@ def test_checkpointing_roundtrip(tmp_path):
     assert int(back["epoch"]) == 7
 
 
+@pytest.mark.slow
 def test_epoch_block_mode_bit_identical():
     """Compiled epoch blocks (one lax.scan dispatch per EPOCH_BLOCK epochs)
     must reproduce the per-epoch loop exactly — same RNG split pattern, same
@@ -116,6 +118,7 @@ def test_epoch_block_mode_bit_identical():
                                np.asarray(r_leg.coeff), rtol=1e-10)
 
 
+@pytest.mark.slow
 def test_fidelity_epoch_block_bit_identical():
     """Compiled (epoch x pair) scan blocks in train_fidelity must reproduce
     the per-epoch loop exactly — per-pair optimizer stepping (reference
@@ -199,6 +202,7 @@ def test_lr_schedules():
         make_optimizer(TrainConfig(lr_schedule="bogus"))
 
 
+@pytest.mark.slow
 def test_midpoint_training_beats_left_on_coarse_grid():
     """t_sample='mid' trains through all plumbing and, on a deliberately
     coarse grid, measures the final energy more accurately than the

@@ -7,6 +7,7 @@ from diffquantum_tpu.dynamics.propagator import evolve, evolve_trajectory
 from diffquantum_tpu.dynamics.hamiltonian import ControlledHamiltonian
 from diffquantum_tpu.ops import cpx, linalg
 from diffquantum_tpu.pulses.envelope import SimpleEnvelope
+import pytest
 
 F64 = jnp.float64
 
@@ -34,6 +35,7 @@ def test_trajectory_endpoints_and_norms():
     np.testing.assert_allclose(norms, 1.0, atol=1e-10)
 
 
+@pytest.mark.slow
 def test_fused_backward_reconstruction_long_chain():
     """The fused VJP reconstructs states by inverting unitaries step-by-step
     in f32; over 200 steps the gradient must still match the XLA adjoint

@@ -326,19 +326,21 @@ def test_strings_measurement_and_tfim_on_chip():
 
 
 def test_mcwf_score_gradient_on_chip():
-    """The score-function MCWF estimator end-to-end on the real backend:
-    structured quantum-jump trajectories (gathers + categorical draws +
-    masked jumps) with return_logp, and one descent step on the hybrid
-    pathwise+score surrogate. Validates that the T1-aware training path
-    (no Pallas kernels — pure XLA) compiles and descends on axon."""
+    """The score-function MCWF estimator end-to-end on the real backend
+    at 16 QUBITS through backend='fused' (round 4: all trajectories
+    lockstep through one batched Pallas rotation block per step — the
+    open-system frontier past the 12q XLA-path validation of round 3):
+    structured quantum-jump trajectories with return_logp, one descent
+    step on the hybrid pathwise+score surrogate."""
     from diffquantum_tpu.dynamics.lindblad import (StructuredNoise,
                                                    evolve_mcwf_structured,
                                                    score_surrogate)
 
-    n = 12
+    n = 16
     prob = maxcut.build_maxcut(n, maxcut.ring_graph(n), n_basis=4,
                                dense=False)
-    noise = StructuredNoise(n, t1=[(q, 0.1) for q in range(n)])
+    noise = StructuredNoise(n, t1=[(q, 0.1) for q in range(n)],
+                            dephasing=[(3, 0.2)])
     w = prob.measurement.diag
     key = jax.random.PRNGKey(5)
 
@@ -346,7 +348,7 @@ def test_mcwf_score_gradient_on_chip():
         psis, logps = evolve_mcwf_structured(
             prob.ham, prob.envelope, cc, prob.psi0, noise, 0.0,
             float(prob.T), horizon=float(prob.T), n_steps=10, key=key,
-            n_traj=8, return_logp=True)
+            n_traj=8, return_logp=True, backend="fused")
         vals = jnp.sum(cpx.abs2(psis) * w, axis=-1)
         return score_surrogate(vals, logps)
 
@@ -410,12 +412,16 @@ def test_hop_mega_20q_molecule_on_chip():
     assert fused_eligible(ham)
     T, n_steps = 1.0, 4
 
-    def loss(c):
+    # w rides as a jit ARGUMENT: a closed-over [2^20] f32 cost vector
+    # would serialize as an 8 MiB dense constant (round-4 finding: big
+    # constants ballooned this program to 14.7 MB of MLIR and the
+    # compile helper was OOM-killed)
+    def loss(c, wv):
         psi = evolve_product_fused(ham, env, c, psi0, 0.0, T, horizon=T,
                                    n_steps=n_steps)
-        return jnp.sum(cpx.abs2(psi) * w, axis=-1)
+        return jnp.sum(cpx.abs2(psi) * wv, axis=-1)
 
-    v0, g = jax.jit(jax.value_and_grad(loss))(coeff)
+    v0, g = jax.jit(jax.value_and_grad(loss))(coeff, w)
     assert np.isfinite(float(v0))
     g = np.asarray(g)
     assert np.all(np.isfinite(g)) and np.linalg.norm(g) > 0
@@ -425,16 +431,16 @@ def test_hop_mega_20q_molecule_on_chip():
         rng.standard_normal(coeff.shape).astype(np.float32))
     eps = 1e-3
     lj = jax.jit(loss)
-    fd = (float(lj(coeff + eps * direction))
-          - float(lj(coeff - eps * direction))) / (2 * eps)
+    fd = (float(lj(coeff + eps * direction, w))
+          - float(lj(coeff - eps * direction, w))) / (2 * eps)
     an = float(np.sum(g * np.asarray(direction)))
     assert abs(fd - an) < 5e-3 * max(1.0, abs(fd)), (fd, an)
     # value vs XLA product at matched dt: splitting-order tolerance
-    def loss_x(c):
+    def loss_x(c, wv):
         psi = evolve_product(ham, env, c, psi0, 0.0, T, horizon=T,
                              n_steps=n_steps)
-        return jnp.sum(cpx.abs2(psi) * w, axis=-1)
-    vx = float(jax.jit(loss_x)(coeff))
+        return jnp.sum(cpx.abs2(psi) * wv, axis=-1)
+    vx = float(jax.jit(loss_x)(coeff, w))
     assert abs(float(v0) - vx) < 0.05 * max(1.0, abs(vx)), (float(v0), vx)
 
 
@@ -489,8 +495,10 @@ def test_mc_estimator_18q_on_chip():
     sampled-measurement variant — previously chip-validated only to 12q.
     The MC estimator is unbiased with E[g_MC] ∝ dL/dc directionally; a
     fixed key gives a deterministic estimate whose dot product with the
-    adjoint gradient must be positive and finite."""
-    from diffquantum_tpu.gradients.mc import mc_energy_grad
+    adjoint gradient must be positive and finite. The sample axis rides
+    lax.map (sample_mode='auto' → 'map' at 18q): vmap cannot batch the
+    packed kernels' ANY-space state buffers."""
+    from diffquantum_tpu.gradients.mc import mc_energy_grad_batch
 
     prob = maxcut.build_maxcut(18, maxcut.ring_graph(18), n_basis=4,
                                dense=False)
@@ -506,12 +514,10 @@ def test_mc_estimator_18q_on_chip():
     g_adj = np.asarray(jax.jit(jax.grad(energy))(c))
 
     def mc_mean(cc, key, n_samples=8, sampling=False):
-        ks = jax.random.split(key, n_samples)
-        gs = jax.vmap(lambda k: mc_energy_grad(
+        return mc_energy_grad_batch(
             prob.ham, prob.envelope, prob.measurement, cc, prob.psi0,
-            float(prob.T), k, n_steps, backend="product_fused",
-            sampling=sampling))(ks)
-        return gs.mean(axis=0)
+            float(prob.T), key, n_steps, n_samples=n_samples,
+            backend="product_fused", sampling=sampling)
 
     g_mc = np.asarray(jax.jit(
         lambda cc, k: mc_mean(cc, k))(c, jax.random.PRNGKey(7)))
