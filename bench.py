@@ -362,8 +362,9 @@ def main():
     # ---- forward-only propagator throughput (time-steps/sec, 10q) --------
     if section("steps10q", 120):
         try:
-            _, ns10, g10, c10 = maxcut_grad_fn(10)
-            per10, _ = amortized_step_latency(g10, c10, chain=100, n_runs=10)
+            _, ns10, g10, c10, w10 = maxcut_grad_fn(10)
+            per10, _ = amortized_step_latency(g10, c10, chain=100, n_runs=10,
+                                              extra=(w10,))
             _emit({"metric": "propagator_steps_per_sec_10q",
                    "value": round(ns10 / per10, 1),
                    "unit": "time-steps/s (incl. grad)"})
