@@ -47,6 +47,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..ops import cpx
+from ..ops.fused_product import (diag_rows_device,
+                                 diag_vec_device)
 from ..ops.cpx import CP
 from ..ops.expm import cexpm_apply_taylor, taylor_params
 from .hamiltonian import ControlledHamiltonian, spectral_norm_bound
@@ -433,9 +435,8 @@ def evolve_lindblad_structured(
     u = envelope.amplitudes(coeff, ts, horizon)
     rdt = ham.dtype
 
-    diag_table = jnp.asarray(np.stack(diag_rows), dtype=rdt) if diag_rows \
-        else jnp.zeros((0, ham.dim), dtype=rdt)
-    h0_vec = jnp.asarray(h0_diag, dtype=rdt)
+    diag_table = diag_rows_device(diag_rows, ham.dim, rdt)
+    h0_vec = diag_vec_device(h0_diag, rdt)
     u_diag = (u[jnp.asarray(diag_idx, jnp.int32)] if diag_idx else
               jnp.zeros((0, n_steps))).astype(rdt)
     u_oneq = (u[jnp.asarray(oneq_idx, jnp.int32)] if oneq_idx else
@@ -524,9 +525,8 @@ def evolve_dephasing_trajectories(
     u = envelope.amplitudes(coeff, ts, horizon)
     rdt = ham.dtype
 
-    diag_table = jnp.asarray(np.stack(diag_rows), dtype=rdt) if diag_rows \
-        else jnp.zeros((0, ham.dim), dtype=rdt)
-    h0_vec = jnp.asarray(h0_diag, dtype=rdt)
+    diag_table = diag_rows_device(diag_rows, ham.dim, rdt)
+    h0_vec = diag_vec_device(h0_diag, rdt)
     u_diag = (u[jnp.asarray(diag_idx, jnp.int32)] if diag_idx else
               jnp.zeros((0, n_steps))).astype(rdt)
     u_oneq = (u[jnp.asarray(oneq_idx, jnp.int32)] if oneq_idx else
@@ -647,9 +647,8 @@ def evolve_mcwf_structured(
     u = envelope.amplitudes(coeff, ts, horizon)
     rdt = ham.dtype
 
-    diag_table = jnp.asarray(np.stack(diag_rows), dtype=rdt) if diag_rows \
-        else jnp.zeros((0, ham.dim), dtype=rdt)
-    h0_vec = jnp.asarray(h0_diag, dtype=rdt)
+    diag_table = diag_rows_device(diag_rows, ham.dim, rdt)
+    h0_vec = diag_vec_device(h0_diag, rdt)
     u_diag = (u[jnp.asarray(diag_idx, jnp.int32)] if diag_idx else
               jnp.zeros((0, n_steps))).astype(rdt)
     u_oneq = (u[jnp.asarray(oneq_idx, jnp.int32)] if oneq_idx else

@@ -35,6 +35,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..ops import cpx
+from ..ops.fused_product import (diag_rows_device,
+                                 diag_vec_device)
 from ..ops.cpx import CP
 from .hamiltonian import ControlledHamiltonian, TermStructure
 
@@ -115,6 +117,30 @@ def _phase(theta: jnp.ndarray) -> CP:
     return CP(jnp.cos(theta), -jnp.sin(theta))
 
 
+def _lane_gmul(psi: CP, qubit: int, n_qubits: int, local_re, local_im):
+    """(G psi) for a qubit in the LOW 7 bits, as one [rows, 128] x
+    [128, 128] matmul: P = I_a (x) g (x) I_right over the lane tier.
+    The [left, 2, right<128] reshape form puts tiny dims in the two
+    minor positions, which XLA pads to full (8, 128) tiles — a
+    chip-measured 64x memory expansion that OOMed the 23-24q backward
+    (HLO temps at 4 GB per rotation). Returns (gre, gim, rows_shape)."""
+    lead = psi.re.shape[:-1]
+    right = 2 ** (n_qubits - qubit - 1)
+    rows = 2 ** (n_qubits - 7)
+    shape = lead + (rows, 128)
+    a = 128 // (2 * right)
+    ia = jnp.eye(a, dtype=local_re.dtype)
+    ir = jnp.eye(right, dtype=local_re.dtype)
+    p_re = jnp.kron(jnp.kron(ia, local_re), ir)
+    p_im = jnp.kron(jnp.kron(ia, local_im), ir)
+    pre, pim = psi.re.reshape(shape), psi.im.reshape(shape)
+    mm = lambda x, p: jnp.einsum("...rc,dc->...rd", x, p,  # noqa: E731
+                                 precision=_HP)
+    gre = mm(pre, p_re) - mm(pim, p_im)
+    gim = mm(pim, p_re) + mm(pre, p_im)
+    return pre, pim, gre, gim
+
+
 def apply_1q_pauli_rot(psi: CP, theta, qubit: int, n_qubits: int,
                        local_re: jnp.ndarray, local_im: jnp.ndarray) -> CP:
     """Apply exp(-i theta G) for an involutory 2x2 generator G (G^2 = I,
@@ -125,6 +151,14 @@ def apply_1q_pauli_rot(psi: CP, theta, qubit: int, n_qubits: int,
     lead = psi.re.shape[:-1]
     left = 2**qubit
     right = 2 ** (n_qubits - qubit - 1)
+    c, s = jnp.cos(theta), jnp.sin(theta)
+    if right < 128 and n_qubits >= 10:
+        pre, pim, gre, gim = _lane_gmul(psi, qubit, n_qubits,
+                                        local_re, local_im)
+        out_re = c * pre + s * gim
+        out_im = c * pim - s * gre
+        d = psi.re.shape[-1]
+        return CP(out_re.reshape(lead + (d,)), out_im.reshape(lead + (d,)))
     shape = lead + (left, 2, right)
     pre, pim = psi.re.reshape(shape), psi.im.reshape(shape)
 
@@ -137,7 +171,6 @@ def apply_1q_pauli_rot(psi: CP, theta, qubit: int, n_qubits: int,
         return yre, yim
 
     gre, gim = gmul(pre, pim)
-    c, s = jnp.cos(theta), jnp.sin(theta)
     # cos * psi - i sin * (G psi);  -i(a+ib) = b - ia
     out_re = c * pre + s * gim
     out_im = c * pim - s * gre
@@ -207,6 +240,11 @@ def apply_1q_operator(psi: CP, qubit: int, n_qubits: int,
     lead = psi.re.shape[:-1]
     left = 2**qubit
     right = 2 ** (n_qubits - qubit - 1)
+    if right < 128 and n_qubits >= 10:  # avoid tiny-minor-dim tile padding
+        d = psi.re.shape[-1]
+        _, _, gre, gim = _lane_gmul(psi, qubit, n_qubits,
+                                    local_re, local_im)
+        return CP(gre.reshape(lead + (d,)), gim.reshape(lead + (d,)))
     shape = lead + (left, 2, right)
     pre, pim = psi.re.reshape(shape), psi.im.reshape(shape)
     gre = jnp.einsum("ab,...lbr->...lar", local_re, pre, precision=_HP) \
@@ -527,9 +565,8 @@ def evolve_product_fused(
                                            signs_arr, qubits, n, kinds,
                                            fast)
 
-    diag_table = jnp.asarray(np.stack(diag_rows), dtype=rdt) if diag_rows \
-        else jnp.zeros((0, ham.dim), dtype=rdt)
-    h0_vec = jnp.asarray(h0_diag, dtype=rdt)
+    diag_table = diag_rows_device(diag_rows, ham.dim, rdt)
+    h0_vec = diag_vec_device(h0_diag, rdt)
     di = jnp.asarray(diag_idx, dtype=jnp.int32)
     qi = jnp.asarray(oneq_idx, dtype=jnp.int32)
     hi = jnp.asarray(hop_idx, dtype=jnp.int32)
@@ -705,9 +742,8 @@ def _prepare_product_inputs(ham, envelope, coeff, T0, T, horizon, n_steps,
     u = envelope.amplitudes(coeff, ts, horizon)  # [n_controls, n_steps]
     rdt = ham.dtype
 
-    diag_table = jnp.asarray(np.stack(diag_rows), dtype=rdt) if diag_rows \
-        else jnp.zeros((0, ham.dim), dtype=rdt)
-    h0_vec = jnp.asarray(h0_diag, dtype=rdt)
+    diag_table = diag_rows_device(diag_rows, ham.dim, rdt)
+    h0_vec = diag_vec_device(h0_diag, rdt)
 
     def pick(idx):
         return (u[jnp.asarray(idx, dtype=jnp.int32)] if idx else

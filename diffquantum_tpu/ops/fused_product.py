@@ -995,7 +995,7 @@ def _vmem_params(n_planes: int, b: int, r: int):
 _PLANE_BITS = 30  # sign bits per int32 plane (sign bit + 1 kept clear)
 
 
-def parity_sign_masks(diag_rows):
+def parity_sign_masks(diag_rows, cap_terms: bool = True):
     """Express each two-valued diagonal row as
     ``row_k(j) = c_k + w_k * (-1)^parity(j & m_k)`` — the form every
     Pauli-Z-string cost has (ZZ couplers, Z fields, their products).
@@ -1010,7 +1010,7 @@ def parity_sign_masks(diag_rows):
     :func:`signs_planes_device` rebuild the planes ON DEVICE from an
     iota, shrinking the serialized program to a few bit-ops."""
     rows = [np.asarray(r, dtype=np.float64) for r in diag_rows]
-    if len(rows) > _MAX_PACKED_TERMS:
+    if cap_terms and len(rows) > _MAX_PACKED_TERMS:
         return None
     if not rows:
         return ((), np.zeros(0), np.zeros(0))
@@ -1046,6 +1046,44 @@ def parity_sign_masks(diag_rows):
         consts.append(c)
         scales.append(w)
     return tuple(masks), np.asarray(consts), np.asarray(scales)
+
+
+def parity_bit_device(j: jnp.ndarray, mask: int) -> jnp.ndarray:
+    """parity(j & mask) as an int array built from shifts/xors on device."""
+    x = jnp.bitwise_and(j, jnp.int32(mask))
+    for sh in (16, 8, 4, 2, 1):
+        x = jnp.bitwise_xor(x, jax.lax.shift_right_logical(x, np.int32(sh)))
+    return jnp.bitwise_and(x, jnp.int32(1))
+
+
+def diag_rows_device(diag_rows, d: int, rdt):
+    """[n_rows, d] diagonal-control table, built ON DEVICE from parity
+    masks when every row is parity-form (row = c + w·(-1)^parity(j&m) —
+    every Pauli-Z-string cost). The host-side np.stack form serializes as
+    a dense MLIR constant: 770 MB at 23 qubits × 23 ZZ rows, which the
+    remote-compile tunnel rejects outright (HTTP 413, chip-measured
+    round 4) — this keeps the XLA product engine shippable at frontier
+    sizes. Non-parity rows fall back to the dense constant (unavoidable
+    for genuinely unstructured diagonals)."""
+    if not diag_rows:
+        return jnp.zeros((0, d), dtype=rdt)
+    par = parity_sign_masks(diag_rows, cap_terms=False)
+    if par is None:
+        return jnp.asarray(np.stack(diag_rows), dtype=rdt)
+    masks, consts, scales = par
+    j = jax.lax.iota(jnp.int32, d)
+    rows = [jnp.full((d,), c, dtype=rdt) if w == 0.0 else
+            (c + w * (1.0 - 2.0 * parity_bit_device(j, m).astype(rdt)))
+            for m, c, w in zip(masks, consts, scales)]
+    return jnp.stack(rows).astype(rdt)
+
+
+def diag_vec_device(row, rdt):
+    """Single diagonal as a device-built vector when parity-form (H0
+    diagonals — typically all zeros or a Z-string sum); dense otherwise."""
+    row = np.asarray(row)
+    out = diag_rows_device([row], row.shape[0], rdt)
+    return out[0]
 
 
 def signs_planes_device(masks, d: int) -> jnp.ndarray:

@@ -41,6 +41,8 @@ from jax import shard_map
 from ..dynamics.hamiltonian import ControlledHamiltonian
 from ..dynamics.product import split_structure
 from ..ops import cpx
+from ..ops.fused_product import (diag_rows_device,
+                                 diag_vec_device)
 from ..ops.cpx import CP
 
 
@@ -246,9 +248,8 @@ def evolve_product_sharded(
         u = envelope.amplitudes(coeff, ts, horizon)  # [n_controls, n_steps]
     rdt = ham.dtype
 
-    diag_table = jnp.asarray(np.stack(diag_rows), dtype=rdt) if diag_rows \
-        else jnp.zeros((0, ham.dim), dtype=rdt)
-    h0_vec = jnp.asarray(h0_diag, dtype=rdt)
+    diag_table = diag_rows_device(diag_rows, ham.dim, rdt)
+    h0_vec = diag_vec_device(h0_diag, rdt)
     ctrl_axis = -2
     di = jnp.asarray(diag_idx, dtype=jnp.int32)
     qi = jnp.asarray(oneq_idx, dtype=jnp.int32)
@@ -479,7 +480,7 @@ def _evolve_sharded_chunked(ham, envelope, coeff, psi0, T0, T, horizon,
         [kinds_all[i] for i in loc_ids], theta_loc, axis=1)
     theta_dist = half * u_oneq.T[:, jnp.asarray(dist_ids, jnp.int32)] \
         if dist_ids else jnp.zeros((n_steps, 0), rdt)
-    h0th = half * jnp.asarray(h0_diag, rdt)
+    h0th = half * diag_vec_device(h0_diag, rdt)
     signs = signs_dev
 
     def inner(p_re, p_im, h0v, sg, ud_t, tl_t, td_t):
