@@ -15,7 +15,12 @@ time; each section declares an estimated cost and is skipped (with a
 stderr note) once the remaining budget cannot cover it — BENCH_r03 hit
 the driver timeout (rc=124) by running seven unbudgeted frontier
 compiles back to back. Sections run in priority order: headline, then
-the frontier scale metrics (18q/24q), then the rest.
+the frontier scale claims (fused18q / mega24q), then the remaining
+BASELINE.md-tracked metrics (stretch16q / steps10q / mc_seeds64), then
+everything else — BENCH_r04 overran and silently dropped its tail, so
+the order IS the priority, and a compact {"summary": {metric: value}}
+line with EVERY collected metric is always printed second-to-last on
+stdout (atexit-guarded), followed by the headline as the final line.
 
 The reference implements this step as 1 + 2*n_Hs sequential scipy-expm
 evolutions on CPU (`/root/reference/sim_plain.py:190-215`) — minutes per
@@ -83,7 +88,12 @@ def amortized_step_latency(step_fn, coeff, chain: int = 100, n_runs: int = 15,
     return multi / chain, single
 
 
+RESULTS = {}  # metric -> value; re-emitted as ONE summary line at exit
+
+
 def _emit(obj, primary=False):
+    if "metric" in obj:
+        RESULTS[obj["metric"]] = obj["value"]
     print(json.dumps(obj), file=sys.stdout if primary else sys.stderr,
           flush=True)
 
@@ -143,6 +153,26 @@ def main():
     _emit({"metric": "qaoa12_grad_step_single_dispatch",
            "value": round(single * 1e3, 3), "unit": "ms"})
 
+    # The driver artifact stores only a TAIL of the output (BENCH_r04 lost
+    # fused18q that way): guarantee the last lines always carry EVERY
+    # collected metric — a compact {metric: value} summary as the
+    # second-to-last stdout line, the headline last. atexit covers
+    # uncaught exceptions between sections too.
+    import atexit
+    _finished = []
+
+    def _finish():
+        if _finished:
+            return
+        _finished.append(True)
+        summary = {"summary": dict(RESULTS),
+                   "elapsed_s": round(time.time() - _T0)}
+        print(json.dumps(summary), file=sys.stderr, flush=True)
+        print(json.dumps(summary), flush=True)
+        print(json.dumps(headline), flush=True)
+
+    atexit.register(_finish)
+
     def section(name, est_s):
         left = _remaining()
         if left < est_s:
@@ -156,186 +186,27 @@ def main():
     # ---- frontier scale metrics (highest priority after the headline) ----
     # 18q: packed VMEM kernels inside a chained scan — the BENCH_r03
     # compile-OOM shape; 20/22/24q: chunked HBM-state / mega kernels.
-    for nq, chain_n, est, label in (
-            (18, 20, 420, "fused18q_grad_step"),
-            (24, 4, 300, "mega24q_grad_step"),
-            (20, 10, 240, "fused20q_grad_step"),
-            (22, 5, 240, "chunked22q_grad_step")):
-        if not section(label, est):
-            continue
-        try:
-            _, _, g_n, c_n, w_n = maxcut_grad_fn(nq)
-            per_n, _ = amortized_step_latency(g_n, c_n, chain=chain_n,
-                                              n_runs=6, extra=(w_n,))
-            _emit({"metric": label, "value": round(per_n * 1e3, 3),
-                   "unit": f"ms ({nq}q full pulse-grad step)"})
-        except Exception as e:
-            print(f"{label} bench failed: {e}", file=sys.stderr)
-
-    # ---- molecule drive set {X, Y, hop, ZZ} on the fused engines ---------
-    def molecule_grad_fn(nmol, n_basis=4):
-        from diffquantum_tpu.dynamics.hamiltonian import (
-            ControlledHamiltonian, TermStructure)
-        from diffquantum_tpu.ops import linalg as _lin
-        from diffquantum_tpu.pulses.envelope import SimpleEnvelope
-        dmol = 2**nmol
-        pairs = [(i, i + 1) for i in range(nmol - 1)] + \
-                [(i, i + 2) for i in range(nmol - 2)]
-        structure, omegas = [], []
-        for q in range(nmol):
-            for loc in (_lin.X, _lin.Y):
-                structure.append(TermStructure(kind="1q", qubit=q,
-                                               local=loc))
-                omegas.append(np.pi)
-        for (i, j) in pairs:
-            structure.append(TermStructure(kind="hop", qubit=i, qubit2=j))
-            omegas.append(np.pi)
-            structure.append(TermStructure(
-                kind="diag", diag=_lin.zz_diagonal(nmol, i, j)))
-            omegas.append(np.pi)
-        ham_m = ControlledHamiltonian.create_structured(
-            dmol, tuple(structure),
-            h0_structure=TermStructure(kind="diag", diag=np.zeros(dmol)),
-            dtype=jnp.float32)
-        env_m = SimpleEnvelope(basis="bspline", n_basis=n_basis,
-                               omegas=tuple(omegas))
-        w_m = jnp.asarray(rng.standard_normal(dmol), jnp.float32)
-        psi0 = cpx.from_complex(
-            np.full(dmol, dmol ** -0.5, np.complex128), jnp.float32)
-        is_fused = fused_eligible(ham_m)
-        evolver = evolve_product_fused if is_fused else evolve_product
-
-        def loss_m(c, wv):
-            psi = evolver(ham_m, env_m, c, psi0, 0.0, 2.0, horizon=2.0,
-                          n_steps=n_steps)
-            return jnp.sum(cpx.abs2(psi) * wv, axis=-1)
-
-        cm = jnp.asarray(rng.standard_normal(
-            env_m.coeff_shape).astype(np.float32) * 1e-3)
-        return jax.value_and_grad(loss_m), cm, len(structure), is_fused, w_m
-
-    for nmol, chain_n, est, label in (
-            (12, 10, 180, "molecule12q_hop_grad_step"),
-            (20, 5, 360, "molecule20q_hop_grad_step")):
-        if not section(label, est):
-            continue
-        try:
-            g_m, cm, n_ctl, is_fused, w_m = molecule_grad_fn(nmol)
-            if nmol >= 18 and not is_fused:
-                # chained XLA-product grads at 16M amplitudes risk the
-                # known giant-program worker crash — frontier molecule
-                # metric requires the fused hop engines
-                print(f"SKIP {label}: hop drives not fused-eligible at "
-                      f"{nmol}q", file=sys.stderr)
+    # Split into a REQUIRED tier (18/24 — the scale-frontier claims,
+    # never driver-captured through round 4) and a secondary tier
+    # (20/22) that runs after the BASELINE.md-tracked sections below:
+    # BENCH_r04 overran its budget and silently dropped the tail, so the
+    # order now IS the priority.
+    def run_maxcut_tier(tier):
+        for nq, chain_n, est, label in tier:
+            if not section(label, est):
                 continue
-            per_m, _ = amortized_step_latency(g_m, cm, chain=chain_n,
-                                              n_runs=6, extra=(w_m,))
-            _emit({"metric": label, "value": round(per_m * 1e3, 3),
-                   "unit": f"ms ({n_ctl}-control X/Y+hop+ZZ drive set, "
-                           "fused hop op plan)"})
-        except Exception as e:
-            print(f"{label} bench failed: {e}", file=sys.stderr)
+            try:
+                _, _, g_n, c_n, w_n = maxcut_grad_fn(nq)
+                runs = 6 if _remaining() > est else 3
+                per_n, _ = amortized_step_latency(g_n, c_n, chain=chain_n,
+                                                  n_runs=runs, extra=(w_n,))
+                _emit({"metric": label, "value": round(per_n * 1e3, 3),
+                       "unit": f"ms ({nq}q full pulse-grad step)"})
+            except Exception as e:
+                print(f"{label} bench failed: {e}", file=sys.stderr)
 
-    # ---- channel (carrier / two-quadrature, IBM-pulse-style) model -------
-    if section("channel12q", 150):
-        try:
-            from diffquantum_tpu.dynamics.hamiltonian import (
-                ControlledHamiltonian, TermStructure)
-            from diffquantum_tpu.ops import linalg as _lin
-            from diffquantum_tpu.pulses.envelope import ChannelEnvelope
-            nch = 12
-            dch = 2**nch
-            edges = [(i, (i + 1) % nch) for i in range(nch)]
-            structure, nested = [], []
-            cost = np.zeros(dch)
-            for idx, (i, j) in enumerate(edges):
-                diag = _lin.zz_diagonal(nch, i, j)
-                cost += -0.5 * (1.0 - diag)
-                structure.append(TermStructure(kind="diag", diag=diag))
-                nested.append([[0.0, np.pi, 0.7 * idx, idx]])
-            for q in range(nch):
-                structure.append(TermStructure(kind="1q", qubit=q,
-                                               local=_lin.X))
-                nested.append([[0.0, np.pi, 3.0 + 0.5 * q, len(edges) + q]])
-            ham_ch = ControlledHamiltonian.create_structured(
-                dch, tuple(structure),
-                h0_structure=TermStructure(kind="diag", diag=np.zeros(dch)),
-                dtype=jnp.float32)
-            env_ch = ChannelEnvelope.from_rows(nested, n_basis=6,
-                                               func_type=0)
-            psi_ch = prob.psi0  # same 12q uniform superposition
-            cost_j = jnp.asarray(cost, jnp.float32)
-
-            def loss_ch(vv):
-                psi = evolve_product_fused(ham_ch, env_ch, vv, psi_ch, 0.0,
-                                           2.0, horizon=2.0, n_steps=n_steps)
-                return jnp.sum(cpx.abs2(psi) * cost_j, axis=-1)
-
-            vv0 = jnp.asarray(rng.standard_normal(
-                env_ch.coeff_shape).astype(np.float32) * 1e-3)
-            per_ch, _ = amortized_step_latency(
-                jax.value_and_grad(loss_ch), vv0, chain=100, n_runs=8)
-            _emit({"metric": "channel12q_grad_step",
-                   "value": round(per_ch * 1e3, 3),
-                   "unit": "ms (carrier/2-quadrature pulse model)"})
-        except Exception as e:
-            print(f"channel bench failed: {e}", file=sys.stderr)
-
-    # ---- 64-seed batched training epoch (the MXU-shaped number) ----------
-    if section("seeds64", 240):
-        try:
-            import optax
-            n_seeds = 64
-            psi_b = jax.tree_util.tree_map(
-                lambda x: jnp.broadcast_to(x, (n_seeds,) + x.shape),
-                prob.psi0)
-            evolver_b = evolve_product_fused if fused_eligible(prob.ham) \
-                else evolve_product
-
-            def batch_energy_sum(cs, prec="full"):
-                psi = evolver_b(prob.ham, prob.envelope, cs, psi_b, 0.0,
-                                prob.T, horizon=prob.T, n_steps=n_steps,
-                                precision=prec)
-                e = jnp.sum(cpx.abs2(psi) * prob.measurement.diag, axis=-1)
-                return e.sum()
-
-            opt = optax.adam(2e-2)
-            cs0 = jnp.asarray(rng.standard_normal(
-                (n_seeds,) + prob.envelope.coeff_shape).astype(np.float32)
-                * 1e-3)
-            ost0 = opt.init(cs0)
-            blk = 50  # match train-loop block size; bounds the ~29 ms fixed
-                      # per-dispatch tunnel cost at ~0.6 ms/epoch
-
-            def run_block_for(prec):
-                def epoch(carry, _):
-                    cs, ost = carry
-                    g = jax.grad(lambda c: batch_energy_sum(c, prec))(cs)
-                    updates, ost = opt.update(g, ost, cs)
-                    return (optax.apply_updates(cs, updates), ost), None
-
-                @jax.jit
-                def run_block(carry):
-                    return jax.lax.scan(epoch, carry, None, length=blk)[0]
-                return run_block
-
-            lat_blk = median_latency(run_block_for("full"), ((cs0, ost0),),
-                                     n_warmup=2, n_runs=8)
-            _emit({"metric": "seeds64_epoch_latency",
-                   "value": round(lat_blk / blk * 1e3, 3),
-                   "unit": "ms (64-seed 12q train epoch)"})
-            _emit({"metric": "seeds64_per_seed_step",
-                   "value": round(lat_blk / blk / n_seeds * 1e6, 1),
-                   "unit": "us/seed-step"})
-            if fused_eligible(prob.ham) and section("seeds64_fast", 120):
-                lat_fast = median_latency(run_block_for("fast"),
-                                          ((cs0, ost0),), n_warmup=2,
-                                          n_runs=8)
-                _emit({"metric": "seeds64_epoch_latency_fast",
-                       "value": round(lat_fast / blk * 1e3, 3),
-                       "unit": "ms (precision='fast' bf16 kernels)"})
-        except Exception as e:
-            print(f"seeds bench failed: {e}", file=sys.stderr)
+    run_maxcut_tier(((18, 20, 420, "fused18q_grad_step"),
+                     (24, 4, 350, "mega24q_grad_step")))
 
     # ---- stretch config: 16 qubits, 1000-step chain, adjoint grad --------
     if section("stretch16q", 150):
@@ -416,10 +287,188 @@ def main():
         except Exception as e:
             print(f"mc seeds bench failed: {e}", file=sys.stderr)
 
+    # ---- secondary frontier tier (20/22q) --------------------------------
+    run_maxcut_tier(((20, 10, 240, "fused20q_grad_step"),
+                     (22, 5, 240, "chunked22q_grad_step")))
+
+    # ---- molecule drive set {X, Y, hop, ZZ} on the fused engines ---------
+    def molecule_grad_fn(nmol, n_basis=4):
+        from diffquantum_tpu.dynamics.hamiltonian import (
+            ControlledHamiltonian, TermStructure)
+        from diffquantum_tpu.ops import linalg as _lin
+        from diffquantum_tpu.pulses.envelope import SimpleEnvelope
+        dmol = 2**nmol
+        pairs = [(i, i + 1) for i in range(nmol - 1)] + \
+                [(i, i + 2) for i in range(nmol - 2)]
+        structure, omegas = [], []
+        for q in range(nmol):
+            for loc in (_lin.X, _lin.Y):
+                structure.append(TermStructure(kind="1q", qubit=q,
+                                               local=loc))
+                omegas.append(np.pi)
+        for (i, j) in pairs:
+            structure.append(TermStructure(kind="hop", qubit=i, qubit2=j))
+            omegas.append(np.pi)
+            structure.append(TermStructure(
+                kind="diag", diag=_lin.zz_diagonal(nmol, i, j)))
+            omegas.append(np.pi)
+        ham_m = ControlledHamiltonian.create_structured(
+            dmol, tuple(structure),
+            h0_structure=TermStructure(kind="diag", diag=np.zeros(dmol)),
+            dtype=jnp.float32)
+        env_m = SimpleEnvelope(basis="bspline", n_basis=n_basis,
+                               omegas=tuple(omegas))
+        w_m = jnp.asarray(rng.standard_normal(dmol), jnp.float32)
+        psi0 = cpx.from_complex(
+            np.full(dmol, dmol ** -0.5, np.complex128), jnp.float32)
+        is_fused = fused_eligible(ham_m)
+        evolver = evolve_product_fused if is_fused else evolve_product
+
+        def loss_m(c, wv):
+            psi = evolver(ham_m, env_m, c, psi0, 0.0, 2.0, horizon=2.0,
+                          n_steps=n_steps)
+            return jnp.sum(cpx.abs2(psi) * wv, axis=-1)
+
+        cm = jnp.asarray(rng.standard_normal(
+            env_m.coeff_shape).astype(np.float32) * 1e-3)
+        return jax.value_and_grad(loss_m), cm, len(structure), is_fused, w_m
+
+    for nmol, chain_n, est, label in (
+            (12, 10, 180, "molecule12q_hop_grad_step"),
+            (20, 5, 360, "molecule20q_hop_grad_step")):
+        if not section(label, est):
+            continue
+        try:
+            g_m, cm, n_ctl, is_fused, w_m = molecule_grad_fn(nmol)
+            if nmol >= 18 and not is_fused:
+                # chained XLA-product grads at 16M amplitudes risk the
+                # known giant-program worker crash — frontier molecule
+                # metric requires the fused hop engines
+                print(f"SKIP {label}: hop drives not fused-eligible at "
+                      f"{nmol}q", file=sys.stderr)
+                continue
+            per_m, _ = amortized_step_latency(g_m, cm, chain=chain_n,
+                                              n_runs=6, extra=(w_m,))
+            _emit({"metric": label, "value": round(per_m * 1e3, 3),
+                   "unit": f"ms ({n_ctl}-control X/Y+hop+ZZ drive set, "
+                           "fused hop op plan)"})
+        except Exception as e:
+            print(f"{label} bench failed: {e}", file=sys.stderr)
+
+    # ---- channel (carrier / two-quadrature, IBM-pulse-style) model -------
+    # 12q rides the streamed VMEM kernels; 18q proves the channel
+    # amplitude tables compose unchanged with the packed frontier
+    # engines (VERDICT r4 #6 — the model was chip-proven at 12q only).
+    def channel_bench(nch, chain_n, label):
+        try:
+            from diffquantum_tpu.dynamics.hamiltonian import (
+                ControlledHamiltonian, TermStructure)
+            from diffquantum_tpu.ops import linalg as _lin
+            from diffquantum_tpu.pulses.envelope import ChannelEnvelope
+            dch = 2**nch
+            edges = [(i, (i + 1) % nch) for i in range(nch)]
+            structure, nested = [], []
+            cost = np.zeros(dch)
+            for idx, (i, j) in enumerate(edges):
+                diag = _lin.zz_diagonal(nch, i, j)
+                cost += -0.5 * (1.0 - diag)
+                structure.append(TermStructure(kind="diag", diag=diag))
+                nested.append([[0.0, np.pi, 0.7 * idx, idx]])
+            for q in range(nch):
+                structure.append(TermStructure(kind="1q", qubit=q,
+                                               local=_lin.X))
+                nested.append([[0.0, np.pi, 3.0 + 0.5 * q, len(edges) + q]])
+            ham_ch = ControlledHamiltonian.create_structured(
+                dch, tuple(structure),
+                h0_structure=TermStructure(kind="diag", diag=np.zeros(dch)),
+                dtype=jnp.float32)
+            env_ch = ChannelEnvelope.from_rows(nested, n_basis=6,
+                                               func_type=0)
+            psi_ch = cpx.CP(jnp.full((dch,), dch ** -0.5, jnp.float32),
+                            jnp.zeros((dch,), jnp.float32))
+            cost_j = jnp.asarray(cost, jnp.float32)
+
+            def loss_ch(vv, cj):
+                psi = evolve_product_fused(ham_ch, env_ch, vv, psi_ch, 0.0,
+                                           2.0, horizon=2.0, n_steps=n_steps)
+                return jnp.sum(cpx.abs2(psi) * cj, axis=-1)
+
+            vv0 = jnp.asarray(rng.standard_normal(
+                env_ch.coeff_shape).astype(np.float32) * 1e-3)
+            per_ch, _ = amortized_step_latency(
+                jax.value_and_grad(loss_ch), vv0, chain=chain_n, n_runs=8,
+                extra=(cost_j,))
+            _emit({"metric": label,
+                   "value": round(per_ch * 1e3, 3),
+                   "unit": f"ms (carrier/2-quadrature pulse model, {nch}q)"})
+        except Exception as e:
+            print(f"{label} bench failed: {e}", file=sys.stderr)
+
+    if section("channel12q", 150):
+        channel_bench(12, 100, "channel12q_grad_step")
+    if section("channel18q", 240):
+        channel_bench(18, 20, "channel18q_grad_step")
+
+    # ---- 64-seed batched training epoch (the MXU-shaped number) ----------
+    if section("seeds64", 240):
+        try:
+            import optax
+            n_seeds = 64
+            psi_b = jax.tree_util.tree_map(
+                lambda x: jnp.broadcast_to(x, (n_seeds,) + x.shape),
+                prob.psi0)
+            evolver_b = evolve_product_fused if fused_eligible(prob.ham) \
+                else evolve_product
+
+            def batch_energy_sum(cs, prec="full"):
+                psi = evolver_b(prob.ham, prob.envelope, cs, psi_b, 0.0,
+                                prob.T, horizon=prob.T, n_steps=n_steps,
+                                precision=prec)
+                e = jnp.sum(cpx.abs2(psi) * prob.measurement.diag, axis=-1)
+                return e.sum()
+
+            opt = optax.adam(2e-2)
+            cs0 = jnp.asarray(rng.standard_normal(
+                (n_seeds,) + prob.envelope.coeff_shape).astype(np.float32)
+                * 1e-3)
+            ost0 = opt.init(cs0)
+            blk = 50  # match train-loop block size; bounds the ~29 ms fixed
+                      # per-dispatch tunnel cost at ~0.6 ms/epoch
+
+            def run_block_for(prec):
+                def epoch(carry, _):
+                    cs, ost = carry
+                    g = jax.grad(lambda c: batch_energy_sum(c, prec))(cs)
+                    updates, ost = opt.update(g, ost, cs)
+                    return (optax.apply_updates(cs, updates), ost), None
+
+                @jax.jit
+                def run_block(carry):
+                    return jax.lax.scan(epoch, carry, None, length=blk)[0]
+                return run_block
+
+            lat_blk = median_latency(run_block_for("full"), ((cs0, ost0),),
+                                     n_warmup=2, n_runs=8)
+            _emit({"metric": "seeds64_epoch_latency",
+                   "value": round(lat_blk / blk * 1e3, 3),
+                   "unit": "ms (64-seed 12q train epoch)"})
+            _emit({"metric": "seeds64_per_seed_step",
+                   "value": round(lat_blk / blk / n_seeds * 1e6, 1),
+                   "unit": "us/seed-step"})
+            if fused_eligible(prob.ham) and section("seeds64_fast", 120):
+                lat_fast = median_latency(run_block_for("fast"),
+                                          ((cs0, ost0),), n_warmup=2,
+                                          n_runs=8)
+                _emit({"metric": "seeds64_epoch_latency_fast",
+                       "value": round(lat_fast / blk * 1e3, 3),
+                       "unit": "ms (precision='fast' bf16 kernels)"})
+        except Exception as e:
+            print(f"seeds bench failed: {e}", file=sys.stderr)
+
     print(f"bench done in {time.time() - _T0:.0f}s", file=sys.stderr,
           flush=True)
-    # LAST stdout line = the headline (stable parse target)
-    _emit(headline, primary=True)
+    # summary (all metrics) second-to-last, headline LAST on stdout
+    _finish()
 
 
 if __name__ == "__main__":

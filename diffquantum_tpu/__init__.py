@@ -14,7 +14,35 @@ real-valued; see ops/cpx.py.
 """
 from .version import __version__
 
-from .ops import cpx, linalg
+
+def _enable_compile_cache():
+    """Persistent XLA compile cache for the WHOLE library, not just bench.py.
+
+    Compile time — not runtime — is the binding constraint of this
+    toolchain (a cold 24q hop-mega value+grad compiles in ~413 s;
+    docs/PERFORMANCE.md): without a persistent cache every demo, test
+    lane, and user training process pays the frontier compile again.
+    Enabled at import (the reference's analogous fixed cost is scipy's
+    per-call dense expm, `/root/reference/sim_plain.py:131-136`, which
+    has no cache at all). Opt out with DQ_NO_COMPILE_CACHE=1; point the
+    directory elsewhere with DQ_COMPILE_CACHE_DIR.
+    """
+    import os
+    if os.environ.get("DQ_NO_COMPILE_CACHE"):
+        return
+    try:
+        import jax
+        cache_dir = os.environ.get("DQ_COMPILE_CACHE_DIR",
+                                   "/tmp/diffquantum_tpu_jax_cache")
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:  # unknown flag on an old jax — cache is best-effort
+        pass
+
+
+_enable_compile_cache()
+
+from .ops import cpx, linalg  # noqa: E402
 from .ops.cpx import CP
 from .ops.expm import (cexpm_apply_taylor, cexpm_pade13, cexpm_taylor,
                        taylor_params)

@@ -57,12 +57,42 @@ def split_structure(ham: ControlledHamiltonian, hop_msg: str = None):
     return out[:6]
 
 
+# Host-side structure analysis is a real cost at the frontier: each
+# diagonal row scan is O(2^n) numpy work (up to 120 rows at 2^24 = 16M
+# amplitudes), and `fused_eligible` + `evolve_product_fused` used to
+# repeat it per call (ADVICE r4). Results are memoized per Hamiltonian,
+# keyed by the IDENTITY of its (immutable) structure tuples — the cache
+# holds a strong reference to the keys, so ids cannot be reused while an
+# entry lives. Bounded FIFO; entries are tiny (host metadata only).
+_ANALYSIS_CACHE = {}
+_ANALYSIS_CACHE_MAX = 64
+
+
+def _analysis_slot(ham: ControlledHamiltonian) -> dict:
+    """The per-Hamiltonian memo dict shared by select_engine /
+    split_structure_ext / the packed-form probe."""
+    key = (id(ham.structure), id(ham.h0_structure), ham.n_qubits)
+    ent = _ANALYSIS_CACHE.get(key)
+    if ent is not None and ent[0] is ham.structure \
+            and ent[1] is ham.h0_structure:
+        return ent[2]
+    while len(_ANALYSIS_CACHE) >= _ANALYSIS_CACHE_MAX:
+        _ANALYSIS_CACHE.pop(next(iter(_ANALYSIS_CACHE)))
+    slot: dict = {}
+    _ANALYSIS_CACHE[key] = (ham.structure, ham.h0_structure, slot)
+    return slot
+
+
 def split_structure_ext(ham: ControlledHamiltonian):
     """Like :func:`split_structure` plus the hopping terms:
     (..., hop_idx, hop_pairs) with hop_pairs a list of (i, j) site pairs
-    for ``X_i X_j + Y_i Y_j`` generators."""
+    for ``X_i X_j + Y_i Y_j`` generators. Memoized per Hamiltonian (the
+    row extraction is O(n_terms * 2^n) host work)."""
     if ham.structure is None:
         raise ValueError("product backend needs TermStructure metadata")
+    slot = _analysis_slot(ham)
+    if "split" in slot:
+        return slot["split"]
     diag_idx, diag_rows = [], []
     oneq_idx, oneq_qubits, oneq_locals = [], [], []
     hop_idx, hop_pairs = [], []
@@ -108,8 +138,22 @@ def split_structure_ext(ham: ControlledHamiltonian):
     h0 = ham.h0_structure
     if h0 is None or h0.kind != "diag":
         raise ValueError("product backend needs a diagonal (or zero) H0")
-    return (diag_idx, diag_rows, np.asarray(h0.diag, dtype=np.float64),
-            oneq_idx, oneq_qubits, oneq_locals, hop_idx, hop_pairs)
+    out = (diag_idx, diag_rows, np.asarray(h0.diag, dtype=np.float64),
+           oneq_idx, oneq_qubits, oneq_locals, hop_idx, hop_pairs)
+    slot["split"] = out
+    return out
+
+
+def _packed_form(ham: ControlledHamiltonian):
+    """Memoized `pack_diag_signs(diag_rows)` — the packed-phase probe both
+    :func:`select_engine` and :func:`evolve_product_fused` need; each
+    cold run scans every diagonal row (O(2^n) per row)."""
+    slot = _analysis_slot(ham)
+    if "packed" not in slot:
+        from ..ops.fused_product import pack_diag_signs
+        _, diag_rows, *_ = split_structure_ext(ham)
+        slot["packed"] = pack_diag_signs(diag_rows)
+    return slot["packed"]
 
 
 def _phase(theta: jnp.ndarray) -> CP:
@@ -385,6 +429,14 @@ def select_engine(ham: ControlledHamiltonian) -> str:
         return "xla"
     if ham.h0_structure is None or ham.h0_structure.kind != "diag":
         return "xla"
+    slot = _analysis_slot(ham)
+    if "engine" in slot:
+        return slot["engine"]
+    slot["engine"] = eng = _select_engine_uncached(ham)
+    return eng
+
+
+def _select_engine_uncached(ham: ControlledHamiltonian) -> str:
     n = ham.n_qubits
     n_rot, used, hop_entries = 0, [], []
     for st in ham.structure:
@@ -417,12 +469,11 @@ def select_engine(ham: ControlledHamiltonian) -> str:
     if n < _PACKED_MIN_QUBITS:
         return "streamed"
     # 18+: the packed-phase form is mandatory (no [n_steps, d] tables fit)
-    from ..ops.fused_product import pack_diag_signs
     try:
-        _, diag_rows, *_ = split_structure_ext(ham)
+        packed = _packed_form(ham)
     except ValueError:
         return "xla"
-    if pack_diag_signs(diag_rows) is None:
+    if packed is None:
         return "xla"
     if n <= _VMEM_PACKED_MAX:
         return "packed"
@@ -444,11 +495,12 @@ def fused_eligible(ham: ControlledHamiltonian) -> bool:
       kernels (ordered op plan, {01,10}-mask rotations — the molecule
       drive sets), provided the possibly-palindromic op sequence fits the
       128 angle lanes;
-    - 18-19: additionally need the packed-phase form (every diagonal
+    - 18: additionally need the packed-phase form (every diagonal
       control row two-valued, ≤120 terms — Pauli-Z strings qualify) so the
       kernel computes phases in-kernel and keeps HBM-resident boundary
-      buffers, staying under the 16 MiB VMEM budget
-      (:mod:`..ops.fused_product` packed kernels); no hops there;
+      buffers, staying under the VMEM budget (:mod:`..ops.fused_product`
+      packed kernels); hop pairs ride the packed op plan here too
+      (tests/test_router.py pins 18q hops → 'packed');
     - 19-24: packed-phase form on the chunked HBM-state engine
       (:mod:`..ops.fused_chunked`) in its single-call MEGA form. The
       per-call two-passes-per-step programs crashed the remote compile
@@ -492,8 +544,7 @@ def evolve_product_fused(
     angle tables (packed kernels, :mod:`..ops.fused_product`); that form
     also carries 18-19 qubit states (HBM-resident boundary buffers)."""
     from ..ops.fused_product import (fused_product_evolve,
-                                     fused_product_evolve_packed,
-                                     pack_diag_signs)
+                                     fused_product_evolve_packed)
 
     if precision not in ("full", "fast"):
         raise ValueError(f"precision must be 'full' or 'fast', "
@@ -515,13 +566,11 @@ def evolve_product_fused(
     # kernels 5-20% faster for 10-17 qubits (the in-kernel sign unpacking
     # costs more VPU than the angle tables cost bandwidth there), while
     # 18+ qubits REQUIRE the packed form (no [n_steps, d] tables fit).
-    packed = pack_diag_signs(diag_rows) if n >= _PACKED_MIN_QUBITS \
-        else None
-    # hops: streamed kernels <= 17q, packed VMEM kernels at 18q, the
+    packed = _packed_form(ham) if n >= _PACKED_MIN_QUBITS else None
+    # hops: streamed kernels <= 17q (packed is already None there, so
+    # they carry the hop op plan), packed VMEM kernels at 18q, the
     # palindromic-schedule mega engine (fused_mega_hop) at 19-24q
     hop_mega = bool(hop_pairs) and n > _VMEM_PACKED_MAX
-    if hop_pairs and not hop_mega and n < _PACKED_MIN_QUBITS:
-        packed = None  # streamed kernels carry the hop op plan
     if packed is None and n >= 18:
         raise ValueError(
             "18+ qubit fused evolution needs the packed-phase form "

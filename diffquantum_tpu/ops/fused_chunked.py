@@ -74,14 +74,18 @@ _CK_VMEM = {}
 
 def _mega_vmem(c: int) -> dict:
     """compiler_params for the mega kernels: the default 16 MiB scoped
-    window fits through c = 5 (22q); at c = 6 (23q) the backward's DMA
-    slabs + accumulators overrun it by ~0.75 MiB (measured on chip), so
-    raise the window modestly — compile time grows with the window, so
-    keep it as small as clears the allocation."""
+    window fits through c = 5 (22q); at c >= 6 (23/24q) the backward's
+    DMA slabs + accumulators overrun it (BENCH_r03: 18q packed backward
+    42.62 vs 40 MiB; BENCH_r04: 24q mega backward 24.74 vs 24.00 MiB —
+    the same regression class two rounds running), so grant generous
+    headroom: the measured compile-time curve is flat through 48 MiB
+    (docs/STATUS.md round-3 facts), and tpu_tests now carries 23q/24q
+    chained-scan grad lane tests so window regressions can't ship
+    silently again."""
     if c < 6:
         return dict(_CK_VMEM)
     return {"compiler_params": pltpu.CompilerParams(
-        vmem_limit_bytes=24 * 2**20)}
+        vmem_limit_bytes=32 * 2**20)}
 
 
 def _plan(n_qubits: int):

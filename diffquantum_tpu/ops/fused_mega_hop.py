@@ -58,6 +58,7 @@ dense-exponentiate (`/root/reference/sim_plain.py:272-274`, walled at
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -71,6 +72,7 @@ from .fused_product import _PLANE_BITS, _pdot
 
 _LANES = 128
 _LANE_QUBITS = 7
+_VMEM_MIB_HOP = int(os.environ.get("DQ_VMEM_MIB_HOP", "48"))
 
 # op-table column layout ([K, 128] int32, one row per op)
 _C_SLOT = 0    # angle column in the [1, 128] angle rows
@@ -93,12 +95,17 @@ def plan_chunked_hop_layout(entries, kinds, n_qubits):
 
     Positions: [0, c) chunk, [c, c+f) free, [c+f, n) lanes; pass B sees
     chunk + positions >= 2c (low free) + lanes, pass A sees positions
-    >= c. The chunk set is chosen greedily (first c qubits by label —
-    optimal for chain/near-neighbor hop graphs) and its hop-neighbors are
-    kept OUT of the c high-free positions [c, 2c). Returns ``perm`` with
-    ``perm[p] = original qubit at position p`` (identity-free layouts
-    return the identity tuple), or None when no feasible layout exists
-    (e.g. a hop graph so dense the chunk boundary cannot be cleared)."""
+    >= c. Candidate chunk sets, tried in order: the first / last c
+    qubits by label (optimal for chain/near-neighbor hop graphs), then
+    BFS-connected c-blocks grown from each of the lowest-degree vertices
+    (connected blocks have the smallest hop boundary, so they clear the
+    high-free band for graphs whose labels don't follow the geometry —
+    ADVICE r4). The chunk's hop-neighbors are kept OUT of the c
+    high-free positions [c, 2c). Returns ``perm`` with ``perm[p] =
+    original qubit at position p`` (identity-free layouts return the
+    identity tuple), or None (with a warning — the caller falls back to
+    the ~14-30x slower XLA product engine) when no candidate clears the
+    boundary (a hop graph denser than the free band can absorb)."""
     try:
         c, f = _plan(n_qubits)
     except ValueError:
@@ -111,7 +118,31 @@ def plan_chunked_hop_layout(entries, kinds, n_qubits):
             i, j = ent
             adj[i].add(j)
             adj[j].add(i)
-    for chunk in (tuple(range(c)), tuple(range(n_qubits - c, n_qubits))):
+
+    def bfs_block(start):
+        seen, order = {start}, [start]
+        qi = 0
+        while len(order) < c:
+            if qi < len(order):
+                frontier = sorted(adj[order[qi]] - seen)
+                qi += 1
+            else:  # disconnected — pull in the next unvisited label
+                frontier = [q for q in range(n_qubits) if q not in seen][:1]
+            for q in frontier:
+                if len(order) >= c:
+                    break
+                seen.add(q)
+                order.append(q)
+        return tuple(sorted(order))
+
+    by_degree = sorted(range(n_qubits), key=lambda q: (len(adj[q]), q))
+    candidates = [tuple(range(c)), tuple(range(n_qubits - c, n_qubits))]
+    candidates += [bfs_block(s) for s in by_degree[:4]]
+    tried = set()
+    for chunk in candidates:
+        if chunk in tried:
+            continue
+        tried.add(chunk)
         nbrs = set()
         for q in chunk:
             nbrs |= adj[q]
@@ -122,6 +153,13 @@ def plan_chunked_hop_layout(entries, kinds, n_qubits):
             continue
         others = [q for q in rest if q not in hf]
         return tuple(list(chunk) + hf + others)
+    import warnings
+    warnings.warn(
+        f"no feasible chunk layout for this {n_qubits}-qubit hop graph "
+        f"({sum(len(v) for v in adj.values()) // 2} hop edges): the "
+        "evolution falls back to the XLA product engine (roughly "
+        "14-30x slower at mega sizes — docs/PERFORMANCE.md)",
+        stacklevel=2)
     return None
 
 
@@ -223,11 +261,11 @@ def _hop_vmem() -> dict:
     keep several [F, 128] temporaries plus the packed matmul operand live
     per loop iteration; grant the 48 MiB hardware-safe cap (the plain
     mega kernels' 16 MiB default OOMed at 19q, chip-measured round 4).
-    DQ_VMEM_MIB_HOP overrides for experiments."""
-    import os
-    mib = int(os.environ.get("DQ_VMEM_MIB_HOP", "48"))
+    DQ_VMEM_MIB_HOP overrides for experiments — read ONCE at import
+    (module constant): the value bakes into compiled programs, so set it
+    before the first import (ADVICE r4)."""
     return {"compiler_params": pltpu.CompilerParams(
-        vmem_limit_bytes=mib * 2**20)}
+        vmem_limit_bytes=_VMEM_MIB_HOP * 2**20)}
 
 
 # ---------------------------------------------------------------------------

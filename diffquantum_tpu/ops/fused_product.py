@@ -34,6 +34,7 @@ unbatched state, f32.
 from __future__ import annotations
 
 import functools
+import os
 from typing import Sequence
 
 import jax
@@ -961,6 +962,11 @@ _MAX_PACKED_TERMS = 120  # 4 int32 bit-planes x 30 bits each
 # appetite) is the largest VMEM-resident size; 19+ qubits run on the
 # chunked HBM-state engine instead (ops/fused_chunked.py).
 _VMEM_HW_BYTES = 48 * 2**20
+# Window-size experiment knobs, read ONCE at import: they reach the
+# compiler through traced programs, so later env changes would be
+# silently ignored by anything already jit-cached (ADVICE r4).
+_VMEM_MIB_FWD = int(os.environ.get("DQ_VMEM_MIB_FWD", "28"))
+_VMEM_MIB_BWD = int(os.environ.get("DQ_VMEM_MIB_BWD", "48"))
 
 
 def _vmem_params(n_planes: int, b: int, r: int):
@@ -982,12 +988,11 @@ def _vmem_params(n_planes: int, b: int, r: int):
     # the two roles need DIFFERENT windows: a modest one for the forward
     # (n_planes <= 10) and the full 48 MiB hardware-safe cap for the
     # backward (n_planes > 10). Env DQ_VMEM_MIB_FWD / DQ_VMEM_MIB_BWD
-    # override for on-chip experiments.
-    import os
-    if n_planes <= 10:  # forward kernels
-        mib = int(os.environ.get("DQ_VMEM_MIB_FWD", "28"))
-    else:               # backward kernels
-        mib = int(os.environ.get("DQ_VMEM_MIB_BWD", "48"))
+    # override for on-chip experiments — read ONCE at import (module
+    # constants below): these values bake into traced/compiled programs,
+    # so a mid-process change would silently not apply to anything
+    # already jit-cached; set them before the first import instead.
+    mib = _VMEM_MIB_FWD if n_planes <= 10 else _VMEM_MIB_BWD
     return {"compiler_params": pltpu.CompilerParams(
         vmem_limit_bytes=int(min(mib * 2**20, _VMEM_HW_BYTES)))}
 

@@ -536,7 +536,7 @@ def test_mega_frontier_2324q_on_chip():
     """The 23/24-qubit single-chip frontier: the single-call mega kernels
     (per-call chunked programs crashed the remote compile helper past
     22q; the mega form compiles in ~1 min — `_mega_vmem` raises the
-    scoped window to 24 MiB at c >= 6). Values + grads vs the XLA
+    scoped window to 32 MiB at c >= 6). Values + grads vs the XLA
     product backend on chip at a few steps (the XLA path is safe for
     single steps at 16M amplitudes; only giant epoch blocks crash the
     worker)."""
@@ -551,3 +551,32 @@ def test_mega_frontier_2324q_on_chip():
                                    atol=1e-6)
         np.testing.assert_allclose(np.asarray(gf), np.asarray(gx),
                                    rtol=1e-3, atol=1e-4)
+
+
+@pytest.mark.parametrize("n", [23, 24])
+def test_mega_frontier_chained_grad_scan_on_chip(n):
+    """The CHAINED-scan gradient shape at the 23/24q frontier — the shape
+    that regressed twice without a test: BENCH_r03's 18q packed backward
+    (42.62 vs 40 MiB) and BENCH_r04's 24q mega backward (24.74 vs
+    24.00 MiB) both OOM'd scoped VMEM only when the grad step sat inside
+    a `lax.scan` of updates (the production train-loop / bench shape),
+    while the single-dispatch tests above stayed green. `_mega_vmem`
+    grants 32 MiB at c >= 6; this test pins that window against the
+    transpose-of-scan lowering on chip so it cannot silently shrink
+    relative to the backward's appetite again."""
+    prob = maxcut.build_maxcut(n, maxcut.ring_graph(n), n_basis=4,
+                               dense=False)
+    f_fused, _ = _energy_fns(prob, 3)
+    c = _coeff(prob.envelope, seed=100 + n)
+    grad_step = jax.value_and_grad(f_fused)
+
+    @jax.jit
+    def chained(c0):
+        def body(cc, _):
+            _, g = grad_step(cc)
+            return cc - 1e-6 * g, None
+        out, _ = jax.lax.scan(body, c0, None, length=3)
+        return out
+
+    out = jax.block_until_ready(chained(c))
+    assert np.all(np.isfinite(np.asarray(out)))
