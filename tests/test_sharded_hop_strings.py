@@ -149,3 +149,124 @@ def test_sharded_strings_expectation():
     with mesh:
         outb = np.asarray(sharded_strings_expectation(psib, strings, mesh))
     np.testing.assert_allclose(outb, refb, rtol=1e-5, atol=1e-6)
+
+
+def _fused_hop_setup(n, hop_pairs, x_qubits, y_qubits=(), n_basis=3,
+                     seed=3, scale=0.4, basis="bspline"):
+    d = 2**n
+    structure, omegas = [], []
+    for q in x_qubits:
+        structure.append(TermStructure(kind="1q", qubit=q, local=linalg.X))
+        omegas.append(np.pi)
+    for q in y_qubits:
+        structure.append(TermStructure(kind="1q", qubit=q, local=linalg.Y))
+        omegas.append(np.pi)
+    for (i, j) in hop_pairs:
+        structure.append(TermStructure(kind="hop", qubit=i, qubit2=j))
+        omegas.append(np.pi)
+        structure.append(TermStructure(kind="diag",
+                                       diag=linalg.zz_diagonal(n, i, j)))
+        omegas.append(np.pi)
+    ham = ControlledHamiltonian.create_structured(
+        d, tuple(structure),
+        h0_structure=TermStructure(kind="diag", diag=np.zeros(d)),
+        dtype=jnp.float32)
+    env = SimpleEnvelope(basis=basis, n_basis=n_basis,
+                         omegas=tuple(float(w) for w in omegas))
+    rng = np.random.default_rng(seed)
+    coeff = jnp.asarray(rng.standard_normal(env.coeff_shape),
+                        jnp.float32) * scale
+    psi0 = cpx.from_complex(linalg.uniform_superposition(n), jnp.float32)
+    w = jnp.asarray(rng.standard_normal(d), jnp.float32)
+    return ham, env, coeff, psi0, w
+
+
+def test_sharded_fused_hops_exact_commuting():
+    """Hops on the sharded FUSED local backend (round 5 — round 4 forced
+    every hop drive set onto local_backend='xla'): with all ops on
+    DISTINCT qubits every factor commutes, so sharded-fused ≡ sharded-xla
+    ≡ single-device product EXACTLY at finite dt — values and adjoint
+    gradients. Hop relations covered: boundary-straddling (0, 5) and
+    shard-local (6, 7) on a 2-way state mesh (k=1, 10 local qubits)."""
+    n = 11
+    ham, env, coeff, psi0, w = _fused_hop_setup(
+        n, hop_pairs=[(0, 5), (6, 7)], x_qubits=(1, 2), y_qubits=(3,))
+    mesh = make_mesh({"state": 2})
+    T, n_steps = 1.0, 4
+
+    def f_sh(backend):
+        def f(c):
+            psi = evolve_product_sharded(
+                ham, env, c, psi0, 0.0, T, horizon=T, n_steps=n_steps,
+                mesh=mesh, local_backend=backend)
+            return sharded_diag_expectation(psi, w, mesh)
+        return f
+
+    def f_ref(c):
+        psi = evolve_product(ham, env, c, psi0, 0.0, T, horizon=T,
+                             n_steps=n_steps)
+        return jnp.sum(cpx.abs2(psi) * w, axis=-1)
+
+    with mesh:
+        vf, gf = jax.value_and_grad(f_sh("fused"))(coeff)
+        vx, gx = jax.value_and_grad(f_sh("xla"))(coeff)
+    vr, gr = jax.value_and_grad(f_ref)(coeff)
+    np.testing.assert_allclose(float(vf), float(vr), rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(float(vx), float(vr), rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(gf), np.asarray(gr),
+                               rtol=1e-3, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(gx), np.asarray(gr),
+                               rtol=1e-3, atol=1e-5)
+
+
+def test_sharded_fused_hops_molecule_second_order():
+    """The non-commuting molecule shape (X+Y on every qubit sharing sites
+    with a hop chain) on the sharded FUSED backend: a different 2nd-order
+    integrator than evolve_product (the distributed ops wrap the local
+    kernel palindromically), so exactness is asserted as second-order
+    convergence to a fine-grid reference, plus a finite-difference
+    gradient probe THROUGH the sharded fused path (adjoint exactness is
+    independent of the splitting order)."""
+    n = 11
+    qs = tuple(range(n))
+    ham, env, coeff, psi0, w = _fused_hop_setup(
+        n, hop_pairs=[(i, i + 1) for i in range(n - 1)], x_qubits=qs,
+        y_qubits=qs, basis="poly", n_basis=1, scale=0.5, seed=4)
+    mesh = make_mesh({"state": 2})
+    T = 1.0
+
+    def final(n_steps):
+        with mesh:
+            return evolve_product_sharded(
+                ham, env, coeff, psi0, 0.0, T, horizon=T, n_steps=n_steps,
+                mesh=mesh, local_backend="fused")
+
+    ref = evolve_product(ham, env, coeff, psi0, 0.0, T, horizon=T,
+                         n_steps=64)
+
+    def err(psi):
+        return float(jnp.max(jnp.abs(psi.re - ref.re))
+                     + jnp.max(jnp.abs(psi.im - ref.im)))
+
+    out8 = final(8)
+    assert abs(float(cpx.norm2(out8)) - 1.0) < 1e-4
+    e8, e16 = err(out8), err(final(16))
+    assert e16 < e8 / 2.8, (e8, e16)  # ~4x for a 2nd-order scheme
+
+    def loss(c):
+        psi = evolve_product_sharded(
+            ham, env, c, psi0, 0.0, T, horizon=T, n_steps=3, mesh=mesh,
+            local_backend="fused")
+        return sharded_diag_expectation(psi, w, mesh)
+
+    with mesh:
+        v0, g = jax.value_and_grad(loss)(coeff)
+        rng = np.random.default_rng(5)
+        dirn = jnp.asarray(rng.standard_normal(coeff.shape),
+                           jnp.float32)
+        eps = 1e-3
+        fd = (float(loss(coeff + eps * dirn))
+              - float(loss(coeff - eps * dirn))) / (2 * eps)
+    an = float(jnp.sum(g * dirn))
+    assert np.isfinite(float(v0))
+    assert abs(fd - an) < 5e-3 * max(1.0, abs(fd)), (fd, an)
