@@ -268,12 +268,32 @@ def _op_generator_multi(op, perms_ref, n_row_bits, fast, flip, sflip, dot):
     return g_multi
 
 
+def merge_phase_rows(theta_half: jnp.ndarray) -> jnp.ndarray:
+    """Cross-step phase merge (round 5): the trailing half-phase of step t
+    and the leading half-phase of step t+1 commute (both diagonal) and
+    fuse into ONE application — P(th_0) R_0 P(th_0+th_1) R_1 ...
+    R_{T-1} P(th_{T-1}). [T, ...] half-step rows -> [T+1, ...] merged
+    rows; phase work per step drops from 2 applications to ~1 (the
+    phase pipeline is ~half the VPU cost of a ring-graph step —
+    docs/PERFORMANCE.md roofline). Exact, not an approximation. The
+    gradient transpose is :func:`unmerge_phase_grads`."""
+    return jnp.concatenate(
+        [theta_half[:1], theta_half[:-1] + theta_half[1:],
+         theta_half[-1:]], axis=0)
+
+
+def unmerge_phase_grads(ga: jnp.ndarray) -> jnp.ndarray:
+    """Transpose of :func:`merge_phase_rows`: [T+1, ...] merged-row
+    cotangents -> [T, ...] half-step-row cotangents (adjacent sum)."""
+    return ga[:-1] + ga[1:]
+
+
 def _make_forward_kernel(n_steps, ops, n_row_bits, fast=False):
     r = 2**n_row_bits
 
     def kernel(th_ref, tx_ref, pin_re, pin_im, perms_ref, out_re, out_im,
                s_re, s_im):
-        i = pl.program_id(0)
+        i = pl.program_id(0)  # merged grid: n_steps + 1 phase stages
 
         @pl.when(i == 0)
         def _():
@@ -318,11 +338,13 @@ def _make_forward_kernel(n_steps, ops, n_row_bits, fast=False):
             s_im[:] = im
 
         phase()
-        for op in ops:
-            rot(op)
-        phase()
 
-        @pl.when(i == n_steps - 1)
+        @pl.when(i < n_steps)
+        def _():
+            for op in ops:
+                rot(op)
+
+        @pl.when(i == n_steps)
         def _():
             out_re[:] = s_re[:]
             out_im[:] = s_im[:]
@@ -338,7 +360,7 @@ def _make_backward_kernel(n_steps, ops, n_row_bits, fast=False):
 
     def kernel(th_ref, tx_ref, pT_re, pT_im, lamT_re, lamT_im, perms_ref,
                gth_ref, gtx_ref, gp0_re, gp0_im, y_re, y_im, l_re, l_im):
-        i = pl.program_id(0)  # i-th reversed step
+        i = pl.program_id(0)  # i-th reversed MERGED stage (n_steps+1 total)
 
         @pl.when(i == 0)
         def _():
@@ -347,22 +369,7 @@ def _make_backward_kernel(n_steps, ops, n_row_bits, fast=False):
             l_re[:] = lamT_re[:]
             l_im[:] = lamT_im[:]
 
-        th = th_ref[0]
-        c, s = jnp.cos(th), jnp.sin(th)
-        gth = jnp.zeros_like(th)
         g_rot = {}  # j -> scalar dL/dtheta_x[j], written once at the end
-
-        # --- undo trailing phase: grad uses OUTPUT y and output-side lam --
-        gth += l_re[:] * y_im[:] - l_im[:] * y_re[:]
-        # x = e^{+i th} y ; lam_x = e^{+i th} lam_y
-        re = c * y_re[:] - s * y_im[:]
-        im = s * y_re[:] + c * y_im[:]
-        y_re[:] = re
-        y_im[:] = im
-        re = c * l_re[:] - s * l_im[:]
-        im = s * l_re[:] + c * l_im[:]
-        l_re[:] = re
-        l_im[:] = im
 
         # --- undo rotations in reverse order ------------------------------
         # G(x) is derived algebraically from the already-computed G(y):
@@ -428,11 +435,28 @@ def _make_backward_kernel(n_steps, ops, n_row_bits, fast=False):
             l_re[:] = nl_re
             l_im[:] = nl_im
 
-        for op in reversed(ops):
-            undo_rot(op)
+        # forward stage i' = n_steps - i is [phase(a_i'); rots_i' if i'<T]:
+        # stage 0 of the reversed sweep undoes the pure trailing phase, so
+        # rotations are gated out there. g_rot scalars cannot escape a
+        # pl.when, so the gtx row assembly lives inside the gate; the
+        # zero-row default keeps the clamped out-block defined at i == 0.
+        gtx_ref[0] = jnp.zeros((1, _LANES), jnp.float32)
 
-        # --- undo leading phase -------------------------------------------
-        gth += l_re[:] * y_im[:] - l_im[:] * y_re[:]
+        @pl.when(i > 0)
+        def _():
+            for op in reversed(ops):
+                undo_rot(op)
+            lane_ids = jax.lax.broadcasted_iota(jnp.int32, (1, _LANES), 1)
+            row = jnp.zeros((1, _LANES), jnp.float32)
+            for j, g in g_rot.items():
+                row = jnp.where(lane_ids == j, g, row)
+            gtx_ref[0] = row
+
+        # --- undo the (merged) phase: grad uses OUTPUT y, output-side lam -
+        th = th_ref[0]
+        c, s = jnp.cos(th), jnp.sin(th)
+        gth_ref[0] = l_re[:] * y_im[:] - l_im[:] * y_re[:]
+        # x = e^{+i th} y ; lam_x = e^{+i th} lam_y
         re = c * y_re[:] - s * y_im[:]
         im = s * y_re[:] + c * y_im[:]
         y_re[:] = re
@@ -442,15 +466,7 @@ def _make_backward_kernel(n_steps, ops, n_row_bits, fast=False):
         l_re[:] = re
         l_im[:] = im
 
-        gth_ref[0] = gth
-        # assemble the per-step rotation-gradient row (one VMEM write)
-        lane_ids = jax.lax.broadcasted_iota(jnp.int32, (1, _LANES), 1)
-        row = jnp.zeros((1, _LANES), jnp.float32)
-        for j, g in g_rot.items():
-            row = jnp.where(lane_ids == j, g, row)
-        gtx_ref[0] = row
-
-        @pl.when(i == n_steps - 1)
+        @pl.when(i == n_steps)
         def _():
             gp0_re[:] = l_re[:]
             gp0_im[:] = l_im[:]
@@ -483,13 +499,14 @@ def _forward(psi0, theta_half, theta_x, x_qubits, n_qubits, kinds=None,
     ops, perms = _plan_ops(x_qubits, kinds, n_qubits)
 
     kernel = _make_forward_kernel(n_steps, ops, n_row_bits, fast_math)
+    tx_clamp = lambda i: (jnp.minimum(i, n_steps - 1), 0, 0)  # noqa: E731
     out_re, out_im = pl.pallas_call(
         kernel,
-        grid=(n_steps,),
+        grid=(n_steps + 1,),
         in_specs=[
             pl.BlockSpec((1, r, _LANES), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, _LANES), lambda i: (i, 0, 0),
+            pl.BlockSpec((1, 1, _LANES), tx_clamp,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((r, _LANES), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
@@ -508,7 +525,8 @@ def _forward(psi0, theta_half, theta_x, x_qubits, n_qubits, kinds=None,
                         pltpu.VMEM((r, _LANES), jnp.float32)],
         interpret=(jax.default_backend() == "cpu"),
         **_vmem_params(10, 1, r),
-    )(theta_half.reshape(n_steps, r, _LANES).astype(jnp.float32),
+    )(merge_phase_rows(theta_half.astype(jnp.float32))
+      .reshape(n_steps + 1, r, _LANES),
       _pad_tx(theta_x),
       psi0.re.reshape(r, _LANES).astype(jnp.float32),
       psi0.im.reshape(r, _LANES).astype(jnp.float32),
@@ -532,13 +550,14 @@ def _bwd(x_qubits, n_qubits, kinds, fast_math, residuals, lam):
     ops, perms = _plan_ops(x_qubits, kinds, n_qubits)
 
     kernel = _make_backward_kernel(n_steps, ops, n_row_bits, fast_math)
-    rev = lambda i: (n_steps - 1 - i, 0, 0)  # noqa: E731
+    rev = lambda i: (n_steps - i, 0, 0)  # noqa: E731  (merged rows T+1)
+    revc = lambda i: (jnp.minimum(n_steps - i, n_steps - 1), 0, 0)  # noqa: E731
     gth, gtx, gp_re, gp_im = pl.pallas_call(
         kernel,
-        grid=(n_steps,),
+        grid=(n_steps + 1,),
         in_specs=[
             pl.BlockSpec((1, r, _LANES), rev, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, _LANES), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, _LANES), revc, memory_space=pltpu.VMEM),
             pl.BlockSpec((r, _LANES), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((r, _LANES), lambda i: (0, 0),
@@ -552,14 +571,14 @@ def _bwd(x_qubits, n_qubits, kinds, fast_math, residuals, lam):
         ],
         out_specs=(
             pl.BlockSpec((1, r, _LANES), rev, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, _LANES), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, _LANES), revc, memory_space=pltpu.VMEM),
             pl.BlockSpec((r, _LANES), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((r, _LANES), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((n_steps, r, _LANES), jnp.float32),
+            jax.ShapeDtypeStruct((n_steps + 1, r, _LANES), jnp.float32),
             jax.ShapeDtypeStruct((n_steps, 1, _LANES), jnp.float32),
             jax.ShapeDtypeStruct((r, _LANES), jnp.float32),
             jax.ShapeDtypeStruct((r, _LANES), jnp.float32),
@@ -570,7 +589,8 @@ def _bwd(x_qubits, n_qubits, kinds, fast_math, residuals, lam):
                         pltpu.VMEM((r, _LANES), jnp.float32)],
         interpret=(jax.default_backend() == "cpu"),
         **_vmem_params(14, 1, r),
-    )(theta_half.reshape(n_steps, r, _LANES).astype(jnp.float32),
+    )(merge_phase_rows(theta_half.astype(jnp.float32))
+      .reshape(n_steps + 1, r, _LANES),
       _pad_tx(theta_x),
       psi_T.re.reshape(r, _LANES).astype(jnp.float32),
       psi_T.im.reshape(r, _LANES).astype(jnp.float32),
@@ -578,7 +598,8 @@ def _bwd(x_qubits, n_qubits, kinds, fast_math, residuals, lam):
       lam.im.reshape(r, _LANES).astype(jnp.float32),
       _as_perms_operand(perms))
     return (CP(gp_re.reshape(d), gp_im.reshape(d)),
-            gth.reshape(n_steps, d).astype(theta_half.dtype),
+            unmerge_phase_grads(gth.reshape(n_steps + 1, d))
+            .astype(theta_half.dtype),
             gtx[:, 0, :theta_x.shape[1]].astype(theta_x.dtype))
 
 
@@ -652,11 +673,13 @@ def _make_forward_kernel_b(n_steps, ops, fast=False):
             s_im[:] = im
 
         phase()
-        for op in ops:
-            rot(op)
-        phase()
 
-        @pl.when(i == n_steps - 1)
+        @pl.when(i < n_steps)
+        def _():
+            for op in ops:
+                rot(op)
+
+        @pl.when(i == n_steps)
         def _():
             out_re[:] = s_re[:]
             out_im[:] = s_im[:]
@@ -679,23 +702,7 @@ def _make_backward_kernel_b(n_steps, ops, fast=False):
             l_re[:] = lamT_re[:]
             l_im[:] = lamT_im[:]
 
-        th = th_ref[0]
-        c, s = jnp.cos(th), jnp.sin(th)
         g_rot = {}
-
-        def undo_phase(gth):
-            gth = gth + (l_re[:] * y_im[:] - l_im[:] * y_re[:])
-            re = c * y_re[:] - s * y_im[:]
-            im = s * y_re[:] + c * y_im[:]
-            y_re[:] = re
-            y_im[:] = im
-            re = c * l_re[:] - s * l_im[:]
-            im = s * l_re[:] + c * l_im[:]
-            l_re[:] = re
-            l_im[:] = im
-            return gth
-
-        gth = undo_phase(jnp.zeros_like(th))
 
         def undo_rot(op):
             # G(x) derived from G(y) via G^2 = I / K^2 = -I: 4 generator
@@ -756,20 +763,38 @@ def _make_backward_kernel_b(n_steps, ops, fast=False):
             l_re[:] = nl_re
             l_im[:] = nl_im
 
-        for op in reversed(ops):
-            undo_rot(op)
+        # merged-phase schedule (see _make_backward_kernel): reversed stage
+        # 0 undoes the pure trailing phase, so rotations are gated out; the
+        # g_rot scalars cannot escape a pl.when, so the gtx row assembly
+        # lives inside the gate (zero default keeps the clamped out-block
+        # defined at i == 0).
+        b = y_re.shape[0]
+        gtx_ref[0] = jnp.zeros((b, _LANES), jnp.float32)
 
-        gth = undo_phase(gth)
-        gth_ref[0] = gth
+        @pl.when(i > 0)
+        def _():
+            for op in reversed(ops):
+                undo_rot(op)
+            lane_ids = jax.lax.broadcasted_iota(jnp.int32, (b, _LANES), 1)
+            row = jnp.zeros((b, _LANES), jnp.float32)
+            for j, g in g_rot.items():
+                row = jnp.where(lane_ids == j, g, row)  # g [B,1] broadcasts
+            gtx_ref[0] = row
 
-        b = gth.shape[0]
-        lane_ids = jax.lax.broadcasted_iota(jnp.int32, (b, _LANES), 1)
-        row = jnp.zeros((b, _LANES), jnp.float32)
-        for j, g in g_rot.items():
-            row = jnp.where(lane_ids == j, g, row)  # g [B,1] broadcasts
-        gtx_ref[0] = row
+        # --- undo the (merged) phase ---------------------------------------
+        th = th_ref[0]
+        c, s = jnp.cos(th), jnp.sin(th)
+        gth_ref[0] = l_re[:] * y_im[:] - l_im[:] * y_re[:]
+        re = c * y_re[:] - s * y_im[:]
+        im = s * y_re[:] + c * y_im[:]
+        y_re[:] = re
+        y_im[:] = im
+        re = c * l_re[:] - s * l_im[:]
+        im = s * l_re[:] + c * l_im[:]
+        l_re[:] = re
+        l_im[:] = im
 
-        @pl.when(i == n_steps - 1)
+        @pl.when(i == n_steps)
         def _():
             gp0_re[:] = l_re[:]
             gp0_im[:] = l_im[:]
@@ -830,14 +855,14 @@ def _forward_b(psi0, theta_half, theta_x, x_qubits, n_qubits, kinds=None,
     n_x = max(theta_x.shape[2], 1)
     state_spec = pl.BlockSpec((b, r, _LANES), lambda i: (0, 0, 0),
                               memory_space=pltpu.VMEM)
+    txc = lambda i: (jnp.minimum(i, n_steps - 1), 0, 0, 0, 0)  # noqa: E731
     out_re, out_im = pl.pallas_call(
         kernel,
-        grid=(n_steps,),
+        grid=(n_steps + 1,),
         in_specs=[
             pl.BlockSpec((1, b, r, _LANES), lambda i: (i, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, n_x, b, 1, _LANES),
-                         lambda i: (i, 0, 0, 0, 0),
+            pl.BlockSpec((1, n_x, b, 1, _LANES), txc,
                          memory_space=pltpu.VMEM),
             state_spec, state_spec,
             pl.BlockSpec(perms.shape, lambda i: (0, 0, 0),
@@ -850,7 +875,8 @@ def _forward_b(psi0, theta_half, theta_x, x_qubits, n_qubits, kinds=None,
                         pltpu.VMEM((b, r, _LANES), jnp.float32)],
         interpret=(jax.default_backend() == "cpu"),
         **_vmem_params(10, b, r),
-    )(theta_half.reshape(n_steps, b, r, _LANES).astype(jnp.float32),
+    )(merge_phase_rows(theta_half.astype(jnp.float32))
+      .reshape(n_steps + 1, b, r, _LANES),
       _pad_tx_b(theta_x),
       psi0.re.reshape(b, r, _LANES).astype(jnp.float32),
       psi0.im.reshape(b, r, _LANES).astype(jnp.float32),
@@ -871,17 +897,19 @@ def _bwd_b(x_qubits, n_qubits, kinds, fast_math, residuals, lam):
         theta_half, x_qubits, kinds, n_qubits)
     kernel = _make_backward_kernel_b(n_steps, ops, fast_math)
     n_x = max(theta_x.shape[2], 1)
-    rev4 = lambda i: (n_steps - 1 - i, 0, 0, 0)  # noqa: E731
-    rev3 = lambda i: (n_steps - 1 - i, 0, 0)  # noqa: E731
-    rev5 = lambda i: (n_steps - 1 - i, 0, 0, 0, 0)  # noqa: E731
+    rev4 = lambda i: (n_steps - i, 0, 0, 0)  # noqa: E731  (merged rows)
+    rev3c = lambda i: (jnp.minimum(n_steps - i, n_steps - 1),  # noqa: E731
+                       0, 0)
+    rev5c = lambda i: (jnp.minimum(n_steps - i, n_steps - 1),  # noqa: E731
+                       0, 0, 0, 0)
     state_spec = pl.BlockSpec((b, r, _LANES), lambda i: (0, 0, 0),
                               memory_space=pltpu.VMEM)
     gth, gtx, gp_re, gp_im = pl.pallas_call(
         kernel,
-        grid=(n_steps,),
+        grid=(n_steps + 1,),
         in_specs=[
             pl.BlockSpec((1, b, r, _LANES), rev4, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, n_x, b, 1, _LANES), rev5,
+            pl.BlockSpec((1, n_x, b, 1, _LANES), rev5c,
                          memory_space=pltpu.VMEM),
             state_spec, state_spec, state_spec, state_spec,
             pl.BlockSpec(perms.shape, lambda i: (0, 0, 0),
@@ -889,11 +917,11 @@ def _bwd_b(x_qubits, n_qubits, kinds, fast_math, residuals, lam):
         ],
         out_specs=(
             pl.BlockSpec((1, b, r, _LANES), rev4, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, b, _LANES), rev3, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, b, _LANES), rev3c, memory_space=pltpu.VMEM),
             state_spec, state_spec,
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((n_steps, b, r, _LANES), jnp.float32),
+            jax.ShapeDtypeStruct((n_steps + 1, b, r, _LANES), jnp.float32),
             jax.ShapeDtypeStruct((n_steps, b, _LANES), jnp.float32),
             jax.ShapeDtypeStruct((b, r, _LANES), jnp.float32),
             jax.ShapeDtypeStruct((b, r, _LANES), jnp.float32),
@@ -907,7 +935,8 @@ def _bwd_b(x_qubits, n_qubits, kinds, fast_math, residuals, lam):
         # default past b*r ~ 2048 rows (chip-measured 46.78 MiB at
         # 16q x 8 trajectories - the fused-MCWF shape)
         **_vmem_params(14, b, r),
-    )(theta_half.reshape(n_steps, b, r, _LANES).astype(jnp.float32),
+    )(merge_phase_rows(theta_half.astype(jnp.float32))
+      .reshape(n_steps + 1, b, r, _LANES),
       _pad_tx_b(theta_x),
       psi_T.re.reshape(b, r, _LANES).astype(jnp.float32),
       psi_T.im.reshape(b, r, _LANES).astype(jnp.float32),
@@ -915,7 +944,8 @@ def _bwd_b(x_qubits, n_qubits, kinds, fast_math, residuals, lam):
       lam.im.reshape(b, r, _LANES).astype(jnp.float32),
       _as_perms_operand(perms))
     return (CP(gp_re.reshape(b, d), gp_im.reshape(b, d)),
-            gth.reshape(n_steps, b, d).astype(theta_half.dtype),
+            unmerge_phase_grads(gth.reshape(n_steps + 1, b, d))
+            .astype(theta_half.dtype),
             gtx[:, :, :theta_x.shape[2]].astype(theta_x.dtype))
 
 
@@ -1150,10 +1180,13 @@ def pack_diag_signs(diag_rows):
 
 def _theta_packed(ud_ref, h0th_ref, signs_ref, n_diag, b, r):
     """In-kernel per-step diagonal phase: [B, r, 128] from the packed sign
-    bit-planes ([P, r, 128] int32, 30 terms per plane) and the step's ≤128
-    control scalars (slot n_diag = offset)."""
+    bit-planes ([P, r, 128] int32, 30 terms per plane) and the stage's ≤126
+    control scalars (slot n_diag = offset, slot n_diag+1 = the h0-drift
+    multiplier — 1 for the boundary half-phases, 2 for cross-step merged
+    interior phases; see :func:`_merge_ud_rows_b`)."""
     off = ud_ref[0, n_diag]  # [B, 1, 128] lane-replicated offset
-    th = jnp.broadcast_to(h0th_ref[:][None], (b, r, _LANES)) + off
+    m = ud_ref[0, n_diag + 1]  # [B, 1, 128] h0 multiplier
+    th = m * jnp.broadcast_to(h0th_ref[:][None], (b, r, _LANES)) + off
     for k in range(n_diag):
         p = signs_ref[k // _PLANE_BITS]  # [r, 128] int32
         a = ud_ref[0, k]  # [B, 1, 128]
@@ -1164,6 +1197,30 @@ def _theta_packed(ud_ref, h0th_ref, signs_ref, n_diag, b, r):
         th = th + a - (2.0 * a) * jnp.broadcast_to(bit[None],
                                                    (b, r, _LANES))
     return th
+
+
+def _merge_ud_rows_b(ud: jnp.ndarray) -> jnp.ndarray:
+    """Cross-step phase merge for the packed/in-kernel-phase form:
+    [T, B, S] per-step scaled diag-control rows (slot S-1 = offset) →
+    [T+1, B, S+1] merged-stage rows. Row 0 / row T carry the boundary
+    half-phases (h0-multiplier slot = 1); interior row t carries the
+    trailing half of step t-1 plus the leading half of step t (slot
+    sums — the angle is linear in the row — with h0 multiplier 2).
+    Same convention as the chunked engine's ``pad_row(..., extra=2.0)``
+    (`fused_chunked.py::_setup`). Gradient transpose:
+    :func:`unmerge_phase_grads` over the first S slots."""
+    t = ud.shape[0]
+    one = jnp.ones((1,) + ud.shape[1:-1] + (1,), jnp.float32)
+    udf = ud.astype(jnp.float32)
+    first = jnp.concatenate([udf[:1], one], -1)
+    last = jnp.concatenate([udf[-1:], one], -1)
+    if t == 1:
+        # single step: leading and trailing half-phases stay separate
+        return jnp.concatenate([first, last], 0)
+    mid = jnp.concatenate(
+        [udf[:-1] + udf[1:],
+         jnp.broadcast_to(2.0 * one, (t - 1,) + one.shape[1:])], -1)
+    return jnp.concatenate([first, mid, last], 0)
 
 
 def _make_forward_kernel_pk(n_steps, ops, n_diag,
@@ -1223,11 +1280,13 @@ def _make_forward_kernel_pk(n_steps, ops, n_diag,
             s_im[:] = im
 
         phase()
-        for op in ops:
-            rot(op)
-        phase()
 
-        @pl.when(i == n_steps - 1)
+        @pl.when(i < n_steps)
+        def _():
+            for op in ops:
+                rot(op)
+
+        @pl.when(i == n_steps)
         def _():
             if dma_boundary:
                 sem = sems[0]
@@ -1285,8 +1344,8 @@ def _make_backward_kernel_pk(n_steps, ops, n_diag,
                 return jnp.sum(v)
             return jnp.sum(jnp.sum(v, axis=2), axis=1, keepdims=True)
 
-        # per-term diag-gradient accumulators ([B,1] each), two phase
-        # stages per step: gud[k] = S0 − 2·Σ(gth·bit_k), offset slot = S0
+        # per-term diag-gradient cells ([B,1] each), ONE merged phase
+        # per stage: gud[k] = S0 − 2·Σ(gth·bit_k), offset slot = S0
         g_bits = [None] * n_diag
         g_s0 = [None]
 
@@ -1369,12 +1428,26 @@ def _make_backward_kernel_pk(n_steps, ops, n_diag,
             l_re[:] = nl_re
             l_im[:] = nl_im
 
-        undo_phase()  # trailing half-phase
-        for op in reversed(ops):
-            undo_rot(op)
-        undo_phase()  # leading half-phase
-
+        # merged-phase schedule (see _make_backward_kernel): forward stage
+        # i' = n_steps - i is [phase(merged row i'); rots_i' if i' < T], so
+        # reversed stage 0 undoes the pure trailing phase — rotations are
+        # gated out there. The g_rot scalars cannot escape a pl.when, so
+        # the gtx row assembly lives inside the gate; the zero-row default
+        # keeps the clamped out-block defined at i == 0.
         lane_ids = jax.lax.broadcasted_iota(jnp.int32, (b, _LANES), 1)
+        gtx_ref[0] = jnp.zeros((b, _LANES), jnp.float32)
+
+        @pl.when(i > 0)
+        def _():
+            for op in reversed(ops):
+                undo_rot(op)
+            rrow = jnp.zeros((b, _LANES), jnp.float32)
+            for j, g in g_rot.items():
+                rrow = jnp.where(lane_ids == j, g, rrow)
+            gtx_ref[0] = rrow
+
+        undo_phase()  # the (merged) stage phase — exactly one per stage
+
         row = jnp.zeros((b, _LANES), jnp.float32)
         s0 = g_s0[0]
         for k in range(n_diag):
@@ -1382,12 +1455,7 @@ def _make_backward_kernel_pk(n_steps, ops, n_diag,
         row = jnp.where(lane_ids == n_diag, s0, row)
         gud_ref[0] = row
 
-        rrow = jnp.zeros((b, _LANES), jnp.float32)
-        for j, g in g_rot.items():
-            rrow = jnp.where(lane_ids == j, g, rrow)
-        gtx_ref[0] = rrow
-
-        @pl.when(i == n_steps - 1)
+        @pl.when(i == n_steps)
         def _():
             if dma_boundary:
                 sem = sems[0]
@@ -1449,15 +1517,15 @@ def _forward_pk(psi0, ud, theta_x, h0th, signs, x_qubits, n_qubits,
                pltpu.VMEM((b, r, _LANES), jnp.float32)]
     if dma:
         scratch.append(pltpu.SemaphoreType.DMA((4,)))
+    txc = lambda i: (jnp.minimum(i, n_steps - 1), 0, 0, 0, 0)  # noqa: E731
     out_re, out_im = pl.pallas_call(
         kernel,
-        grid=(n_steps,),
+        grid=(n_steps + 1,),
         in_specs=[
-            pl.BlockSpec((1, n_diag + 1, b, 1, _LANES),
+            pl.BlockSpec((1, n_diag + 2, b, 1, _LANES),
                          lambda i: (i, 0, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, n_x, b, 1, _LANES),
-                         lambda i: (i, 0, 0, 0, 0),
+            pl.BlockSpec((1, n_x, b, 1, _LANES), txc,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((r, _LANES), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
@@ -1473,7 +1541,7 @@ def _forward_pk(psi0, ud, theta_x, h0th, signs, x_qubits, n_qubits,
         scratch_shapes=scratch,
         interpret=interp,
         **_vmem_params(6 if dma else 10, b, r),
-    )(_pad_tx_b(ud),
+    )(_pad_tx_b(_merge_ud_rows_b(ud)),
       _pad_tx_b(theta_x),
       h0th.reshape(r, _LANES).astype(jnp.float32),
       signs.reshape(signs.shape[0], r, _LANES),
@@ -1501,8 +1569,15 @@ def _bwd_pk(x_qubits, n_qubits, kinds, fast_math, residuals, lam):
     kernel = _make_backward_kernel_pk(n_steps, ops, n_diag,
                                       fast_math, dma)
     n_x = max(theta_x.shape[2], 1)
-    rev5 = lambda i: (n_steps - 1 - i, 0, 0, 0, 0)  # noqa: E731
-    rev3 = lambda i: (n_steps - 1 - i, 0, 0)  # noqa: E731
+    # merged grid: ud/gud rows span T+1 stages; tx/gtx keep T rows, with
+    # the stage-0 index clamped (rotations are gated out there and the
+    # clamped gtx block gets a zero default before stage 1 overwrites it)
+    rev5 = lambda i: (n_steps - i, 0, 0, 0, 0)  # noqa: E731
+    rev3 = lambda i: (n_steps - i, 0, 0)  # noqa: E731
+    rev5c = lambda i: (jnp.minimum(n_steps - i, n_steps - 1),  # noqa: E731
+                       0, 0, 0, 0)
+    rev3c = lambda i: (jnp.minimum(n_steps - i, n_steps - 1),  # noqa: E731
+                       0, 0)
     bspace = pl.ANY if dma else pltpu.VMEM
     state_spec = pl.BlockSpec((b, r, _LANES), lambda i: (0, 0, 0),
                               memory_space=bspace)
@@ -1514,11 +1589,11 @@ def _bwd_pk(x_qubits, n_qubits, kinds, fast_math, residuals, lam):
         scratch.append(pltpu.SemaphoreType.DMA((4,)))
     gud, gtx, gp_re, gp_im = pl.pallas_call(
         kernel,
-        grid=(n_steps,),
+        grid=(n_steps + 1,),
         in_specs=[
-            pl.BlockSpec((1, n_diag + 1, b, 1, _LANES), rev5,
+            pl.BlockSpec((1, n_diag + 2, b, 1, _LANES), rev5,
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, n_x, b, 1, _LANES), rev5,
+            pl.BlockSpec((1, n_x, b, 1, _LANES), rev5c,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((r, _LANES), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
@@ -1530,11 +1605,11 @@ def _bwd_pk(x_qubits, n_qubits, kinds, fast_math, residuals, lam):
         ],
         out_specs=(
             pl.BlockSpec((1, b, _LANES), rev3, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, b, _LANES), rev3, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, b, _LANES), rev3c, memory_space=pltpu.VMEM),
             state_spec, state_spec,
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((n_steps, b, _LANES), jnp.float32),
+            jax.ShapeDtypeStruct((n_steps + 1, b, _LANES), jnp.float32),
             jax.ShapeDtypeStruct((n_steps, b, _LANES), jnp.float32),
             jax.ShapeDtypeStruct((b, r, _LANES), jnp.float32),
             jax.ShapeDtypeStruct((b, r, _LANES), jnp.float32),
@@ -1542,7 +1617,7 @@ def _bwd_pk(x_qubits, n_qubits, kinds, fast_math, residuals, lam):
         scratch_shapes=scratch,
         interpret=interp,
         **_vmem_params(12 if dma else 18, b, r),
-    )(_pad_tx_b(ud),
+    )(_pad_tx_b(_merge_ud_rows_b(ud)),
       _pad_tx_b(theta_x),
       h0th.reshape(r, _LANES).astype(jnp.float32),
       signs.reshape(signs.shape[0], r, _LANES),
@@ -1552,7 +1627,7 @@ def _bwd_pk(x_qubits, n_qubits, kinds, fast_math, residuals, lam):
       lam.im.reshape(b, r, _LANES).astype(jnp.float32),
       _as_perms_operand(perms))
     return (CP(gp_re.reshape(b, d), gp_im.reshape(b, d)),
-            gud[:, :, :ud.shape[2]].astype(ud.dtype),
+            unmerge_phase_grads(gud)[:, :, :ud.shape[2]].astype(ud.dtype),
             gtx[:, :, :theta_x.shape[2]].astype(theta_x.dtype),
             jnp.zeros_like(h0th),
             np.zeros(signs.shape, dtype=jax.dtypes.float0))

@@ -46,8 +46,10 @@ def fused_flops(n, n_steps, n_diag, n_rot, precision="full",
     row_rots = n_rot - lane_rots
 
     # forward, per step:
-    #   phases (x2): theta build ~3 ops/term + trig(~8) + 4-mul complex
-    vpu = 2 * (3 * n_diag + 8 + 6) * d
+    #   ONE merged phase per step (round 5 cross-step merge — trailing
+    #   half of step t and leading half of step t+1 fuse; T+1 stages for
+    #   T steps ~= 1/step): theta build ~3 ops/term + trig(~8) + 4-mul
+    vpu = (3 * n_diag + 8 + 6) * d
     #   row rotations: 2 planes x (flip copy + 2 mul + add) ~ 6 ops
     vpu += row_rots * 6 * d
     #   lane rotations: 2 matmuls (G on each plane) + 4 muls/adds
@@ -61,9 +63,9 @@ def fused_flops(n, n_steps, n_diag, n_rot, precision="full",
         # generator applications per rotation (G(y) planes + G(lam)
         # planes; G(x) derived via G^2 = I / K^2 = -I, the involution
         # identity) — phases ~2x, per-term gradient reductions ~4
-        # ops/term/elem at two stages
+        # ops/term/elem at ONE merged stage per step
         total_mxu += 2 * fwd_mxu * n_steps
-        total_vpu += (2 * fwd_vpu + 2 * (4 * n_diag) * d) * n_steps
+        total_vpu += (2 * fwd_vpu + (4 * n_diag) * d) * n_steps
     hbm = 0  # packed: angle rows are KBs; state is VMEM-resident
     return {"mxu": total_mxu, "vpu": total_vpu, "hbm": hbm}
 
