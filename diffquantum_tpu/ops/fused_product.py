@@ -288,12 +288,32 @@ def unmerge_phase_grads(ga: jnp.ndarray) -> jnp.ndarray:
     return ga[:-1] + ga[1:]
 
 
-def _make_forward_kernel(n_steps, ops, n_row_bits, fast=False):
+def _append_zero_row(x: jnp.ndarray) -> jnp.ndarray:
+    """[T, ...] rotation-angle rows -> [T+1, ...] with a ZERO row at
+    index T. The merged-phase grid has T+1 stages but only T rotation
+    sweeps; the extra stage (forward stage T / reversed stage 0) reads
+    this zero row and its rotations evaluate to EXACT identities
+    (cos 0 = 1, sin 0 = 0 — X/Y/hop blends all reduce to copies), so the
+    kernels need no ``pl.when`` gate around the rotation block. A gated
+    region allocates its temporaries on a separate Mosaic scope stacked
+    ON TOP of the enclosing scope's — chip-measured 58.54 MiB scoped
+    demand vs the 48 MiB window for the 16q x 8-trajectory batched
+    backward, a compile OOM; the ungated linear schedule fits. The
+    angle-gradient row the extra stage produces goes to a discarded
+    output row (sliced off host-side)."""
+    return jnp.concatenate([x, jnp.zeros_like(x[:1])], axis=0)
+
+
+def _make_forward_kernel(n_steps, ops, n_row_bits, fast=False, merged=True):
     r = 2**n_row_bits
 
     def kernel(th_ref, tx_ref, pin_re, pin_im, perms_ref, out_re, out_im,
                s_re, s_im):
-        i = pl.program_id(0)  # merged grid: n_steps + 1 phase stages
+        # merged grid: n_steps + 1 phase stages; unmerged (n_steps == 1 —
+        # fused_rot_block and other single-step calls, where the merge
+        # buys nothing and the extra identity-rotation stage would double
+        # the rotation work): the original [phase; rots; phase] stage
+        i = pl.program_id(0)
 
         @pl.when(i == 0)
         def _():
@@ -338,13 +358,14 @@ def _make_forward_kernel(n_steps, ops, n_row_bits, fast=False):
             s_im[:] = im
 
         phase()
+        # merged: stage n_steps reads the appended ZERO tx row — exact
+        # identity rotations, no pl.when gate (see _append_zero_row)
+        for op in ops:
+            rot(op)
+        if not merged:
+            phase()
 
-        @pl.when(i < n_steps)
-        def _():
-            for op in ops:
-                rot(op)
-
-        @pl.when(i == n_steps)
+        @pl.when(i == (n_steps if merged else n_steps - 1))
         def _():
             out_re[:] = s_re[:]
             out_im[:] = s_im[:]
@@ -352,7 +373,7 @@ def _make_forward_kernel(n_steps, ops, n_row_bits, fast=False):
     return kernel
 
 
-def _make_backward_kernel(n_steps, ops, n_row_bits, fast=False):
+def _make_backward_kernel(n_steps, ops, n_row_bits, fast=False, merged=True):
     """Reversed-step adjoint: reconstructs the state by inverting each
     unitary op; accumulates dL/dtheta_half (streamed per step) and
     dL/dtheta_x (streamed per step, padded to 128 lanes)."""
@@ -435,38 +456,41 @@ def _make_backward_kernel(n_steps, ops, n_row_bits, fast=False):
             l_re[:] = nl_re
             l_im[:] = nl_im
 
-        # forward stage i' = n_steps - i is [phase(a_i'); rots_i' if i'<T]:
-        # stage 0 of the reversed sweep undoes the pure trailing phase, so
-        # rotations are gated out there. g_rot scalars cannot escape a
-        # pl.when, so the gtx row assembly lives inside the gate; the
-        # zero-row default keeps the clamped out-block defined at i == 0.
-        gtx_ref[0] = jnp.zeros((1, _LANES), jnp.float32)
+        def undo_phase():
+            """Undo one phase application; returns its dL/dtheta rows
+            (grad uses OUTPUT y and output-side lam)."""
+            th = th_ref[0]
+            c, s = jnp.cos(th), jnp.sin(th)
+            g = l_re[:] * y_im[:] - l_im[:] * y_re[:]
+            # x = e^{+i th} y ; lam_x = e^{+i th} lam_y
+            re = c * y_re[:] - s * y_im[:]
+            im = s * y_re[:] + c * y_im[:]
+            y_re[:] = re
+            y_im[:] = im
+            re = c * l_re[:] - s * l_im[:]
+            im = s * l_re[:] + c * l_im[:]
+            l_re[:] = re
+            l_im[:] = im
+            return g
 
-        @pl.when(i > 0)
-        def _():
-            for op in reversed(ops):
-                undo_rot(op)
-            lane_ids = jax.lax.broadcasted_iota(jnp.int32, (1, _LANES), 1)
-            row = jnp.zeros((1, _LANES), jnp.float32)
-            for j, g in g_rot.items():
-                row = jnp.where(lane_ids == j, g, row)
-            gtx_ref[0] = row
+        # merged: forward stage i' = n_steps - i is [phase(a_i'); rots_i'];
+        # the reversed stage 0 reads the appended ZERO tx row, so its
+        # rotations are exact identities and its gtx row lands in the
+        # discarded extra output row (no pl.when — see _append_zero_row).
+        # unmerged (n_steps == 1): trailing phase first, same th row twice.
+        g_trail = None if merged else undo_phase()
+        for op in reversed(ops):
+            undo_rot(op)
+        lane_ids = jax.lax.broadcasted_iota(jnp.int32, (1, _LANES), 1)
+        row = jnp.zeros((1, _LANES), jnp.float32)
+        for j, g in g_rot.items():
+            row = jnp.where(lane_ids == j, g, row)
+        gtx_ref[0] = row
 
-        # --- undo the (merged) phase: grad uses OUTPUT y, output-side lam -
-        th = th_ref[0]
-        c, s = jnp.cos(th), jnp.sin(th)
-        gth_ref[0] = l_re[:] * y_im[:] - l_im[:] * y_re[:]
-        # x = e^{+i th} y ; lam_x = e^{+i th} lam_y
-        re = c * y_re[:] - s * y_im[:]
-        im = s * y_re[:] + c * y_im[:]
-        y_re[:] = re
-        y_im[:] = im
-        re = c * l_re[:] - s * l_im[:]
-        im = s * l_re[:] + c * l_im[:]
-        l_re[:] = re
-        l_im[:] = im
+        g_lead = undo_phase()
+        gth_ref[0] = g_lead if merged else g_trail + g_lead
 
-        @pl.when(i == n_steps)
+        @pl.when(i == (n_steps if merged else n_steps - 1))
         def _():
             gp0_re[:] = l_re[:]
             gp0_im[:] = l_im[:]
@@ -498,15 +522,25 @@ def _forward(psi0, theta_half, theta_x, x_qubits, n_qubits, kinds=None,
     n_row_bits = n_qubits - _LANE_QUBITS
     ops, perms = _plan_ops(x_qubits, kinds, n_qubits)
 
-    kernel = _make_forward_kernel(n_steps, ops, n_row_bits, fast_math)
-    tx_clamp = lambda i: (jnp.minimum(i, n_steps - 1), 0, 0)  # noqa: E731
+    # single-step calls (fused_rot_block et al.) keep the one-stage
+    # [phase; rots; phase] schedule: the merge buys nothing at T=1 and
+    # its extra identity-rotation stage would double the rotation work
+    merged = n_steps > 1
+    n_stages = n_steps + 1 if merged else n_steps
+    th_op = merge_phase_rows(theta_half.astype(jnp.float32)) if merged \
+        else theta_half.astype(jnp.float32)
+    tx_op = _pad_tx(theta_x)
+    if merged:
+        tx_op = _append_zero_row(tx_op)
+    kernel = _make_forward_kernel(n_steps, ops, n_row_bits, fast_math,
+                                  merged)
     out_re, out_im = pl.pallas_call(
         kernel,
-        grid=(n_steps + 1,),
+        grid=(n_stages,),
         in_specs=[
             pl.BlockSpec((1, r, _LANES), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, _LANES), tx_clamp,
+            pl.BlockSpec((1, 1, _LANES), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((r, _LANES), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
@@ -525,9 +559,8 @@ def _forward(psi0, theta_half, theta_x, x_qubits, n_qubits, kinds=None,
                         pltpu.VMEM((r, _LANES), jnp.float32)],
         interpret=(jax.default_backend() == "cpu"),
         **_vmem_params(10, 1, r),
-    )(merge_phase_rows(theta_half.astype(jnp.float32))
-      .reshape(n_steps + 1, r, _LANES),
-      _pad_tx(theta_x),
+    )(th_op.reshape(n_stages, r, _LANES),
+      tx_op,
       psi0.re.reshape(r, _LANES).astype(jnp.float32),
       psi0.im.reshape(r, _LANES).astype(jnp.float32),
       _as_perms_operand(perms))
@@ -549,15 +582,22 @@ def _bwd(x_qubits, n_qubits, kinds, fast_math, residuals, lam):
     n_row_bits = n_qubits - _LANE_QUBITS
     ops, perms = _plan_ops(x_qubits, kinds, n_qubits)
 
-    kernel = _make_backward_kernel(n_steps, ops, n_row_bits, fast_math)
-    rev = lambda i: (n_steps - i, 0, 0)  # noqa: E731  (merged rows T+1)
-    revc = lambda i: (jnp.minimum(n_steps - i, n_steps - 1), 0, 0)  # noqa: E731
+    merged = n_steps > 1
+    n_stages = n_steps + 1 if merged else n_steps
+    th_op = merge_phase_rows(theta_half.astype(jnp.float32)) if merged \
+        else theta_half.astype(jnp.float32)
+    tx_op = _pad_tx(theta_x)
+    if merged:
+        tx_op = _append_zero_row(tx_op)
+    kernel = _make_backward_kernel(n_steps, ops, n_row_bits, fast_math,
+                                   merged)
+    rev = lambda i: (n_stages - 1 - i, 0, 0)  # noqa: E731
     gth, gtx, gp_re, gp_im = pl.pallas_call(
         kernel,
-        grid=(n_steps + 1,),
+        grid=(n_stages,),
         in_specs=[
             pl.BlockSpec((1, r, _LANES), rev, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, _LANES), revc, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, _LANES), rev, memory_space=pltpu.VMEM),
             pl.BlockSpec((r, _LANES), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((r, _LANES), lambda i: (0, 0),
@@ -571,15 +611,15 @@ def _bwd(x_qubits, n_qubits, kinds, fast_math, residuals, lam):
         ],
         out_specs=(
             pl.BlockSpec((1, r, _LANES), rev, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, _LANES), revc, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, _LANES), rev, memory_space=pltpu.VMEM),
             pl.BlockSpec((r, _LANES), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((r, _LANES), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((n_steps + 1, r, _LANES), jnp.float32),
-            jax.ShapeDtypeStruct((n_steps, 1, _LANES), jnp.float32),
+            jax.ShapeDtypeStruct((n_stages, r, _LANES), jnp.float32),
+            jax.ShapeDtypeStruct((n_stages, 1, _LANES), jnp.float32),
             jax.ShapeDtypeStruct((r, _LANES), jnp.float32),
             jax.ShapeDtypeStruct((r, _LANES), jnp.float32),
         ),
@@ -589,18 +629,19 @@ def _bwd(x_qubits, n_qubits, kinds, fast_math, residuals, lam):
                         pltpu.VMEM((r, _LANES), jnp.float32)],
         interpret=(jax.default_backend() == "cpu"),
         **_vmem_params(14, 1, r),
-    )(merge_phase_rows(theta_half.astype(jnp.float32))
-      .reshape(n_steps + 1, r, _LANES),
-      _pad_tx(theta_x),
+    )(th_op.reshape(n_stages, r, _LANES),
+      tx_op,
       psi_T.re.reshape(r, _LANES).astype(jnp.float32),
       psi_T.im.reshape(r, _LANES).astype(jnp.float32),
       lam.re.reshape(r, _LANES).astype(jnp.float32),
       lam.im.reshape(r, _LANES).astype(jnp.float32),
       _as_perms_operand(perms))
+    gth = gth.reshape(n_stages, d)
+    if merged:
+        gth = unmerge_phase_grads(gth)
     return (CP(gp_re.reshape(d), gp_im.reshape(d)),
-            unmerge_phase_grads(gth.reshape(n_steps + 1, d))
-            .astype(theta_half.dtype),
-            gtx[:, 0, :theta_x.shape[1]].astype(theta_x.dtype))
+            gth.astype(theta_half.dtype),
+            gtx[:n_steps, 0, :theta_x.shape[1]].astype(theta_x.dtype))
 
 
 fused_product_evolve.defvjp(_fwd, _bwd)
@@ -628,7 +669,7 @@ def _blane_dot(x: jnp.ndarray, p: jnp.ndarray, fast: bool = False) -> jnp.ndarra
     return _pdot(x.reshape(b * r, _LANES), p, fast).reshape(b, r, _LANES)
 
 
-def _make_forward_kernel_b(n_steps, ops, fast=False):
+def _make_forward_kernel_b(n_steps, ops, fast=False, merged=True):
     bflip = lambda v, b, _n: _bflip_row(v, b)       # noqa: E731
     bsflip = lambda v, b, _n: _bsflip_row(v, b)     # noqa: E731
 
@@ -673,13 +714,15 @@ def _make_forward_kernel_b(n_steps, ops, fast=False):
             s_im[:] = im
 
         phase()
+        # merged: stage n_steps reads the appended ZERO tx row — exact
+        # identity rotations, no pl.when gate (see _append_zero_row);
+        # unmerged (n_steps == 1): original [phase; rots; phase] stage
+        for op in ops:
+            rot(op)
+        if not merged:
+            phase()
 
-        @pl.when(i < n_steps)
-        def _():
-            for op in ops:
-                rot(op)
-
-        @pl.when(i == n_steps)
+        @pl.when(i == (n_steps if merged else n_steps - 1))
         def _():
             out_re[:] = s_re[:]
             out_im[:] = s_im[:]
@@ -687,7 +730,7 @@ def _make_forward_kernel_b(n_steps, ops, fast=False):
     return kernel
 
 
-def _make_backward_kernel_b(n_steps, ops, fast=False):
+def _make_backward_kernel_b(n_steps, ops, fast=False, merged=True):
     bflip = lambda v, b, _n: _bflip_row(v, b)       # noqa: E731
     bsflip = lambda v, b, _n: _bsflip_row(v, b)     # noqa: E731
 
@@ -763,38 +806,39 @@ def _make_backward_kernel_b(n_steps, ops, fast=False):
             l_re[:] = nl_re
             l_im[:] = nl_im
 
-        # merged-phase schedule (see _make_backward_kernel): reversed stage
-        # 0 undoes the pure trailing phase, so rotations are gated out; the
-        # g_rot scalars cannot escape a pl.when, so the gtx row assembly
-        # lives inside the gate (zero default keeps the clamped out-block
-        # defined at i == 0).
+        def undo_phase():
+            th = th_ref[0]
+            c, s = jnp.cos(th), jnp.sin(th)
+            g = l_re[:] * y_im[:] - l_im[:] * y_re[:]
+            re = c * y_re[:] - s * y_im[:]
+            im = s * y_re[:] + c * y_im[:]
+            y_re[:] = re
+            y_im[:] = im
+            re = c * l_re[:] - s * l_im[:]
+            im = s * l_re[:] + c * l_im[:]
+            l_re[:] = re
+            l_im[:] = im
+            return g
+
+        # merged-phase schedule (see _make_backward_kernel): the reversed
+        # stage 0 reads the appended ZERO tx row, so its rotations are
+        # exact identities and its gtx row lands in the discarded extra
+        # output row (no pl.when — see _append_zero_row). unmerged
+        # (n_steps == 1): trailing phase first, same th row twice.
         b = y_re.shape[0]
-        gtx_ref[0] = jnp.zeros((b, _LANES), jnp.float32)
+        g_trail = None if merged else undo_phase()
+        for op in reversed(ops):
+            undo_rot(op)
+        lane_ids = jax.lax.broadcasted_iota(jnp.int32, (b, _LANES), 1)
+        row = jnp.zeros((b, _LANES), jnp.float32)
+        for j, g in g_rot.items():
+            row = jnp.where(lane_ids == j, g, row)  # g [B,1] broadcasts
+        gtx_ref[0] = row
 
-        @pl.when(i > 0)
-        def _():
-            for op in reversed(ops):
-                undo_rot(op)
-            lane_ids = jax.lax.broadcasted_iota(jnp.int32, (b, _LANES), 1)
-            row = jnp.zeros((b, _LANES), jnp.float32)
-            for j, g in g_rot.items():
-                row = jnp.where(lane_ids == j, g, row)  # g [B,1] broadcasts
-            gtx_ref[0] = row
+        g_lead = undo_phase()
+        gth_ref[0] = g_lead if merged else g_trail + g_lead
 
-        # --- undo the (merged) phase ---------------------------------------
-        th = th_ref[0]
-        c, s = jnp.cos(th), jnp.sin(th)
-        gth_ref[0] = l_re[:] * y_im[:] - l_im[:] * y_re[:]
-        re = c * y_re[:] - s * y_im[:]
-        im = s * y_re[:] + c * y_im[:]
-        y_re[:] = re
-        y_im[:] = im
-        re = c * l_re[:] - s * l_im[:]
-        im = s * l_re[:] + c * l_im[:]
-        l_re[:] = re
-        l_im[:] = im
-
-        @pl.when(i == n_steps)
+        @pl.when(i == (n_steps if merged else n_steps - 1))
         def _():
             gp0_re[:] = l_re[:]
             gp0_im[:] = l_im[:]
@@ -851,18 +895,25 @@ def _forward_b(psi0, theta_half, theta_x, x_qubits, n_qubits, kinds=None,
                fast_math=False):
     n_steps, b, d, r, ops, perms = _common_b(
         theta_half, x_qubits, kinds, n_qubits)
-    kernel = _make_forward_kernel_b(n_steps, ops, fast_math)
+    merged = n_steps > 1
+    n_stages = n_steps + 1 if merged else n_steps
+    th_op = merge_phase_rows(theta_half.astype(jnp.float32)) if merged \
+        else theta_half.astype(jnp.float32)
+    tx_op = _pad_tx_b(theta_x)
+    if merged:
+        tx_op = _append_zero_row(tx_op)
+    kernel = _make_forward_kernel_b(n_steps, ops, fast_math, merged)
     n_x = max(theta_x.shape[2], 1)
     state_spec = pl.BlockSpec((b, r, _LANES), lambda i: (0, 0, 0),
                               memory_space=pltpu.VMEM)
-    txc = lambda i: (jnp.minimum(i, n_steps - 1), 0, 0, 0, 0)  # noqa: E731
     out_re, out_im = pl.pallas_call(
         kernel,
-        grid=(n_steps + 1,),
+        grid=(n_stages,),
         in_specs=[
             pl.BlockSpec((1, b, r, _LANES), lambda i: (i, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, n_x, b, 1, _LANES), txc,
+            pl.BlockSpec((1, n_x, b, 1, _LANES),
+                         lambda i: (i, 0, 0, 0, 0),
                          memory_space=pltpu.VMEM),
             state_spec, state_spec,
             pl.BlockSpec(perms.shape, lambda i: (0, 0, 0),
@@ -875,9 +926,8 @@ def _forward_b(psi0, theta_half, theta_x, x_qubits, n_qubits, kinds=None,
                         pltpu.VMEM((b, r, _LANES), jnp.float32)],
         interpret=(jax.default_backend() == "cpu"),
         **_vmem_params(10, b, r),
-    )(merge_phase_rows(theta_half.astype(jnp.float32))
-      .reshape(n_steps + 1, b, r, _LANES),
-      _pad_tx_b(theta_x),
+    )(th_op.reshape(n_stages, b, r, _LANES),
+      tx_op,
       psi0.re.reshape(b, r, _LANES).astype(jnp.float32),
       psi0.im.reshape(b, r, _LANES).astype(jnp.float32),
       _as_perms_operand(perms))
@@ -895,21 +945,29 @@ def _bwd_b(x_qubits, n_qubits, kinds, fast_math, residuals, lam):
     psi_T, theta_half, theta_x = residuals
     n_steps, b, d, r, ops, perms = _common_b(
         theta_half, x_qubits, kinds, n_qubits)
-    kernel = _make_backward_kernel_b(n_steps, ops, fast_math)
+    merged = n_steps > 1
+    n_stages = n_steps + 1 if merged else n_steps
+    th_op = merge_phase_rows(theta_half.astype(jnp.float32)) if merged \
+        else theta_half.astype(jnp.float32)
+    tx_op = _pad_tx_b(theta_x)
+    if merged:
+        tx_op = _append_zero_row(tx_op)
+    kernel = _make_backward_kernel_b(n_steps, ops, fast_math, merged)
     n_x = max(theta_x.shape[2], 1)
-    rev4 = lambda i: (n_steps - i, 0, 0, 0)  # noqa: E731  (merged rows)
-    rev3c = lambda i: (jnp.minimum(n_steps - i, n_steps - 1),  # noqa: E731
-                       0, 0)
-    rev5c = lambda i: (jnp.minimum(n_steps - i, n_steps - 1),  # noqa: E731
-                       0, 0, 0, 0)
+    # merged grid: every operand spans T+1 stage rows (theta merged, tx
+    # with an appended zero row; gth/gtx gain one discarded row) — all
+    # index maps affine
+    rev4 = lambda i: (n_stages - 1 - i, 0, 0, 0)  # noqa: E731
+    rev3 = lambda i: (n_stages - 1 - i, 0, 0)  # noqa: E731
+    rev5 = lambda i: (n_stages - 1 - i, 0, 0, 0, 0)  # noqa: E731
     state_spec = pl.BlockSpec((b, r, _LANES), lambda i: (0, 0, 0),
                               memory_space=pltpu.VMEM)
     gth, gtx, gp_re, gp_im = pl.pallas_call(
         kernel,
-        grid=(n_steps + 1,),
+        grid=(n_stages,),
         in_specs=[
             pl.BlockSpec((1, b, r, _LANES), rev4, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, n_x, b, 1, _LANES), rev5c,
+            pl.BlockSpec((1, n_x, b, 1, _LANES), rev5,
                          memory_space=pltpu.VMEM),
             state_spec, state_spec, state_spec, state_spec,
             pl.BlockSpec(perms.shape, lambda i: (0, 0, 0),
@@ -917,12 +975,12 @@ def _bwd_b(x_qubits, n_qubits, kinds, fast_math, residuals, lam):
         ],
         out_specs=(
             pl.BlockSpec((1, b, r, _LANES), rev4, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, b, _LANES), rev3c, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, b, _LANES), rev3, memory_space=pltpu.VMEM),
             state_spec, state_spec,
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((n_steps + 1, b, r, _LANES), jnp.float32),
-            jax.ShapeDtypeStruct((n_steps, b, _LANES), jnp.float32),
+            jax.ShapeDtypeStruct((n_stages, b, r, _LANES), jnp.float32),
+            jax.ShapeDtypeStruct((n_stages, b, _LANES), jnp.float32),
             jax.ShapeDtypeStruct((b, r, _LANES), jnp.float32),
             jax.ShapeDtypeStruct((b, r, _LANES), jnp.float32),
         ),
@@ -935,18 +993,19 @@ def _bwd_b(x_qubits, n_qubits, kinds, fast_math, residuals, lam):
         # default past b*r ~ 2048 rows (chip-measured 46.78 MiB at
         # 16q x 8 trajectories - the fused-MCWF shape)
         **_vmem_params(14, b, r),
-    )(merge_phase_rows(theta_half.astype(jnp.float32))
-      .reshape(n_steps + 1, b, r, _LANES),
-      _pad_tx_b(theta_x),
+    )(th_op.reshape(n_stages, b, r, _LANES),
+      tx_op,
       psi_T.re.reshape(b, r, _LANES).astype(jnp.float32),
       psi_T.im.reshape(b, r, _LANES).astype(jnp.float32),
       lam.re.reshape(b, r, _LANES).astype(jnp.float32),
       lam.im.reshape(b, r, _LANES).astype(jnp.float32),
       _as_perms_operand(perms))
+    gth = gth.reshape(n_stages, b, d)
+    if merged:
+        gth = unmerge_phase_grads(gth)
     return (CP(gp_re.reshape(b, d), gp_im.reshape(b, d)),
-            unmerge_phase_grads(gth.reshape(n_steps + 1, b, d))
-            .astype(theta_half.dtype),
-            gtx[:, :, :theta_x.shape[2]].astype(theta_x.dtype))
+            gth.astype(theta_half.dtype),
+            gtx[:n_steps, :, :theta_x.shape[2]].astype(theta_x.dtype))
 
 
 fused_product_evolve_batched.defvjp(_fwd_b, _bwd_b)
@@ -1280,11 +1339,10 @@ def _make_forward_kernel_pk(n_steps, ops, n_diag,
             s_im[:] = im
 
         phase()
-
-        @pl.when(i < n_steps)
-        def _():
-            for op in ops:
-                rot(op)
+        # stage n_steps reads the appended ZERO tx row — exact identity
+        # rotations, no pl.when gate (see _append_zero_row)
+        for op in ops:
+            rot(op)
 
         @pl.when(i == n_steps)
         def _():
@@ -1428,23 +1486,17 @@ def _make_backward_kernel_pk(n_steps, ops, n_diag,
             l_re[:] = nl_re
             l_im[:] = nl_im
 
-        # merged-phase schedule (see _make_backward_kernel): forward stage
-        # i' = n_steps - i is [phase(merged row i'); rots_i' if i' < T], so
-        # reversed stage 0 undoes the pure trailing phase — rotations are
-        # gated out there. The g_rot scalars cannot escape a pl.when, so
-        # the gtx row assembly lives inside the gate; the zero-row default
-        # keeps the clamped out-block defined at i == 0.
+        # merged-phase schedule (see _make_backward_kernel): the reversed
+        # stage 0 reads the appended ZERO tx row, so its rotations are
+        # exact identities and its gtx row lands in the discarded extra
+        # output row (no pl.when — see _append_zero_row)
         lane_ids = jax.lax.broadcasted_iota(jnp.int32, (b, _LANES), 1)
-        gtx_ref[0] = jnp.zeros((b, _LANES), jnp.float32)
-
-        @pl.when(i > 0)
-        def _():
-            for op in reversed(ops):
-                undo_rot(op)
-            rrow = jnp.zeros((b, _LANES), jnp.float32)
-            for j, g in g_rot.items():
-                rrow = jnp.where(lane_ids == j, g, rrow)
-            gtx_ref[0] = rrow
+        for op in reversed(ops):
+            undo_rot(op)
+        rrow = jnp.zeros((b, _LANES), jnp.float32)
+        for j, g in g_rot.items():
+            rrow = jnp.where(lane_ids == j, g, rrow)
+        gtx_ref[0] = rrow
 
         undo_phase()  # the (merged) stage phase — exactly one per stage
 
@@ -1517,7 +1569,6 @@ def _forward_pk(psi0, ud, theta_x, h0th, signs, x_qubits, n_qubits,
                pltpu.VMEM((b, r, _LANES), jnp.float32)]
     if dma:
         scratch.append(pltpu.SemaphoreType.DMA((4,)))
-    txc = lambda i: (jnp.minimum(i, n_steps - 1), 0, 0, 0, 0)  # noqa: E731
     out_re, out_im = pl.pallas_call(
         kernel,
         grid=(n_steps + 1,),
@@ -1525,7 +1576,8 @@ def _forward_pk(psi0, ud, theta_x, h0th, signs, x_qubits, n_qubits,
             pl.BlockSpec((1, n_diag + 2, b, 1, _LANES),
                          lambda i: (i, 0, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, n_x, b, 1, _LANES), txc,
+            pl.BlockSpec((1, n_x, b, 1, _LANES),
+                         lambda i: (i, 0, 0, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((r, _LANES), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
@@ -1542,7 +1594,7 @@ def _forward_pk(psi0, ud, theta_x, h0th, signs, x_qubits, n_qubits,
         interpret=interp,
         **_vmem_params(6 if dma else 10, b, r),
     )(_pad_tx_b(_merge_ud_rows_b(ud)),
-      _pad_tx_b(theta_x),
+      _append_zero_row(_pad_tx_b(theta_x)),
       h0th.reshape(r, _LANES).astype(jnp.float32),
       signs.reshape(signs.shape[0], r, _LANES),
       psi0.re.reshape(b, r, _LANES).astype(jnp.float32),
@@ -1569,15 +1621,11 @@ def _bwd_pk(x_qubits, n_qubits, kinds, fast_math, residuals, lam):
     kernel = _make_backward_kernel_pk(n_steps, ops, n_diag,
                                       fast_math, dma)
     n_x = max(theta_x.shape[2], 1)
-    # merged grid: ud/gud rows span T+1 stages; tx/gtx keep T rows, with
-    # the stage-0 index clamped (rotations are gated out there and the
-    # clamped gtx block gets a zero default before stage 1 overwrites it)
+    # merged grid: every operand spans T+1 stage rows (ud merged, tx with
+    # an appended zero row; gud/gtx gain one discarded row) — all index
+    # maps affine
     rev5 = lambda i: (n_steps - i, 0, 0, 0, 0)  # noqa: E731
     rev3 = lambda i: (n_steps - i, 0, 0)  # noqa: E731
-    rev5c = lambda i: (jnp.minimum(n_steps - i, n_steps - 1),  # noqa: E731
-                       0, 0, 0, 0)
-    rev3c = lambda i: (jnp.minimum(n_steps - i, n_steps - 1),  # noqa: E731
-                       0, 0)
     bspace = pl.ANY if dma else pltpu.VMEM
     state_spec = pl.BlockSpec((b, r, _LANES), lambda i: (0, 0, 0),
                               memory_space=bspace)
@@ -1593,7 +1641,7 @@ def _bwd_pk(x_qubits, n_qubits, kinds, fast_math, residuals, lam):
         in_specs=[
             pl.BlockSpec((1, n_diag + 2, b, 1, _LANES), rev5,
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, n_x, b, 1, _LANES), rev5c,
+            pl.BlockSpec((1, n_x, b, 1, _LANES), rev5,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((r, _LANES), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
@@ -1605,12 +1653,12 @@ def _bwd_pk(x_qubits, n_qubits, kinds, fast_math, residuals, lam):
         ],
         out_specs=(
             pl.BlockSpec((1, b, _LANES), rev3, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, b, _LANES), rev3c, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, b, _LANES), rev3, memory_space=pltpu.VMEM),
             state_spec, state_spec,
         ),
         out_shape=(
             jax.ShapeDtypeStruct((n_steps + 1, b, _LANES), jnp.float32),
-            jax.ShapeDtypeStruct((n_steps, b, _LANES), jnp.float32),
+            jax.ShapeDtypeStruct((n_steps + 1, b, _LANES), jnp.float32),
             jax.ShapeDtypeStruct((b, r, _LANES), jnp.float32),
             jax.ShapeDtypeStruct((b, r, _LANES), jnp.float32),
         ),
@@ -1618,7 +1666,7 @@ def _bwd_pk(x_qubits, n_qubits, kinds, fast_math, residuals, lam):
         interpret=interp,
         **_vmem_params(12 if dma else 18, b, r),
     )(_pad_tx_b(_merge_ud_rows_b(ud)),
-      _pad_tx_b(theta_x),
+      _append_zero_row(_pad_tx_b(theta_x)),
       h0th.reshape(r, _LANES).astype(jnp.float32),
       signs.reshape(signs.shape[0], r, _LANES),
       psi_T.re.reshape(b, r, _LANES).astype(jnp.float32),
@@ -1628,7 +1676,7 @@ def _bwd_pk(x_qubits, n_qubits, kinds, fast_math, residuals, lam):
       _as_perms_operand(perms))
     return (CP(gp_re.reshape(b, d), gp_im.reshape(b, d)),
             unmerge_phase_grads(gud)[:, :, :ud.shape[2]].astype(ud.dtype),
-            gtx[:, :, :theta_x.shape[2]].astype(theta_x.dtype),
+            gtx[:n_steps, :, :theta_x.shape[2]].astype(theta_x.dtype),
             jnp.zeros_like(h0th),
             np.zeros(signs.shape, dtype=jax.dtypes.float0))
 
