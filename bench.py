@@ -54,7 +54,8 @@ def median_latency(fn, args, n_warmup=3, n_runs=20):
 
 
 def amortized_step_latency(step_fn, coeff, chain: int = 100, n_runs: int = 15,
-                           with_single: bool = False, extra=()):
+                           with_single: bool = False, extra=(),
+                           floor_ms=None):
     """Per-step latency with dispatch overhead amortized: ``chain`` gradient
     steps chained inside ONE compiled program (a lax.scan), exactly like the
     compiled training loops run in practice (train_energy EPOCH_BLOCK).
@@ -85,6 +86,19 @@ def amortized_step_latency(step_fn, coeff, chain: int = 100, n_runs: int = 15,
         single_j = jax.jit(lambda c, *ex: step_fn(c, *ex)[1])
         single = median_latency(single_j, (coeff, *extra), n_runs=n_runs)
     multi = median_latency(chained_j, (coeff, *extra), n_runs=n_runs)
+    if floor_ms is not None and multi / chain * 1e3 < floor_ms:
+        # One observed failure mode of the remote tunnel under congestion
+        # (BENCH r5 dev run): a frontier chained program "measured"
+        # 0.008 ms/step — the empty-program dispatch floor, i.e. the
+        # runtime returned without executing. A 24q grad step cannot be
+        # faster than ~tens of ms; re-measure once after re-validating
+        # the computation end to end, and report the sane reading.
+        print(f"suspect per-step {multi / chain * 1e3:.3f} ms < floor "
+              f"{floor_ms} ms — revalidating + re-measuring",
+              file=sys.stderr, flush=True)
+        jax.block_until_ready(step_fn(coeff, *extra))
+        multi = median_latency(chained_j, (coeff, *extra),
+                               n_warmup=1, n_runs=n_runs)
     return multi / chain, single
 
 
@@ -191,6 +205,12 @@ def main():
     # (20/22) that runs after the BASELINE.md-tracked sections below:
     # BENCH_r04 overran its budget and silently dropped the tail, so the
     # order now IS the priority.
+    # conservative physical lower bounds per size (ms/grad-step) — a
+    # reading below these means the runtime did not actually execute
+    # the program (observed once under tunnel congestion: 24q "ran" at
+    # the 0.008 ms empty-program floor); used to trigger a re-measure
+    _FLOOR_MS = {18: 1.0, 20: 2.0, 22: 5.0, 24: 20.0}
+
     def run_maxcut_tier(tier):
         for nq, chain_n, est, label in tier:
             if not section(label, est):
@@ -199,7 +219,8 @@ def main():
                 _, _, g_n, c_n, w_n = maxcut_grad_fn(nq)
                 runs = 6 if _remaining() > est else 3
                 per_n, _ = amortized_step_latency(g_n, c_n, chain=chain_n,
-                                                  n_runs=runs, extra=(w_n,))
+                                                  n_runs=runs, extra=(w_n,),
+                                                  floor_ms=_FLOOR_MS.get(nq))
                 _emit({"metric": label, "value": round(per_n * 1e3, 3),
                        "unit": f"ms ({nq}q full pulse-grad step)"})
             except Exception as e:
@@ -348,7 +369,8 @@ def main():
                       f"{nmol}q", file=sys.stderr)
                 continue
             per_m, _ = amortized_step_latency(g_m, cm, chain=chain_n,
-                                              n_runs=6, extra=(w_m,))
+                                              n_runs=6, extra=(w_m,),
+                                              floor_ms=_FLOOR_MS.get(nmol))
             _emit({"metric": label, "value": round(per_m * 1e3, 3),
                    "unit": f"ms ({n_ctl}-control X/Y+hop+ZZ drive set, "
                            "fused hop op plan)"})
