@@ -242,10 +242,15 @@ def main():
                 return jnp.sum(cpx.abs2(psi) * prob16.measurement.diag,
                                axis=-1)
 
-            g16 = jax.jit(lambda c: jax.value_and_grad(loss16)(c)[1])
             c16 = jnp.asarray(rng.standard_normal(
                 prob16.envelope.coeff_shape).astype(np.float32) * 1e-3)
-            lat16 = median_latency(g16, (c16,), n_warmup=2, n_runs=8)
+            # amortized like every other metric (chain=4 inside one
+            # program): r1/r2 driver values (85.8/85.2 ms) measured one
+            # dispatch per call and so carried the fixed ~30 ms tunnel
+            # tax on top of the ~50 ms device-side chain
+            lat16, _ = amortized_step_latency(
+                jax.value_and_grad(loss16), c16, chain=4, n_runs=8,
+                floor_ms=5.0)
             _emit({"metric": "stretch_16q_1000step_adjoint_grad",
                    "value": round(lat16 * 1e3, 1), "unit": "ms"})
         except Exception as e:
